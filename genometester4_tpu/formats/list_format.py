@@ -1,0 +1,187 @@
+"""GenomeTester4 ``.list`` file format — byte-compatible reader/writer.
+
+Layout (reference: src/word-list.h:40-72, src/word-list.c:31-45):
+
+* 48-byte little-endian header (``GT4ListHeader_4_4``)::
+
+      u32 code           'G'<<24|'T'<<16|'4'<<8|'C'  (0x47543443)
+      u32 version_major  4
+      u32 version_minor  2
+      u32 word_length    k (1..32)
+      u64 n_words
+      u64 total_count    sum of written counts (after cutoff)
+      u64 list_start     offset of record data from header start (48)
+      u32 word_bytes     8
+      u32 count_bytes    4
+
+* ``n_words`` packed 12-byte records: ``u64 word`` + ``u32 count``,
+  sorted ascending by unsigned word (reference: src/word-map.h:89-105).
+
+Older header versions 4.0 (no list_start; 40 bytes with padding) and 4.2
+(no word_bytes/count_bytes) are up-converted on read exactly like
+src/word-map.c:198-209 does.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+GT4_LIST_CODE = (ord("G") << 24) | (ord("T") << 16) | (ord("4") << 8) | ord("C")
+VERSION_MAJOR = 4
+VERSION_MINOR = 2
+
+_HEADER_4_4 = struct.Struct("<IIIIQQQII")  # 48 bytes
+_HEADER_4_0 = struct.Struct("<IIIIQQQ")  # 40 bytes
+
+HEADER_SIZE = _HEADER_4_4.size
+RECORD_SIZE = 12
+
+# numpy dtype of one packed record (u64 word + u32 count, little-endian)
+RECORD_DTYPE = np.dtype([("word", "<u8"), ("count", "<u4")])
+assert RECORD_DTYPE.itemsize == RECORD_SIZE
+
+
+@dataclass
+class ListHeader:
+    word_length: int
+    n_words: int = 0
+    total_count: int = 0
+    list_start: int = HEADER_SIZE
+    word_bytes: int = 8
+    count_bytes: int = 4
+    version_major: int = VERSION_MAJOR
+    version_minor: int = VERSION_MINOR
+    code: int = field(default=GT4_LIST_CODE)
+
+    def pack(self) -> bytes:
+        return _HEADER_4_4.pack(
+            self.code,
+            self.version_major,
+            self.version_minor,
+            self.word_length,
+            self.n_words,
+            self.total_count,
+            self.list_start,
+            self.word_bytes,
+            self.count_bytes,
+        )
+
+    @staticmethod
+    def unpack(buf: bytes) -> "ListHeader":
+        code, vmaj, vmin, wlen = struct.unpack_from("<IIII", buf, 0)
+        if code != GT4_LIST_CODE:
+            raise ValueError(f"not a GT4 .list file (magic {code:#x})")
+        if (vmaj, vmin) >= (4, 4):
+            (code, vmaj, vmin, wlen, n_words, total, start, wb, cb) = (
+                _HEADER_4_4.unpack_from(buf, 0)
+            )
+            return ListHeader(wlen, n_words, total, start, wb, cb, vmaj, vmin, code)
+        # 4.0 / 4.2 up-conversion (src/word-map.c:198-209): same first 40
+        # bytes; 4.0's last u64 is padding and data starts at byte 40.
+        (code, vmaj, vmin, wlen, n_words, total, start) = _HEADER_4_0.unpack_from(buf, 0)
+        if (vmaj, vmin) < (4, 2):
+            start = _HEADER_4_0.size
+        return ListHeader(wlen, n_words, total, start, 8, 4, vmaj, vmin, code)
+
+
+def read_list_header(path: str | os.PathLike) -> ListHeader:
+    with open(path, "rb") as f:
+        return ListHeader.unpack(f.read(HEADER_SIZE))
+
+
+def read_list(path: str | os.PathLike, mmap: bool = True):
+    """Read a .list file → (header, words u64 array, counts u32 array).
+
+    With ``mmap=True`` the record region is memory-mapped (zero-copy view,
+    like the reference's GT4WordMap, src/word-map.c:165-241).
+    """
+    hdr = read_list_header(path)
+    if mmap and hdr.n_words:
+        raw = np.memmap(path, dtype=np.uint8, mode="r", offset=hdr.list_start,
+                        shape=(hdr.n_words * RECORD_SIZE,))
+        recs = raw.view(RECORD_DTYPE)
+    else:
+        with open(path, "rb") as f:
+            f.seek(hdr.list_start)
+            recs = np.fromfile(f, dtype=RECORD_DTYPE, count=hdr.n_words)
+    return hdr, recs["word"], recs["count"]
+
+
+def pack_records(words: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Pack parallel (u64, u32) arrays into the 12-byte record byte stream."""
+    recs = np.empty(len(words), dtype=RECORD_DTYPE)
+    recs["word"] = words
+    recs["count"] = counts
+    return recs.view(np.uint8)
+
+
+def write_list(path: str | os.PathLike, word_length: int, words: np.ndarray,
+               counts: np.ndarray, atomic: bool = True) -> ListHeader:
+    """Write a sorted (words, counts) pair as a .list file.
+
+    Caller is responsible for sorting and cutoff filtering. Uses the
+    tmp-file + rename atomic publish convention of the reference
+    (src/glistmaker.c:305-353).
+    """
+    words = np.ascontiguousarray(words, dtype=np.uint64)
+    counts = np.ascontiguousarray(counts, dtype=np.uint32)
+    hdr = ListHeader(word_length, n_words=len(words),
+                     total_count=int(counts.sum(dtype=np.uint64)))
+    tmp = f"{path}.tmp.{os.getpid()}" if atomic else path
+    with open(tmp, "wb") as f:
+        f.write(hdr.pack())
+        pack_records(words, counts).tofile(f)
+    if atomic:
+        os.replace(tmp, path)
+    return hdr
+
+
+class ListWriter:
+    """Streaming .list writer: append sorted record chunks, finalize header.
+
+    Mirrors gt4_write_union's write-then-pwrite-header pattern
+    (src/set-operations.c:40-129) so multi-gigabyte outputs never need to
+    be resident in memory.
+    """
+
+    def __init__(self, path: str | os.PathLike, word_length: int, atomic: bool = True):
+        self.path = os.fspath(path)
+        self.word_length = word_length
+        self.atomic = atomic
+        self._tmp = f"{self.path}.tmp.{os.getpid()}" if atomic else self.path
+        self._f = open(self._tmp, "wb")
+        self._f.write(ListHeader(word_length).pack())  # placeholder
+        self.n_words = 0
+        self.total_count = 0
+
+    def append(self, words: np.ndarray, counts: np.ndarray):
+        if len(words) == 0:
+            return
+        pack_records(np.asarray(words, dtype=np.uint64),
+                     np.asarray(counts, dtype=np.uint32)).tofile(self._f)
+        self.n_words += len(words)
+        self.total_count += int(np.asarray(counts, dtype=np.uint64).sum())
+
+    def close(self) -> ListHeader:
+        hdr = ListHeader(self.word_length, self.n_words, self.total_count)
+        self._f.seek(0)
+        self._f.write(hdr.pack())
+        self._f.close()
+        if self.atomic:
+            os.replace(self._tmp, self.path)
+        return hdr
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        if exc[0] is None:
+            self.close()
+        else:
+            self._f.close()
+            if self.atomic and os.path.exists(self._tmp):
+                os.unlink(self._tmp)

@@ -1,0 +1,110 @@
+"""Differential tests: our glistmaker vs the compiled reference binary.
+
+The reference has no test suite (SURVEY.md §4); the verification oracle
+is byte-identical .list output versus the reference binaries.
+"""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from tests.conftest import run_reference, random_fasta, random_fastq
+from genometester4_tpu.formats.list_format import read_list
+from genometester4_tpu.pipelines.listmaker import make_list
+from genometester4_tpu.cli import glistmaker as cli_glistmaker
+
+
+def _run_both(tmp_path, fasta_text, k, cutoff=1, n_files=1, texts=None,
+              chunk_bases=None):
+    texts = texts or [fasta_text]
+    paths = []
+    for i, t in enumerate(texts):
+        p = tmp_path / f"in{i}.fa"
+        p.write_text(t)
+        paths.append(str(p))
+
+    r = run_reference(["glistmaker"] + paths + ["-w", str(k), "-c", str(cutoff),
+                                                "-o", str(tmp_path / "ref")])
+    assert r.returncode == 0, r.stderr
+    ref_file = tmp_path / f"ref_{k}.list"
+
+    kwargs = {}
+    if chunk_bases:
+        kwargs["chunk_bases"] = chunk_bases
+    make_list(paths, k, str(tmp_path / f"tpu_{k}.list"), min_count=cutoff,
+              **kwargs)
+    return ref_file, tmp_path / f"tpu_{k}.list"
+
+
+def _assert_identical(ref_file, tpu_file):
+    ref_bytes = ref_file.read_bytes()
+    tpu_bytes = tpu_file.read_bytes()
+    if ref_bytes != tpu_bytes:
+        h1, w1, c1 = read_list(ref_file)
+        h2, w2, c2 = read_list(tpu_file)
+        assert h1.n_words == h2.n_words, (h1, h2)
+        np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+        raise AssertionError("records equal but raw bytes differ (header?)")
+
+
+@pytest.mark.parametrize("k", [4, 11, 16, 17, 25, 32])
+def test_byte_identical_small_fasta(tmp_path, rng, k):
+    text = random_fasta(rng, n_records=5, min_len=200, max_len=2000, n_prob=0.01)
+    ref_file, tpu_file = _run_both(tmp_path, text, k)
+    _assert_identical(ref_file, tpu_file)
+
+
+def test_byte_identical_with_cutoff(tmp_path, rng):
+    # low-complexity input to get counts > 1
+    text = ">r1\n" + "ACGTACGGTTACGT" * 400 + "\n>r2\n" + "ACGTACGGTTAGGT" * 300 + "\n"
+    ref_file, tpu_file = _run_both(tmp_path, text, 8, cutoff=3)
+    _assert_identical(ref_file, tpu_file)
+
+
+def test_byte_identical_multi_file(tmp_path, rng):
+    texts = [random_fasta(rng, 3, 500, 1500) for _ in range(3)]
+    ref_file, tpu_file = _run_both(tmp_path, None, 16, texts=texts)
+    _assert_identical(ref_file, tpu_file)
+
+
+def test_byte_identical_fastq(tmp_path, rng):
+    text = random_fastq(rng, n_records=200, read_len=100, n_prob=0.02)
+    p = tmp_path / "in.fq"
+    p.write_text(text)
+    r = run_reference(["glistmaker", str(p), "-w", "25", "-o", str(tmp_path / "ref")])
+    assert r.returncode == 0, r.stderr
+    make_list([str(p)], 25, str(tmp_path / "tpu_25.list"))
+    _assert_identical(tmp_path / "ref_25.list", tmp_path / "tpu_25.list")
+
+
+def test_chunked_matches_unchunked(tmp_path, rng):
+    """Multiple device chunks must merge to the same result as one."""
+    text = random_fasta(rng, n_records=4, min_len=3000, max_len=8000)
+    ref_file, tpu_file = _run_both(tmp_path, text, 16, chunk_bases=4096)
+    _assert_identical(ref_file, tpu_file)
+
+
+def test_cli_entry(tmp_path, rng, monkeypatch):
+    text = random_fasta(rng, 2, 300, 600)
+    p = tmp_path / "in.fa"
+    p.write_text(text)
+    monkeypatch.chdir(tmp_path)
+    assert cli_glistmaker.main([str(p), "-w", "12", "-o", "cli"]) == 0
+    r = run_reference(["glistmaker", str(p), "-w", "12", "-o", str(tmp_path / "ref")])
+    assert r.returncode == 0
+    _assert_identical(tmp_path / "ref_12.list", tmp_path / "cli_12.list")
+
+
+def test_gz_input(tmp_path, rng):
+    import gzip
+    text = random_fasta(rng, 2, 500, 1000)
+    p = tmp_path / "in.fa.gz"
+    p.write_bytes(gzip.compress(text.encode()))
+    plain = tmp_path / "in.fa"
+    plain.write_text(text)
+    r = run_reference(["glistmaker", str(p), "-w", "14", "-o", str(tmp_path / "ref")])
+    assert r.returncode == 0, r.stderr
+    make_list([str(p)], 14, str(tmp_path / "tpu_14.list"))
+    _assert_identical(tmp_path / "ref_14.list", tmp_path / "tpu_14.list")
