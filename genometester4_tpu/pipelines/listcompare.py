@@ -1,0 +1,327 @@
+"""glistcompare equivalent: set operations over .list files.
+
+Mirrors src/glistcompare.c's behaviors (see ops/setops.py for the rule
+semantics). Large lists are processed in word-range buckets: both inputs
+are partitioned at identical u64 boundaries (cheap host searchsorted on
+the sorted mmap'd arrays), each bucket runs one device align+ops pass,
+and outputs stream to ListWriters in ascending order — so results are
+identical to a single full-size pass.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from genometester4_tpu.formats.list_format import ListWriter, read_list
+from genometester4_tpu.ops.encode import split_u64, join_u64
+from genometester4_tpu.ops import setops
+from genometester4_tpu.utils.rand48 import Rand48
+
+RULES = {"default": setops.RULE_DEFAULT, "add": setops.RULE_ADD,
+         "sum": setops.RULE_ADD, "subtract": setops.RULE_SUBTRACT,
+         "min": setops.RULE_MIN, "max": setops.RULE_MAX,
+         "first": setops.RULE_FIRST, "second": setops.RULE_SECOND,
+         "number": setops.RULE_NUMBER}
+
+DEFAULT_BUCKET = 1 << 25
+
+
+def _pad(arr, cap, dtype):
+    out = np.zeros(cap, dtype=dtype)
+    out[: len(arr)] = arr
+    return out
+
+
+def _buckets(n_total, target):
+    n = 1 << max(0, math.ceil(math.log2(max(1, n_total / target))))
+    if n > 1:
+        bounds = np.arange(1, n, dtype=np.uint64) * np.uint64(2 ** 64 // n)
+    else:
+        bounds = np.empty(0, np.uint64)
+    return n, bounds
+
+
+def _bucket_slices(words, bounds, b, n_buckets):
+    a = 0 if b == 0 else np.searchsorted(words, bounds[b - 1])
+    z = len(words) if b == n_buckets - 1 else np.searchsorted(words, bounds[b])
+    return int(a), int(z)
+
+
+class _OpSink:
+    """Accumulates one op's output: either a ListWriter or count-only."""
+
+    def __init__(self, op, path, word_length, count_only):
+        self.op = op
+        self.count_only = count_only
+        self.n_words = 0
+        self.total_count = 0
+        self.writer = None if count_only else ListWriter(path, word_length)
+
+    def append(self, words, counts):
+        self.n_words += len(words)
+        self.total_count += int(np.asarray(counts, np.uint64).sum())
+        if self.writer:
+            self.writer.append(words, counts)
+
+    def close(self):
+        if self.writer:
+            self.writer.close()
+
+
+def _op_filename(out, wlen, op, nmm=0):
+    if op == "union":
+        return f"{out}_{wlen}_union.list"
+    if op == "intrsec":
+        return f"{out}_{wlen}_intrsec.list"
+    if op == "diff1":
+        return f"{out}_{wlen}_{nmm}_diff1.list"
+    if op == "diff2":
+        return f"{out}_{wlen}_{nmm}_diff2.list"
+    raise ValueError(op)
+
+
+def compare_pair(list1: str, list2: str, ops: list[str], outputname: str = "out",
+                 cutoff: int = 1, rule: str = "default", count_override: int = 1,
+                 subtract: bool = False, count_only: bool = False,
+                 bucket_target: int = DEFAULT_BUCKET):
+    """Two-list compare producing any of union/intrsec/diff1/diff2.
+
+    Returns {op: (n_words, total_count)}; writes files unless count_only.
+    """
+    h1, w1, c1 = read_list(list1)
+    h2, w2, c2 = read_list(list2)
+    wlen = h1.word_length
+    sinks = {op: _OpSink(op, _op_filename(outputname, wlen, op), wlen,
+                         count_only) for op in ops}
+
+    n_buckets, bounds = _buckets(h1.n_words + h2.n_words, bucket_target)
+    for b in range(n_buckets):
+        a1, z1 = _bucket_slices(w1, bounds, b, n_buckets)
+        a2, z2 = _bucket_slices(w2, bounds, b, n_buckets)
+        m1, m2 = z1 - a1, z2 - a2
+        if m1 + m2 == 0:
+            continue
+        cap = 1 << max(10, math.ceil(math.log2(max(m1, m2, 1))))
+        hi1, lo1 = split_u64(_pad(w1[a1:z1], cap, np.uint64))
+        hi2, lo2 = split_u64(_pad(w2[a2:z2], cap, np.uint64))
+        v1 = np.arange(cap) < m1
+        v2 = np.arange(cap) < m2
+        aligned = setops.pair_align(
+            jnp.asarray(hi1), jnp.asarray(lo1),
+            jnp.asarray(_pad(c1[a1:z1], cap, np.uint32)), jnp.asarray(v1),
+            jnp.asarray(hi2), jnp.asarray(lo2),
+            jnp.asarray(_pad(c2[a2:z2], cap, np.uint32)), jnp.asarray(v2))
+        for op, sink in sinks.items():
+            n_out, ohi, olo, oc = setops.apply_pair_op(
+                *aligned, op=op, rule=RULES[rule], cutoff=cutoff,
+                count_override=count_override, subtract=subtract)
+            m = int(n_out)
+            if m:
+                sink.append(join_u64(np.asarray(ohi[:m]), np.asarray(olo[:m])),
+                            np.asarray(oc[:m], np.uint32))
+
+    results = {}
+    for op, sink in sinks.items():
+        sink.close()
+        results[op] = (sink.n_words, sink.total_count)
+    return results
+
+
+def compare_multi(paths: list[str], op: str, outputname: str = "out",
+                  cutoff: int = 1, rule: str = "default",
+                  count_override: int = 1, count_only: bool = False,
+                  bucket_target: int = DEFAULT_BUCKET):
+    """N-list union/intersection (N > 2)."""
+    data = [read_list(p) for p in paths]
+    wlen = data[0][0].word_length
+    n_lists = len(data)
+    # reference validates rules per op (src/glistcompare.c:518-523,617-623)
+    eff = RULES[rule] if rule in RULES else setops.RULE_NUMBER
+    if op == "union" and eff not in (setops.RULE_DEFAULT, setops.RULE_ADD,
+                                     setops.RULE_MAX, setops.RULE_NUMBER):
+        raise ValueError("union_multi: only add, max and N rules allowed")
+    if op == "intrsec" and eff not in (setops.RULE_DEFAULT, setops.RULE_ADD,
+                                       setops.RULE_MIN, setops.RULE_MAX,
+                                       setops.RULE_NUMBER):
+        raise ValueError("intersect_multi: only add, min, max and N rules allowed")
+
+    sink = _OpSink(op, _op_filename(outputname, wlen, op), wlen, count_only)
+    total = sum(h.n_words for h, _, _ in data)
+    n_buckets, bounds = _buckets(total, bucket_target)
+    for b in range(n_buckets):
+        parts = []
+        for si, (h, w, c) in enumerate(data):
+            a, z = _bucket_slices(w, bounds, b, n_buckets)
+            if z > a:
+                parts.append((w[a:z], c[a:z], si))
+        if not parts:
+            # intersection of nothing in this range — nothing to write
+            continue
+        m_total = sum(len(p[0]) for p in parts)
+        cap = 1 << max(10, math.ceil(math.log2(m_total)))
+        w_cat = _pad(np.concatenate([p[0] for p in parts]), cap, np.uint64)
+        c_cat = _pad(np.concatenate([p[1] for p in parts]), cap, np.uint32)
+        s_cat = _pad(np.concatenate(
+            [np.full(len(p[0]), p[2], np.uint32) for p in parts]), cap, np.uint32)
+        valid = np.arange(cap) < m_total
+        hi, lo = split_u64(w_cat)
+        n_out, ohi, olo, oc = setops.apply_multi_op(
+            jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(c_cat),
+            jnp.asarray(s_cat), jnp.asarray(valid), n_lists=n_lists, op=op,
+            rule=RULES.get(rule, setops.RULE_NUMBER), cutoff=cutoff,
+            count_override=count_override)
+        m = int(n_out)
+        if m:
+            sink.append(join_u64(np.asarray(ohi[:m]), np.asarray(olo[:m])),
+                        np.asarray(oc[:m], np.uint32))
+    sink.close()
+    return {op: (sink.n_words, sink.total_count)}
+
+
+def compare_pair_mm(list1: str, list2: str, ops: list[str],
+                    outputname: str = "out", cutoff: int = 1, nmm: int = 1,
+                    subtract: bool = False, count_only: bool = False,
+                    chunk: int = 4096):
+    """Mismatch-tolerant difference (src/glistcompare.c:957-1169).
+
+    diff1 keeps words of list1 (passing the exact-match difference test)
+    whose exactly-m neighborhoods, for every m in 1..nmm, stay below the
+    cutoff in list2. Quirks replicated:
+    * the candidate zipper computes cutoff flags from ORIGINAL freqs but
+      the stored freq uses the subtract-modified freq2
+      (src/glistcompare.c:1030-1047) including u32 wraparound;
+    * subtract mode drops a candidate outright when any neighbor's count
+      in list2 exceeds its count in list1 (search_query returns ~0,
+      src/glistcompare.c:1140-1146);
+    * ddiff never uses subtraction in its neighborhood pass (reference
+      would dereference NULL; see fetch_relevant_words call :1105).
+    """
+    from genometester4_tpu.ops.mismatch import (exact_mismatch_masks,
+                                                lookup_counts)
+    from genometester4_tpu.ops.encode import canonical_u64
+
+    h1, w1, c1 = read_list(list1)
+    h2, w2, c2 = read_list(list2)
+    k = h1.word_length
+    w1 = np.asarray(w1)
+    w2 = np.asarray(w2)
+
+    all_w = np.union1d(w1, w2)
+    f1 = lookup_counts(w1, np.asarray(c1), all_w).astype(np.uint32)
+    f2 = lookup_counts(w2, np.asarray(c2), all_w).astype(np.uint32)
+    p1, p2 = f1 > 0, f2 > 0
+    ge1, ge2 = f1 >= np.uint32(cutoff), f2 >= np.uint32(cutoff)
+    # subtract modifies freq2 in the equal-words branch before both checks
+    f2e = np.where(p1 & p2 & subtract & (f1 <= f2), f2 - f1, f2)
+
+    candidates = {}
+    if "diff1" in ops:
+        eq = p1 & p2 & ge1 & ~ge2
+        only1 = p1 & ~p2 & ge1 & (not subtract)
+        freqs = np.where(eq, f1 - f2e, f1).astype(np.uint32)  # u32 wrap ok
+        mask = eq | only1
+        candidates["diff1"] = (all_w[mask], freqs[mask], w2, c2, w1, c1,
+                               subtract)
+    if "diff2" in ops:
+        eq = p1 & p2 & ge2 & ~ge1
+        only2 = p2 & ~p1 & ge2
+        freqs = np.where(eq, f2e - f1, f2).astype(np.uint32)
+        mask = eq | only2
+        candidates["diff2"] = (all_w[mask], freqs[mask], w1, c1, None, None,
+                               False)
+
+    results = {}
+    for op, (cw, cf, mw, mc, qw, qc, sub) in candidates.items():
+        alive = np.ones(len(cw), bool)
+        for m in range(1, nmm + 1):
+            masks = exact_mismatch_masks(k, m)
+            idx_alive = np.flatnonzero(alive)
+            for s in range(0, len(idx_alive), chunk):
+                sel = idx_alive[s:s + chunk]
+                neigh = canonical_u64(
+                    cw[sel, None] ^ masks[None, :], k).reshape(-1)
+                cur = lookup_counts(mw, mc, neigh).astype(np.int64)
+                if sub:
+                    qcnt = lookup_counts(qw, qc, neigh).astype(np.int64)
+                    bad = (cur > qcnt).reshape(len(sel), -1).any(axis=1)
+                    s_sum = ((cur - qcnt).reshape(len(sel), -1).sum(axis=1)
+                             & 0xFFFFFFFF)
+                    drop = bad | (s_sum >= cutoff)
+                else:
+                    s_sum = cur.reshape(len(sel), -1).sum(axis=1) & 0xFFFFFFFF
+                    drop = s_sum >= cutoff
+                alive[sel[drop]] = False
+        out_w, out_c = cw[alive], cf[alive]
+        path = _op_filename(outputname, k, op, nmm)
+        if not count_only:
+            from genometester4_tpu.formats.list_format import write_list
+            write_list(path, k, out_w, out_c)
+        results[op] = (len(out_w), int(out_c.astype(np.uint64).sum()))
+    return results
+
+
+def make_subset(list_path: str, method: str, size: int, outputname: str,
+                seed: int):
+    """Random subsetting (-ss): exact drand48 stream parity with the
+    reference (src/glistcompare.c:719-787)."""
+    h, words, counts = read_list(list_path)
+    rng = Rand48(seed)
+    out_path = f"{outputname}_subset_{h.word_length}.list"
+    sel_words, sel_counts = [], []
+    out = size
+    if method == "rand":
+        # one draw per count unit until `out` exhausted. Drawing a whole
+        # word's values at once over-advances the PRNG only after `out`
+        # hits 0, when the reference stops drawing too — harmless.
+        inn = int(counts.sum(dtype=np.uint64))
+        for wi in range(len(words)):
+            if out <= 0:
+                break
+            c = int(counts[wi])
+            vals = rng.drand_array(c)
+            acc = 0
+            for v in vals:
+                if out <= 0:
+                    break
+                if v <= out / inn:
+                    acc += 1
+                    out -= 1
+                inn -= 1
+            if acc > 0:
+                sel_words.append(int(words[wi]))
+                sel_counts.append(acc)
+    elif method == "rand_unique":
+        if size > h.n_words:
+            raise ValueError("subset size bigger than number of unique kmers")
+        inn = h.n_words
+        for wi in range(len(words)):
+            if out <= 0:
+                break
+            if rng.drand() <= out / inn:
+                sel_words.append(int(words[wi]))
+                sel_counts.append(int(counts[wi]))
+                out -= 1
+            inn -= 1
+    elif method == "rand_weighted_unique":
+        if size > h.n_words:
+            raise ValueError("subset size bigger than number of unique kmers")
+        inn = int(counts.sum(dtype=np.uint64))
+        for wi in range(len(words)):
+            if out <= 0:
+                break
+            c = int(counts[wi])
+            if rng.drand() <= c * out / inn:
+                sel_words.append(int(words[wi]))
+                sel_counts.append(c)
+                out -= 1
+            inn -= c
+    else:
+        raise ValueError(f"unknown subset method {method}")
+
+    from genometester4_tpu.formats.list_format import write_list
+    write_list(out_path, h.word_length, np.array(sel_words, np.uint64),
+               np.array(sel_counts, np.uint32))
+    return out_path

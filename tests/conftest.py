@@ -18,6 +18,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: differential tests hit many (shape, op) combos
+jax.config.update("jax_compilation_cache_dir", "/tmp/gt4tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import subprocess
 from pathlib import Path

@@ -1,0 +1,125 @@
+"""Differential tests: glistcompare vs the reference binary."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import run_reference, random_fasta
+from genometester4_tpu.pipelines.listmaker import make_list
+from genometester4_tpu.cli import glistcompare as cli
+
+
+def _mk_lists(tmp_path, rng, k=16, overlap=True):
+    """Two overlapping k-mer lists built by OUR listmaker (already proven
+    byte-identical to the reference's)."""
+    base = random_fasta(rng, 2, 4000, 8000)
+    t1 = base + random_fasta(rng, 2, 2000, 4000)
+    t2 = base + random_fasta(rng, 2, 2000, 4000)
+    p1, p2 = tmp_path / "a.fa", tmp_path / "b.fa"
+    p1.write_text(t1)
+    p2.write_text(t2)
+    l1, l2 = tmp_path / f"a_{k}.list", tmp_path / f"b_{k}.list"
+    make_list([str(p1)], k, str(l1))
+    make_list([str(p2)], k, str(l2))
+    return l1, l2
+
+
+def _cmp_out(tmp_path, name):
+    ref = (tmp_path / f"ref_{name}").read_bytes()
+    tpu = (tmp_path / f"tpu_{name}").read_bytes()
+    assert ref == tpu, f"{name}: outputs differ ({len(ref)} vs {len(tpu)} bytes)"
+
+
+FLAG_CASES = [
+    (["-u"], ["16_union.list"]),
+    (["-i"], ["16_intrsec.list"]),
+    (["-d"], ["16_0_diff1.list"]),
+    (["-dd"], ["16_0_diff1.list", "16_0_diff2.list"]),
+    (["-du"], ["16_0_diff1.list"]),
+    (["-u", "-i", "-d", "-dd"], ["16_union.list", "16_intrsec.list",
+                                 "16_0_diff1.list", "16_0_diff2.list"]),
+    (["-u", "-c", "2"], ["16_union.list"]),
+    (["-i", "-c", "2"], ["16_intrsec.list"]),
+    (["-i", "-r", "max"], ["16_intrsec.list"]),
+    (["-i", "-r", "add"], ["16_intrsec.list"]),
+    (["-i", "-r", "first"], ["16_intrsec.list"]),
+    (["-i", "-r", "second"], ["16_intrsec.list"]),
+    (["-u", "-r", "max"], ["16_union.list"]),
+    (["-i", "-r", "7"], ["16_intrsec.list"]),
+]
+
+
+@pytest.mark.parametrize("flags,outputs", FLAG_CASES)
+def test_pair_ops_byte_identical(tmp_path, rng, flags, outputs):
+    l1, l2 = _mk_lists(tmp_path, rng)
+    r = run_reference(["glistcompare", str(l1), str(l2)] + flags +
+                      ["-o", str(tmp_path / "ref")])
+    assert r.returncode == 0, r.stderr
+    assert cli.main([str(l1), str(l2)] + flags + ["-o", str(tmp_path / "tpu")]) == 0
+    for name in outputs:
+        _cmp_out(tmp_path, name)
+
+
+def test_count_only_stdout(tmp_path, rng, capsys):
+    l1, l2 = _mk_lists(tmp_path, rng)
+    r = run_reference(["glistcompare", str(l1), str(l2), "-u", "-i",
+                       "--count_only", "-o", str(tmp_path / "ref")])
+    assert r.returncode == 0
+    assert cli.main([str(l1), str(l2), "-u", "-i", "--count_only",
+                     "-o", str(tmp_path / "tpu")]) == 0
+    assert capsys.readouterr().out == r.stdout.decode()
+
+
+def test_multi_union_intersection(tmp_path, rng):
+    k = 16
+    ls = []
+    base = random_fasta(rng, 1, 5000, 6000)
+    for i in range(4):
+        t = base + random_fasta(rng, 1, 2000, 3000)
+        p = tmp_path / f"m{i}.fa"
+        p.write_text(t)
+        lp = tmp_path / f"m{i}_{k}.list"
+        make_list([str(p)], k, str(lp))
+        ls.append(str(lp))
+    for flags, outputs in [(["-u"], ["16_union.list"]),
+                           (["-i"], ["16_intrsec.list"]),
+                           (["-u", "-r", "max"], ["16_union.list"]),
+                           (["-i", "-r", "add"], ["16_intrsec.list"]),
+                           (["-u", "-c", "3"], ["16_union.list"])]:
+        r = run_reference(["glistcompare"] + ls + flags + ["-o", str(tmp_path / "ref")])
+        assert r.returncode == 0, r.stderr
+        assert cli.main(ls + flags + ["-o", str(tmp_path / "tpu")]) == 0
+        for name in outputs:
+            _cmp_out(tmp_path, name)
+
+
+@pytest.mark.parametrize("method", ["rand", "rand_unique", "rand_weighted_unique"])
+def test_subset_exact_drand48_parity(tmp_path, rng, method):
+    l1, _ = _mk_lists(tmp_path, rng)
+    r = run_reference(["glistcompare", str(l1), "-ss", method, "500",
+                       "--seed", "42", "-o", str(tmp_path / "ref")])
+    assert r.returncode == 0, r.stderr
+    assert cli.main([str(l1), "-ss", method, "500", "--seed", "42",
+                     "-o", str(tmp_path / "tpu")]) == 0
+    _cmp_out(tmp_path, "subset_16.list")
+
+
+@pytest.mark.parametrize("nmm", [1, 2])
+def test_mismatch_difference(tmp_path, rng, nmm):
+    l1, l2 = _mk_lists(tmp_path, rng, k=12)
+    r = run_reference(["glistcompare", str(l1), str(l2), "-d", "-mm", str(nmm),
+                       "-o", str(tmp_path / "ref")])
+    assert r.returncode == 0, r.stderr
+    assert cli.main([str(l1), str(l2), "-d", "-mm", str(nmm),
+                     "-o", str(tmp_path / "tpu")]) == 0
+    _cmp_out(tmp_path, f"12_{nmm}_diff1.list")
+
+
+def test_mismatch_ddiff(tmp_path, rng):
+    l1, l2 = _mk_lists(tmp_path, rng, k=12)
+    r = run_reference(["glistcompare", str(l1), str(l2), "-dd", "-mm", "1",
+                       "-o", str(tmp_path / "ref")])
+    assert r.returncode == 0, r.stderr
+    assert cli.main([str(l1), str(l2), "-dd", "-mm", "1",
+                     "-o", str(tmp_path / "tpu")]) == 0
+    _cmp_out(tmp_path, "12_1_diff1.list")
+    _cmp_out(tmp_path, "12_1_diff2.list")
