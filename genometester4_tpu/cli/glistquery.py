@@ -1,0 +1,249 @@
+"""glistquery CLI — flag-compatible with the reference
+(src/glistquery.c:124-260).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from genometester4_tpu import __version__
+
+HELP = """Usage: glistquery INPUT_LIST [OPTIONS]
+Options:
+    -v, --version             - print version information and exit
+    -h, --help                - print this usage screen and exit
+    -stat, --stats            - print statistics of the list file and exit
+    --median                  - print min/max/median/average and exit
+    --distribution MAX        - print distribution up to MAX
+    --gc                      - print average GC content of all words
+    -q, --query               - single query word
+    -f, --queryfile           - list of query words in a file
+    -s, --seqfile             - FastA/FastQ file
+    -l, --listfile            - list file made by glistmaker
+    -mm, --mismatch NUMBER    - specify number of mismatches (0-16; default 0)
+    -p, --perfectmatch NUMBER - specify number of 3' perfect matches (0-32; default 0)
+    -min, --minfreq NUMBER    - minimum frequency of the printed words (default 0)
+    -max, --maxfreq NUMBER    - maximum frequency of the printed words (default MAX_UINT)
+    --files                   - Print indexed files
+    --sequences               - Print indexed subsequences
+    --bloom                   - use bloom filter to speed up lookups (accepted, ignored)
+    --all                     - in case of mismatches prints all found words
+    --locations               - in case of index print all word locations
+    --3p                      - if query is longer than word use 3' end
+    --5p                      - if query is longer than word use 5' end
+    -D                        - increase debug level
+"""
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    lists: list[str] = []
+    querystring = queryfilename = seqfilename = querylistfilename = None
+    nmm = pm3 = 0
+    printall = False
+    print_header = False
+    minfreq, maxfreq = 0, 0xFFFFFFFF
+    distro = 0
+    command = "query"
+    is_union = False
+    locations = False
+    use_3p = use_5p = False
+    debug = 0
+
+    def _optarg(i):
+        if i + 1 >= len(argv) or argv[i + 1].startswith("-"):
+            return None
+        return argv[i + 1]
+
+    i = 0
+    try:
+        while i < len(argv):
+            a = argv[i]
+            if a in ("-v", "--version"):
+                print(f"glistquery version {__version__} (genometester4_tpu)")
+                return 0
+            elif a in ("-h", "--help", "-?"):
+                print(HELP)
+                return 0
+            elif a in ("-s", "--seqfile"):
+                v = _optarg(i)
+                if v is None:
+                    sys.stderr.write("Warning: No sequence file name specified!\n")
+                else:
+                    seqfilename = v
+                i += 1
+            elif a in ("-l", "--listfile"):
+                v = _optarg(i)
+                if v is None:
+                    sys.stderr.write("Warning: No query list file name specified!\n")
+                else:
+                    querylistfilename = v
+                i += 1
+            elif a in ("-f", "--queryfile"):
+                v = _optarg(i)
+                if v is None:
+                    sys.stderr.write("Warning: No query file name specified!\n")
+                else:
+                    queryfilename = v
+                i += 1
+            elif a in ("-q", "--query"):
+                v = _optarg(i)
+                if v is None:
+                    sys.stderr.write("Warning: No query specified!\n")
+                else:
+                    querystring = v
+                i += 1
+            elif a in ("-p", "--perfectmatch"):
+                i += 1
+                pm3 = int(argv[i])
+                if not 0 <= pm3 <= 32:
+                    sys.stderr.write(HELP)
+                    return 1
+            elif a in ("-mm", "--mismatch"):
+                i += 1
+                nmm = int(argv[i])
+                if not 0 <= nmm <= 16:
+                    sys.stderr.write(HELP)
+                    return 1
+            elif a in ("-min", "--minfreq"):
+                i += 1
+                minfreq = int(argv[i])
+            elif a in ("-max", "--maxfreq"):
+                i += 1
+                maxfreq = int(argv[i])
+            elif a == "-D":
+                debug += 1
+            elif a in ("--all", "-all"):
+                printall = True
+            elif a in ("--stats", "--stat", "-stat"):
+                command = "stats"
+            elif a in ("--median", "-median"):
+                command = "median"
+            elif a in ("--distribution", "-distribution"):
+                i += 1
+                distro = int(argv[i])
+                command = "distro"
+            elif a in ("-gc", "--gc"):
+                command = "gc"
+            elif a == "--files":
+                command = "files"
+            elif a == "--sequences":
+                command = "sequences"
+            elif a == "--locations":
+                locations = True
+            elif a == "--3p":
+                use_3p = True
+            elif a == "--5p":
+                use_5p = True
+            elif a == "--header":
+                print_header = True
+            elif a in ("--bloom", "--is_union", "--disable_scouts"):
+                is_union = is_union or a == "--is_union"
+            elif not a.startswith("-"):
+                lists.append(a)
+            else:
+                sys.stderr.write(f"Error: Unknown argument: {a}!\n" + HELP)
+                return 1
+            i += 1
+    except (IndexError, ValueError):
+        sys.stderr.write(HELP)
+        return 1
+
+    if not lists:
+        sys.stderr.write("No list/index files specified!\n" + HELP)
+        return 1
+
+    from genometester4_tpu.pipelines import listquery as lq
+    from genometester4_tpu.formats.list_format import GT4_LIST_CODE
+
+    maps = []
+    wlen = 0
+    invalid = False
+    for p in lists:
+        try:
+            with open(p, "rb") as f:
+                import struct
+                code = struct.unpack("<I", f.read(4))[0]
+        except OSError:
+            sys.stderr.write(f"Cannot open list {p}\n")
+            return 1
+        if code == GT4_LIST_CODE:
+            m = lq.ListQuery(p)
+        else:
+            sys.stderr.write(f"Error: {p} is not a valid GenomeTester4 "
+                             "list/index file\n")
+            invalid = True
+            continue
+        if not wlen:
+            wlen = m.k
+        elif m.k != wlen:
+            sys.stderr.write(f"Error: {p} has different word length {m.k} "
+                             f"(first list had {wlen})\n")
+            invalid = True
+        maps.append(m)
+    if invalid:
+        return 1
+
+    if command == "stats":
+        for m in maps:
+            lq.get_statistics(m)
+        return 0
+    if command == "median":
+        for m in maps:
+            lq.print_median(m)
+        return 0
+    if command == "distro":
+        for m in maps:
+            lq.print_distro(m, distro + 1)
+        return 0
+    if command == "gc":
+        for m in maps:
+            lq.print_gc(m)
+        return 0
+    if command in ("files", "sequences"):
+        sys.stderr.write(f"Error: {command.capitalize()} can only be queried "
+                         "from single index\n")
+        return 1
+
+    if not (seqfilename or querylistfilename or queryfilename or querystring):
+        if len(maps) > 1:
+            lq.dump_lists(maps, is_union,
+                          lists if print_header else None)
+        else:
+            lq.print_full_map(maps[0])
+        return 0
+
+    if querylistfilename and len(maps) > 1:
+        if nmm or pm3:
+            sys.stderr.write("Error: Searching multiple lists is incompatible "
+                             "with mismatches\n")
+            return 1
+        return lq.search_lists_multi(querylistfilename, maps)
+
+    if len(maps) > 1:
+        sys.stderr.write("Error: Query is incompatible with multiple "
+                         "lists/indices\n")
+        return 1
+    if nmm + pm3 > wlen:
+        sys.stderr.write(f"Error: Number of mismatches ({nmm}) and 3' perfect "
+                         f"match ({pm3}) are longer than word length {wlen}\n")
+        return 1
+
+    if querystring:
+        return lq.search_one_query_string(maps[0], querystring, nmm, pm3,
+                                          minfreq, maxfreq, printall, use_3p,
+                                          use_5p)
+    if queryfilename:
+        return lq.search_query_file(maps[0], queryfilename, nmm, pm3, minfreq,
+                                    maxfreq, printall, use_3p, use_5p)
+    if seqfilename:
+        return lq.search_fasta(maps[0], seqfilename, nmm, pm3, minfreq,
+                               maxfreq, printall)
+    if querylistfilename:
+        return lq.search_list(maps[0], querylistfilename, nmm, pm3, minfreq,
+                              maxfreq, printall)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

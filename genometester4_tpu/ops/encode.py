@@ -39,13 +39,30 @@ INVALID = np.uint8(255)
 # small CLI paths. Vectorized over arrays of words.
 # ---------------------------------------------------------------------------
 
-def string_to_word(s: str) -> int:
-    """Pack a nucleotide string (len ≤ 32) into a u64 (src/sequence.c:118-130)."""
+def get_nucl_value(ch: int) -> int:
+    """Bit-trick char→code used for ANY byte, valid or not
+    (src/sequence.c:45-53) — lenient paths depend on its garbage values."""
+    if ch & 4:
+        return ((ch >> 4) | 2) & 3
+    return (ch & 6) >> 1
+
+
+def string_to_word(s: str, strict: bool = True) -> int:
+    """Pack a nucleotide string (len ≤ 32) into a u64 (src/sequence.c:118-130).
+
+    ``strict=False`` mirrors the reference: warn on stderr for invalid
+    characters but keep packing their bit-trick values.
+    """
+    import sys
+
     w = 0
     for ch in s[:32]:
-        v = NUCL_CODES[ord(ch)]
+        v = NUCL_CODES[ord(ch) & 0xFF]
         if v == 255:
-            raise ValueError(f"invalid character {ch!r} in k-mer string")
+            if strict:
+                raise ValueError(f"invalid character {ch!r} in k-mer string")
+            sys.stderr.write(f"Invalid character {ch} in string!\n")
+            v = get_nucl_value(ord(ch) & 0xFF)
         w = ((w << 2) | int(v)) & 0xFFFFFFFFFFFFFFFF
     return w
 

@@ -60,6 +60,33 @@ def upto_mismatch_words(word: int, k: int, nmm: int, canonical: bool = False,
     return words
 
 
+@lru_cache(maxsize=None)
+def preorder_masks(k: int, n_mm: int, start: int = 0,
+                   equal_mm_only: bool = False) -> np.ndarray:
+    """XOR masks in the reference's exact DFS emission order.
+
+    gt4_word_table_generate_mismatches (src/word-table.c:360-382) emits
+    the current word first, then recurses over positions ``start..k-1``
+    (LSB-first) × values 1..3. glistquery's ``--all`` prints results in
+    this table order, so order-faithful output needs the same sequence.
+    ``start`` implements the 3' perfect-match prefix (pm_3 is passed as
+    the start position, src/word-dict.c:92).
+    """
+    out: list[int] = []
+
+    def rec(mask: int, n: int, s: int):
+        if not equal_mm_only or not n:
+            out.append(mask)
+        if not n:
+            return
+        for i in range(s, k):
+            for v in (1, 2, 3):
+                rec(mask ^ (v << (2 * i)), n - 1, i + 1)
+
+    rec(0, n_mm, start)
+    return np.array(out, dtype=np.uint64)
+
+
 def lookup_counts(sorted_words: np.ndarray, sorted_counts: np.ndarray,
                   queries: np.ndarray) -> np.ndarray:
     """Vectorized point lookup into a sorted list; 0 when absent.

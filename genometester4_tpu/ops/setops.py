@@ -11,6 +11,12 @@ intersection / diff1 / diff2) are then element-wise masks + compactions
 over that aligned table — one sort feeds every requested output, like
 the reference's single zipper pass feeding four files at once.
 
+Like ops.sortcount, everything is scatter-free (TPU scatters serialize):
+per-run reductions are differences of prefix sums gathered at run heads,
+min/max reductions exploit a secondary sort key (within an equal-word
+run, counts are sorted ascending, so min = first and max = last entry),
+and compaction is a (flag, position)-keyed sort.
+
 Frequency-rule semantics are copied exactly, including:
 * 2-list union: excluded only if BOTH freqs are below cutoff;
 * 2-list intersection: both freqs must reach cutoff; default rule MIN;
@@ -19,7 +25,8 @@ Frequency-rule semantics are copied exactly, including:
   (src/glistcompare.c:477-482);
 * N-list union/intersect apply the cutoff to the COMBINED frequency
   (src/glistcompare.c:575,686) — different from the 2-list path;
-* rule freq of 0 suppresses the word (``*freq != 0`` checks).
+* rule freq of 0 suppresses the word (``*freq != 0`` checks);
+* u32 wraparound on ADD matches C unsigned arithmetic.
 """
 
 from __future__ import annotations
@@ -28,6 +35,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+from genometester4_tpu.ops.sortcount import sort_compact, _iota32
 
 RULE_DEFAULT = "default"
 RULE_ADD = "add"
@@ -39,17 +48,17 @@ RULE_SECOND = "second"
 RULE_NUMBER = "number"
 
 
-def compact(mask, n_max: int, *arrays):
-    """Stream-compact: keep entries where mask, packed to the front.
+def _run_heads(shi, slo, svalid):
+    first = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                             (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])])
+    return first & svalid
 
-    Returns (n_kept, compacted arrays…). Tail slots are zero.
-    """
-    n = mask.shape[0]
-    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    idx = jnp.where(mask, pos, n)
-    outs = tuple(
-        jnp.zeros((n,), a.dtype).at[idx].set(a, mode="drop") for a in arrays)
-    return (jnp.sum(mask.astype(jnp.int32)),) + outs
+
+def _head_prefix(head, values, total):
+    """Per-run sums: exclusive prefix at run heads; non-heads carry the
+    grand total so compacted-tail differences vanish."""
+    excl = jnp.cumsum(values) - values
+    return jnp.where(head, excl, total)
 
 
 @jax.jit
@@ -65,32 +74,26 @@ def pair_align(hi1, lo1, c1, valid1, hi2, lo2, c2, valid2):
     src = jnp.concatenate([jnp.zeros(hi1.shape, jnp.uint32),
                            jnp.ones(hi2.shape, jnp.uint32)])
     valid = jnp.concatenate([valid1, valid2])
-    n = hi.shape[0]
 
     inv = (~valid).astype(jnp.uint32)
     inv, shi, slo, sc, ssrc = jax.lax.sort((inv, hi, lo, c, src), num_keys=3)
     svalid = inv == 0
-
-    first = jnp.concatenate([jnp.ones((1,), jnp.bool_),
-                             (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])])
-    head = first & svalid
-    seg = jnp.cumsum(head.astype(jnp.int32)) - 1
-    n_uniq = jnp.maximum(seg[-1] + 1, 0) * jnp.any(svalid)
+    head = _run_heads(shi, slo, svalid)
 
     w1 = jnp.where(svalid & (ssrc == 0), sc, 0)
     w2 = jnp.where(svalid & (ssrc == 1), sc, 0)
-    f1 = jax.ops.segment_sum(w1, seg, num_segments=n, indices_are_sorted=True)
-    f2 = jax.ops.segment_sum(w2, seg, num_segments=n, indices_are_sorted=True)
+    t1, t2 = jnp.sum(w1), jnp.sum(w2)
+    e1 = _head_prefix(head, w1, t1)
+    e2 = _head_prefix(head, w2, t2)
 
-    idx = jnp.where(head, seg, n)
-    uhi = jnp.zeros((n,), jnp.uint32).at[idx].set(shi, mode="drop")
-    ulo = jnp.zeros((n,), jnp.uint32).at[idx].set(slo, mode="drop")
-    return uhi, ulo, f1.astype(jnp.uint32), f2.astype(jnp.uint32), n_uniq
+    n_uniq, uhi, ulo, ce1, ce2 = sort_compact(head, shi, slo, e1, e2)
+    f1 = (jnp.concatenate([ce1[1:], t1[None]]) - ce1).astype(jnp.uint32)
+    f2 = (jnp.concatenate([ce2[1:], t2[None]]) - ce2).astype(jnp.uint32)
+    return uhi, ulo, f1, f2, n_uniq
 
 
 def _rule_freq(f1, f2, rule: str, count_override: int):
-    """calculate_freq (src/glistcompare.c:433-455). u32 wraparound on ADD
-    and saturating-at-0 SUBTRACT both match C unsigned arithmetic."""
+    """calculate_freq (src/glistcompare.c:433-455)."""
     if rule == RULE_ADD:
         return f1 + f2
     if rule == RULE_SUBTRACT:
@@ -118,7 +121,7 @@ def apply_pair_op(uhi, ulo, f1, f2, n_uniq, op: str, rule: str = RULE_DEFAULT,
     op ∈ {union, intrsec, diff1, diff2}. Returns (n, hi, lo, counts).
     """
     n = uhi.shape[0]
-    in_range = jnp.arange(n) < n_uniq
+    in_range = _iota32(n) < n_uniq
     co = jnp.uint32(cutoff)
     ge1, ge2 = f1 >= co, f2 >= co
     present1, present2 = f1 > 0, f2 > 0
@@ -149,7 +152,7 @@ def apply_pair_op(uhi, ulo, f1, f2, n_uniq, op: str, rule: str = RULE_DEFAULT,
         raise ValueError(f"unknown op {op}")
 
     inc &= in_range
-    n_out, ohi, olo, oc = compact(inc, n, uhi, ulo, freq)
+    n_out, ohi, olo, oc = sort_compact(inc, uhi, ulo, freq)
     return n_out, ohi, olo, oc
 
 
@@ -166,23 +169,33 @@ def apply_multi_op(hi, lo, c, src, valid, n_lists: int, op: str,
     """
     n = hi.shape[0]
     inv = (~valid).astype(jnp.uint32)
-    inv, shi, slo, sc, ssrc = jax.lax.sort((inv, hi, lo, c, src), num_keys=3)
+    # counts as 4th sort key: within an equal-word run counts ascend, so
+    # run-min = first entry and run-max = last entry — no segment scatter
+    inv, shi, slo, sc = jax.lax.sort((inv, hi, lo, c), num_keys=4)
     svalid = inv == 0
-    first = jnp.concatenate([jnp.ones((1,), jnp.bool_),
-                             (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])])
-    head = first & svalid
-    seg = jnp.cumsum(head.astype(jnp.int32)) - 1
-    n_uniq = jnp.maximum(seg[-1] + 1, 0) * jnp.any(svalid)
+    head = _run_heads(shi, slo, svalid)
 
     w = jnp.where(svalid, sc, 0)
-    f_add = jax.ops.segment_sum(w, seg, num_segments=n, indices_are_sorted=True)
-    f_max = jax.ops.segment_max(jnp.where(svalid, sc, 0), seg, num_segments=n,
-                                indices_are_sorted=True)
-    big = jnp.uint32(0xFFFFFFFF)
-    f_min = jax.ops.segment_min(jnp.where(svalid, sc, big), seg, num_segments=n,
-                                indices_are_sorted=True)
-    n_src = jax.ops.segment_sum(svalid.astype(jnp.int32), seg, num_segments=n,
-                                indices_are_sorted=True)
+    total_w = jnp.sum(w)
+    e_add = _head_prefix(head, w, total_w)
+    ones = svalid.astype(jnp.uint32)
+    total_n = jnp.sum(ones)
+    e_cnt = _head_prefix(head, ones, total_n)
+    pos = _iota32(n)
+    # non-heads carry total_n so the LAST run's "next start" lands exactly
+    # one past the final valid entry (valid entries occupy [0, total_n))
+    start_pos = jnp.where(head, pos, total_n.astype(jnp.int32))
+
+    n_uniq, uhi, ulo, ce_add, ce_cnt, cpos, cmin = sort_compact(
+        head, shi, slo, e_add, e_cnt, start_pos, sc)
+    f_add = (jnp.concatenate([ce_add[1:], total_w[None]]) - ce_add).astype(
+        jnp.uint32)
+    n_src = jnp.concatenate([ce_cnt[1:], total_n[None]]) - ce_cnt
+    f_min = cmin  # first entry of the run (counts ascend within run)
+    # last entry of the run = entry just before the next run's start
+    next_pos = jnp.concatenate([cpos[1:], total_n.astype(jnp.int32)[None]])
+    last_idx = jnp.clip(next_pos - 1, 0, n - 1)
+    f_max = sc[last_idx]
 
     if op == "union":
         r = RULE_ADD if rule == RULE_DEFAULT else rule
@@ -199,13 +212,10 @@ def apply_multi_op(hi, lo, c, src, valid, n_lists: int, op: str,
     else:
         raise ValueError(f"rule {r} not valid for multi-list {op}")
 
-    in_range = jnp.arange(n) < n_uniq
+    in_range = _iota32(n) < n_uniq
     inc = in_range & (freq >= jnp.uint32(cutoff))
     if op == "intrsec":
-        inc &= n_src == n_lists
+        inc &= n_src == jnp.uint32(n_lists)
 
-    idx = jnp.where(head, seg, n)
-    uhi = jnp.zeros((n,), jnp.uint32).at[idx].set(shi, mode="drop")
-    ulo = jnp.zeros((n,), jnp.uint32).at[idx].set(slo, mode="drop")
-    n_out, ohi, olo, oc = compact(inc, n, uhi, ulo, freq.astype(jnp.uint32))
+    n_out, ohi, olo, oc = sort_compact(inc, uhi, ulo, freq.astype(jnp.uint32))
     return n_out, ohi, olo, oc

@@ -5,11 +5,18 @@ The reference counts k-mers by radix-sorting per-thread tables
 then k-way merging sorted tables/files (src/glistmaker.c:1081-1154,
 src/set-operations.c:40-129). On TPU both collapse into one primitive:
 
-    sort by (hi, lo) → mark run heads → segment-sum weights
+    sort by (hi, lo) → mark run heads → per-run weight sums
 
-XLA's sort is a tuned bitonic network on the VPU; the reduction is a
-cumsum + scatter, all fused. Merging M already-deduped sorted shards is
-the same primitive applied to their concatenation with per-word weights.
+TPU-specific design rule: NO SCATTERS. TPU scatter ops serialize; sorts
+and gathers are fast (XLA's TPU sort runs near memory bandwidth). So:
+
+* run compaction is done with a second sort keyed on (is_not_head,
+  position) instead of a scatter;
+* per-run weight sums come from DIFFERENCES OF AN EXCLUSIVE PREFIX SUM
+  gathered at run heads, instead of jax.ops.segment_sum (a scatter-add).
+  uint32 prefix-sum wraparound is harmless: run sums fit u32 (reference
+  count semantics wrap at u32 anyway), and differences of wrapped
+  prefixes are exact mod 2^32.
 
 Everything is static-shape: inputs are padded, outputs are padded, and
 ``n_unique`` travels as a scalar.
@@ -21,6 +28,21 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+
+def _iota32(n):
+    return jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(n)
+
+
+def sort_compact(mask, *arrays):
+    """Scatter-free stream compaction: entries where ``mask`` move to the
+    front, preserving order. Returns (n_kept, compacted arrays...).
+    Tail slots hold the (arbitrary) non-kept entries."""
+    n = mask.shape[0]
+    nh = (~mask).astype(jnp.uint32)
+    pos = _iota32(n)
+    out = jax.lax.sort((nh, pos) + tuple(arrays), num_keys=2)
+    return (jnp.sum(mask.astype(jnp.int32)),) + out[2:]
 
 
 @jax.jit
@@ -38,11 +60,11 @@ def count_unique(hi, lo, weights, valid):
     -------
     (uhi, ulo, counts, n_unique): sorted unique words in the first
     ``n_unique`` slots (ascending unsigned 64-bit order), their summed
-    counts, and the scalar count of uniques. Tail slots are zero.
+    counts, and the scalar count of uniques. Tail counts are zero.
     """
     n = hi.shape[0]
-    # Sort invalid entries to the end with a leading flag key, so no word
-    # sentinel is needed (an all-ones word is a legal k=32 k-mer).
+    # invalid entries sort to the end via a leading flag key, so no word
+    # sentinel is needed (an all-ones word is a legal k=32 k-mer)
     inv = (~valid).astype(jnp.uint32)
     inv, shi, slo, w = jax.lax.sort((inv, hi, lo, weights), num_keys=3)
     svalid = inv == 0
@@ -51,16 +73,17 @@ def count_unique(hi, lo, weights, valid):
     first = jnp.concatenate([jnp.ones((1,), jnp.bool_),
                              (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])])
     head = first & svalid
-    seg = jnp.cumsum(head.astype(jnp.int32)) - 1  # id of owning unique word
-    n_unique = jnp.maximum(seg[-1] + 1, 0) * jnp.any(svalid)
 
-    counts = jax.ops.segment_sum(w, seg, num_segments=n,
-                                 indices_are_sorted=True)
-    # compact the unique words: head entries scatter to their segment slot
-    idx = jnp.where(head, seg, n)  # out-of-bounds rows are dropped
-    uhi = jnp.zeros((n,), jnp.uint32).at[idx].set(shi, mode="drop")
-    ulo = jnp.zeros((n,), jnp.uint32).at[idx].set(slo, mode="drop")
-    return uhi, ulo, counts.astype(jnp.uint32), n_unique
+    total = jnp.sum(w)
+    excl = jnp.cumsum(w) - w  # exclusive weight prefix (u32 wrap is exact)
+    # head rows carry their segment's start prefix; everything else carries
+    # the grand total so compacted-tail differences vanish
+    e_head = jnp.where(head, excl, total)
+
+    n_unique, uhi, ulo, ce = sort_compact(head, shi, slo, e_head)
+    ce_next = jnp.concatenate([ce[1:], total[None]])
+    counts = (ce_next - ce).astype(jnp.uint32)
+    return uhi, ulo, counts, n_unique
 
 
 @partial(jax.jit, static_argnames=("min_count", "max_count"))
@@ -71,13 +94,10 @@ def filter_counts(hi, lo, counts, n_unique, min_count: int = 1,
     Returns (hi, lo, counts, n_kept) with survivors in the leading slots.
     """
     n = hi.shape[0]
-    in_range = jnp.arange(n) < n_unique
+    in_range = _iota32(n) < n_unique
     keep = in_range & (counts >= jnp.uint32(min_count))
     if max_count is not None:
         keep &= counts <= jnp.uint32(max_count)
-    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    idx = jnp.where(keep, pos, n)
-    out_hi = jnp.zeros((n,), jnp.uint32).at[idx].set(hi, mode="drop")
-    out_lo = jnp.zeros((n,), jnp.uint32).at[idx].set(lo, mode="drop")
-    out_c = jnp.zeros((n,), jnp.uint32).at[idx].set(counts, mode="drop")
-    return out_hi, out_lo, out_c, jnp.sum(keep.astype(jnp.int32))
+    n_kept, out_hi, out_lo, out_c = sort_compact(keep, hi, lo, counts)
+    out_c = jnp.where(_iota32(n) < n_kept, out_c, 0)
+    return out_hi, out_lo, out_c, n_kept

@@ -1,0 +1,221 @@
+"""Multi-chip k-mer counting: prefix sharding over a device mesh.
+
+The reference is single-node pthreads: file blocks → per-thread sorted
+tables → k-way merge through tmp files (SURVEY.md §2c, §3.1). The TPU
+formulation replaces every one of those stages with SPMD collectives:
+
+  mesh axes      ("dp", "kp")
+      dp  — data parallelism: each row of devices reads a different
+            input chunk (the analogue of the reference's ≤32 file
+            blocks, src/listmaker-queue.c:116-161)
+      kp  — k-mer-space parallelism: the u64 word space is split into
+            equal prefix ranges, one per column; because the split is
+            by MOST SIGNIFICANT bits, per-shard sorted outputs
+            concatenate into a globally sorted list (the property the
+            reference gets from its k-way merge, set-operations.c:40)
+
+  per-device step
+      extract+canonicalize (local)                 ops.kmers
+      local dedupe+count (collapses duplicates     ops.sortcount
+        before any communication — the same
+        reason the reference sorts per-thread
+        tables before merging)
+      route to owner column  — all_to_all over kp
+      merge row partials     — all_gather over dp + dedupe+count
+
+All shapes are static: the all_to_all exchanges fixed-capacity buckets
+(CAP_FACTOR slack over the uniform share) with per-bucket valid counts.
+Canonical words are NOT uniform over the prefix space — canonical =
+min(w, revcomp) concentrates density up to ~2× uniform toward the
+A-rich corner — so the default slack is 3×; an ``overflow`` flag is
+returned so callers can detect and retry with a bigger factor (no
+silent data loss).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from genometester4_tpu.ops.kmers import extract_kmers
+from genometester4_tpu.ops.sortcount import count_unique
+
+CAP_FACTOR = 3
+
+
+def make_mesh(n_devices: int | None = None, dp: int | None = None):
+    """Build a ("dp", "kp") mesh over available devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    n = len(devs)
+    if dp is None:
+        # favor k-mer-space parallelism; dp absorbs what's left
+        kp = 1 << int(math.log2(n))
+        while kp > n:
+            kp >>= 1
+        dp = n // kp
+    else:
+        kp = n // dp
+    arr = np.array(devs[: dp * kp]).reshape(dp, kp)
+    return Mesh(arr, ("dp", "kp"))
+
+
+def _owner_shard(hi, lo, k: int, n_shards: int):
+    """Top log2(n_shards) bits of the 2k-bit word — the owning shard.
+
+    Sharding by MOST significant bits of the word value means shard-major
+    concatenation preserves the .list sort order (SURVEY.md §7)."""
+    if n_shards <= 1:
+        return jnp.zeros(hi.shape, jnp.int32)
+    b = int(math.log2(n_shards))
+    shift = 2 * k - b
+    if 2 * k <= 32:
+        owner = lo >> shift
+    elif shift >= 32:
+        owner = hi >> (shift - 32)
+    else:
+        owner = (hi << (32 - shift)) | (lo >> shift)
+    return owner.astype(jnp.int32)
+
+
+def _route_by_prefix(hi, lo, counts, valid, k: int, n_shards: int, cap: int):
+    """Partition local unique words into per-destination-shard buckets.
+
+    Returns (bucket_hi, bucket_lo, bucket_counts, bucket_valid, overflow)
+    with shape [n_shards, cap].
+    """
+    owner = _owner_shard(hi, lo, k, n_shards)
+    owner = jnp.where(valid, owner, n_shards)  # invalid → dropped
+
+    # Entries are sorted (count_unique output) and owner = top word bits,
+    # so each owner's entries are CONTIGUOUS: bucket b spans
+    # [owner_offset[b], owner_offset[b] + owner_count[b]). Bucketing is
+    # then a pure GATHER (TPU scatters serialize; gathers don't): output
+    # slot (b, r) reads source index owner_offset[b] + r.
+    # owner is non-decreasing over the valid prefix (invalid tail sorts
+    # to n_shards), so bucket bounds fall out of a binary search
+    bounds = jnp.searchsorted(owner, jnp.arange(n_shards + 1))
+    owner_offset = bounds[:-1].astype(jnp.int32)
+    owner_count = (bounds[1:] - bounds[:-1]).astype(jnp.int32)
+
+    overflow = jnp.any(owner_count > cap)
+    r = jax.lax.broadcasted_iota(jnp.int32, (n_shards, cap), 1)
+    src = owner_offset[:, None] + r
+    in_bucket = r < owner_count[:, None]
+    src = jnp.clip(src, 0, hi.shape[0] - 1)
+    bh = jnp.where(in_bucket, hi[src], 0)
+    bl = jnp.where(in_bucket, lo[src], 0)
+    bc = jnp.where(in_bucket, counts[src], 0)
+    bv = in_bucket
+    return bh, bl, bc, bv, overflow
+
+
+def sharded_count_step(mesh: Mesh, k: int, chunk_bases: int,
+                       cap_factor: int = CAP_FACTOR):
+    """Build the jitted SPMD counting step for a mesh.
+
+    Returns fn(codes) where codes is uint8[dp*kp, chunk_bases] (one chunk
+    per device); output is per-kp-shard sorted unique words + counts:
+    (hi[kp, cap_out], lo[kp, cap_out], counts[kp, cap_out],
+     n_unique[kp], overflow[]) — replicated over dp.
+    """
+    dp = mesh.shape["dp"]
+    kp = mesh.shape["kp"]
+    n_windows = chunk_bases - k + 1
+    cap = cap_factor * max(1, n_windows // kp)
+    cap = int(cap)
+
+    def per_device(codes_block):
+        # codes_block: [1, 1, chunk_bases] block of this device
+        codes = codes_block.reshape(-1)
+        hi, lo, valid = extract_kmers(codes, k, canonical=True)
+        ones = jnp.ones(hi.shape, jnp.uint32)
+        uhi, ulo, ucnt, _ = count_unique(hi, lo, ones, valid)
+        uvalid = ucnt > 0
+        bh, bl, bc, bv, ovf = _route_by_prefix(uhi, ulo, ucnt, uvalid, k, kp, cap)
+        # exchange buckets so column j holds every device's bucket j
+        bh = jax.lax.all_to_all(bh, "kp", 0, 0, tiled=True)
+        bl = jax.lax.all_to_all(bl, "kp", 0, 0, tiled=True)
+        bc = jax.lax.all_to_all(bc, "kp", 0, 0, tiled=True)
+        bv = jax.lax.all_to_all(bv, "kp", 0, 0, tiled=True)
+        # gather row partials of this column across dp
+        bh = jax.lax.all_gather(bh, "dp", tiled=True)
+        bl = jax.lax.all_gather(bl, "dp", tiled=True)
+        bc = jax.lax.all_gather(bc, "dp", tiled=True)
+        bv = jax.lax.all_gather(bv, "dp", tiled=True)
+        mhi, mlo, mcnt, n_uniq = count_unique(
+            bh.reshape(-1), bl.reshape(-1), bc.reshape(-1), bv.reshape(-1))
+        ovf = jax.lax.pmax(jax.lax.pmax(ovf.astype(jnp.int32), "kp"), "dp")
+        return (mhi[None], mlo[None], mcnt[None], n_uniq[None], ovf)
+
+    fn = jax.jit(
+        jax.shard_map(
+            per_device, mesh=mesh,
+            in_specs=P("dp", "kp"),
+            out_specs=(P("kp", None), P("kp", None), P("kp", None),
+                       P("kp"), P()),
+            # outputs are dp-identical by construction (all_gather over dp)
+            # but the varying-axes checker cannot infer that
+            check_vma=False,
+        ))
+    return fn, cap * kp * dp
+
+
+def count_kmers_sharded(codes: np.ndarray, k: int, mesh: Mesh,
+                        chunk_bases: int | None = None,
+                        cap_factor: int = CAP_FACTOR):
+    """Count k-mers of a full code array on the mesh.
+
+    Feeds dp*kp chunks per step (overlapped by k-1 like the single-chip
+    pipeline) and merges per-shard outputs on host in shard order,
+    yielding a globally sorted (words, counts). Raises on bucket
+    overflow (retry with larger cap_factor).
+    """
+    from genometester4_tpu.ops.encode import join_u64
+
+    n_dev = mesh.shape["dp"] * mesh.shape["kp"]
+    if chunk_bases is None:
+        chunk_bases = max(1 << 14, (len(codes) // n_dev + k) )
+        chunk_bases = 1 << math.ceil(math.log2(chunk_bases))
+    fn, _ = sharded_count_step(mesh, k, chunk_bases)
+
+    step = chunk_bases - (k - 1)
+    starts = list(range(0, max(len(codes) - (k - 1), 1), step))
+    shard_results = []  # list of per-step [kp] lists
+    for gi in range(0, len(starts), n_dev):
+        batch = starts[gi:gi + n_dev]
+        blocks = np.full((n_dev, chunk_bases), 255, np.uint8)
+        for bi, s in enumerate(batch):
+            chunk = codes[s:s + chunk_bases]
+            blocks[bi, : len(chunk)] = chunk
+        blocks = blocks.reshape(mesh.shape["dp"], mesh.shape["kp"], chunk_bases)
+        hi, lo, cnt, n_uniq, ovf = fn(blocks)
+        if int(ovf):
+            raise RuntimeError(
+                "prefix-shard bucket overflow: retry with larger cap_factor")
+        hi = np.asarray(hi)
+        lo = np.asarray(lo)
+        cnt = np.asarray(cnt)
+        n_uniq = np.asarray(n_uniq)
+        shard_results.append([
+            (join_u64(hi[s, : n_uniq[s]], lo[s, : n_uniq[s]]),
+             cnt[s, : n_uniq[s]].astype(np.uint32))
+            for s in range(mesh.shape["kp"])])
+
+    # shard-major merge: per prefix range, combine all step results
+    from genometester4_tpu.pipelines.listmaker import merge_sorted_shards
+    out_w, out_c = [], []
+    for s in range(mesh.shape["kp"]):
+        per_shard = [res[s] for res in shard_results]
+        for w, c in merge_sorted_shards(per_shard):
+            out_w.append(w)
+            out_c.append(c)
+    if not out_w:
+        return np.empty(0, np.uint64), np.empty(0, np.uint32)
+    return np.concatenate(out_w), np.concatenate(out_c)

@@ -1,0 +1,386 @@
+"""glistquery equivalent: lookups, dumps, and list statistics.
+
+Output is line-for-line identical to the reference (src/glistquery.c),
+including its quirks:
+
+* absent words print "<canonical-word>\\t0" only when min_freq is 0
+  (src/glistquery.c:560-566);
+* the printed word is always the CANONICAL form of the query;
+* ``-l`` without mismatches prints counts from the QUERY list, not the
+  searched list (src/glistquery.c:702-717 passes the query cursor's
+  count to the print callback);
+* mismatch neighborhoods are canonicalized per generated word without
+  dedup, so counts can double-count palindromic twins
+  (src/word-dict.c:74-106);
+* ``--all`` prints matches in the generator's DFS order.
+
+Bulk paths (-s FASTA, -l with mismatches, -f with many words) batch
+canonicalization + lookup on device via ops.lookup; single queries stay
+on host.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+
+from genometester4_tpu.formats.list_format import read_list
+from genometester4_tpu.ops.encode import (canonical_u64, split_u64,
+                                          string_to_word, words_to_strings,
+                                          word_to_string)
+from genometester4_tpu.ops.lookup import batched_lookup_pair, lookup_steps
+from genometester4_tpu.ops.mismatch import preorder_masks
+
+
+class ListQuery:
+    """A loaded .list with host and device lookup paths."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.header, self.words, self.counts = read_list(path)
+        self.k = self.header.word_length
+        self._dev = None
+
+    # -- host path ---------------------------------------------------------
+    def lookup_host(self, queries: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(self.words, queries)
+        n = len(self.words)
+        if n == 0:
+            return np.zeros(len(queries), np.uint32)
+        idx_c = np.minimum(idx, n - 1)
+        hit = self.words[idx_c] == queries
+        return np.where(hit, self.counts[idx_c], 0).astype(np.uint32)
+
+    # -- device path -------------------------------------------------------
+    def _device_table(self):
+        if self._dev is None:
+            n = len(self.words)
+            cap = 1 << max(10, math.ceil(math.log2(max(n, 2))))
+            w = np.zeros(cap, np.uint64)
+            w[:n] = self.words
+            c = np.zeros(cap, np.uint32)
+            c[:n] = self.counts
+            hi, lo = split_u64(w)
+            self._dev = (jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(c),
+                         np.int32(n), lookup_steps(cap))
+        return self._dev
+
+    def lookup_device(self, queries: np.ndarray, chunk: int = 1 << 22):
+        """Bulk lookup on device; returns uint32 counts."""
+        thi, tlo, tc, n, steps = self._device_table()
+        out = np.empty(len(queries), np.uint32)
+        for s in range(0, len(queries), chunk):
+            q = queries[s:s + chunk]
+            qhi, qlo = split_u64(q)
+            _, counts, _ = batched_lookup_pair(
+                thi, tlo, tc, n, jnp.asarray(qhi), jnp.asarray(qlo), steps=steps)
+            out[s:s + len(q)] = np.asarray(counts)
+        return out
+
+    def lookup(self, queries: np.ndarray) -> np.ndarray:
+        if len(queries) >= 4096:
+            return self.lookup_device(queries)
+        return self.lookup_host(queries)
+
+
+def _emit(lines):
+    sys.stdout.write("".join(lines))
+
+
+def mm_lookup_sum(lst: ListQuery, word: int, nmm: int, pm3: int):
+    """gt4_word_dict_lookup_mm for one canonical word: (total, found_words,
+    found_counts) with per-generated-word canonicalization, no dedup."""
+    masks = preorder_masks(lst.k, nmm, pm3)
+    neigh = canonical_u64(np.uint64(word) ^ masks, lst.k)
+    counts = lst.lookup_host(neigh)
+    hit = counts > 0
+    total = int(counts.astype(np.uint64).sum()) & 0xFFFFFFFF
+    return total, neigh[hit], counts[hit]
+
+
+def search_one_word(lst: ListQuery, word: int, nmm: int, pm3: int,
+                    min_freq: int, max_freq: int, print_all: bool,
+                    out: list):
+    """src/glistquery.c:543-567 semantics for one query word."""
+    word = int(canonical_u64(np.array([word], np.uint64), lst.k)[0])
+    ws = word_to_string(word, lst.k)
+    if nmm == 0:
+        cnt = int(lst.lookup_host(np.array([word], np.uint64))[0])
+        if cnt:
+            # --all routes through the print callback, which skips the
+            # min/max filter (src/glistquery.c:552-556, cb_print)
+            if print_all or min_freq <= cnt <= max_freq:
+                out.append(f"{ws}\t{cnt}\n")
+        elif not min_freq:
+            out.append(f"{ws}\t0\n")
+        return
+    total, fw, fc = mm_lookup_sum(lst, word, nmm, pm3)
+    if print_all:
+        for w, c in zip(fw, fc):
+            out.append(f"{word_to_string(int(w), lst.k)}\t{c}\n")
+        if total == 0 and not min_freq:
+            out.append(f"{ws}\t0\n")
+    else:
+        if total:
+            if min_freq <= total <= max_freq:
+                out.append(f"{ws}\t{total}\n")
+        elif not min_freq:
+            out.append(f"{ws}\t0\n")
+
+
+def query_words_bulk(lst: ListQuery, words: np.ndarray, min_freq: int,
+                     max_freq: int) -> list[str]:
+    """Vectorized no-mismatch path shared by -s / -f bulk queries."""
+    cwords = canonical_u64(words, lst.k)
+    counts = lst.lookup(cwords)
+    strs = words_to_strings(cwords, lst.k)
+    out = []
+    for s, c in zip(strs, counts.tolist()):
+        if c:
+            if min_freq <= c <= max_freq:
+                out.append(f"{s}\t{c}\n")
+        elif not min_freq:
+            out.append(f"{s}\t0\n")
+    return out
+
+
+def search_fasta(lst: ListQuery, path: str, nmm: int, pm3: int, min_freq: int,
+                 max_freq: int, print_all: bool):
+    from genometester4_tpu.io.fasta import load_file
+    from genometester4_tpu.ops.kmers import extract_kmers
+    from genometester4_tpu.ops.encode import join_u64
+
+    parsed = load_file(path)
+    codes = parsed.codes
+    if len(codes) < lst.k:
+        return 0
+    # extraction without canonicalization: search_one_word canonicalizes
+    hi, lo, valid = extract_kmers(jnp.asarray(codes), lst.k, canonical=False)
+    words = join_u64(np.asarray(hi), np.asarray(lo))[np.asarray(valid)]
+    if nmm == 0 and not print_all:
+        _emit(query_words_bulk(lst, words, min_freq, max_freq))
+    else:
+        out = []
+        for w in words:
+            search_one_word(lst, int(w), nmm, pm3, min_freq, max_freq,
+                            print_all, out)
+        _emit(out)
+    return 0
+
+
+def search_query_file(lst: ListQuery, path: str, nmm: int, pm3: int,
+                      min_freq: int, max_freq: int, print_all: bool,
+                      use_3p: bool, use_5p: bool):
+    """-f: byte-level tokenizer parity (src/glistquery.c:619-640): collect
+    up to 255 chars until newline, then skip bytes < 'A'."""
+    with open(path, "rb") as f:
+        data = f.read()
+    out: list[str] = []
+    i, n = 0, len(data)
+    while i < n:
+        j = i
+        tok = []
+        while j < n and len(tok) < 255 and data[j] != 0x0A:
+            tok.append(data[j])
+            j += 1
+        while j < n and data[j] != 0x0A:
+            j += 1
+        while j < n and data[j] < ord("A"):
+            j += 1
+        i = j
+        s = bytes(tok).decode("latin1")
+        word = _string_query_to_word(lst.k, s, use_3p, use_5p,
+                                     "search_n_query_strings")
+        if word is None:
+            _emit(out)
+            return 1
+        search_one_word(lst, word, nmm, pm3, min_freq, max_freq, print_all, out)
+    _emit(out)
+    return 0
+
+
+def _string_query_to_word(k: int, s: str, use_3p: bool, use_5p: bool,
+                          fn_name: str):
+    if len(s) != k:
+        if len(s) < k:
+            sys.stderr.write(f"{fn_name}: Word too short ({k} < {len(s)})\n")
+            return None
+        if use_3p:
+            return string_to_word(s[len(s) - k:], strict=False)
+        if use_5p:
+            return string_to_word(s[:k], strict=False)
+        sys.stderr.write(f"{fn_name}: Wrong query length ({k} != {len(s)}) "
+                         "- use --3p or --5p\n")
+        return None
+    return string_to_word(s, strict=False)
+
+
+def search_one_query_string(lst: ListQuery, query: str, nmm: int, pm3: int,
+                            min_freq: int, max_freq: int, print_all: bool,
+                            use_3p: bool, use_5p: bool):
+    word = _string_query_to_word(lst.k, query, use_3p, use_5p,
+                                 "search_one_query_string")
+    if word is None:
+        return 1
+    out: list[str] = []
+    search_one_word(lst, word, nmm, pm3, min_freq, max_freq, print_all, out)
+    _emit(out)
+    return 0
+
+
+def search_list(lst: ListQuery, query_path: str, nmm: int, pm3: int,
+                min_freq: int, max_freq: int, print_all: bool):
+    qh, qw, qc = read_list(query_path)
+    if qh.word_length != lst.k:
+        return 4  # GT_INCOMPATIBLE_WORDLENGTH_ERROR (src/common.h)
+    if nmm == 0:
+        # zipper prints the QUERY list's counts for words found in the
+        # searched list (reference behavior, src/glistquery.c:702-717)
+        qw = np.asarray(qw)
+        counts = lst.lookup(qw)
+        hit = counts > 0
+        strs = words_to_strings(qw[hit], lst.k)
+        _emit(f"{s}\t{c}\n" for s, c in zip(strs, np.asarray(qc)[hit].tolist()))
+    else:
+        out: list[str] = []
+        for w in np.asarray(qw):
+            search_one_word(lst, int(w), nmm, pm3, min_freq, max_freq,
+                            print_all, out)
+        _emit(out)
+    return 0
+
+
+def search_lists_multi(query_path: str, lists: list[ListQuery]):
+    """Query-list × N-lists table (src/glistquery.c:776-812)."""
+    qh, qw, _ = read_list(query_path)
+    qw = np.asarray(qw)
+    counts = np.stack([lst.lookup(qw) for lst in lists], axis=1)
+    any_hit = (counts > 0).any(axis=1)
+    strs = words_to_strings(qw[any_hit], lists[0].k)
+    sub = counts[any_hit]
+    out = []
+    for r, s in enumerate(strs):
+        line = [s]
+        for i in range(len(lists)):
+            if sub[r, i]:
+                line.append(f"\t{i}:{sub[r, i]}")
+        line.append("\n")
+        out.append("".join(line))
+    _emit(out)
+    return 0
+
+
+def print_full_map(lst: ListQuery, chunk: int = 1 << 20):
+    for s in range(0, len(lst.words), chunk):
+        strs = words_to_strings(np.asarray(lst.words[s:s + chunk]), lst.k)
+        _emit(f"{w}\t{c}\n" for w, c in
+              zip(strs, np.asarray(lst.counts[s:s + chunk]).tolist()))
+
+
+def dump_lists(lists: list[ListQuery], is_union: bool, header_names=None):
+    """Multi-list dump: per word present in any (or all for is_union=0?
+    — gt4_union prints every word with per-list counts; gt4_is_union
+    walks words of the FIRST list only, src/set-operations.c:131-228)."""
+    k = lists[0].k
+    if header_names:
+        sys.stdout.write("KMER" + "".join(f"\t{n}" for n in header_names) + "\n")
+    if is_union:
+        base = np.asarray(lists[0].words)
+        cols = [np.asarray(lists[0].counts)] + [
+            lst.lookup(base) for lst in lists[1:]]
+        words = base
+    else:
+        words = np.asarray(lists[0].words)
+        for lst in lists[1:]:
+            words = np.union1d(words, np.asarray(lst.words))
+        cols = [lst.lookup(words) for lst in lists]
+    strs = words_to_strings(words, k)
+    mat = np.stack(cols, axis=1)
+    # bug-compat: gt4_union's cursor loop (src/set-operations.c:160-178)
+    # reuses an exhausted source's stale last word for one extra round,
+    # emitting a duplicate line with all-zero counts right after that
+    # word's true line — except for the source(s) exhausting last.
+    dup_words = set()
+    if not is_union and len(lists) > 1:
+        lasts = [int(lst.words[-1]) for lst in lists if len(lst.words)]
+        if lasts:
+            final = max(lasts)
+            dup_words = {w for w in lasts if w != final}
+    zero_row = "".join("\t0" for _ in lists)
+    out = []
+    for r, s in enumerate(strs):
+        out.append(s + "".join(f"\t{c}" for c in mat[r]) + "\n")
+        if int(words[r]) in dup_words:
+            out.append(s + zero_row + "\n")
+    _emit(out)
+
+
+def get_statistics(lst: ListQuery):
+    h = lst.header
+    sys.stdout.write(
+        f"List {lst.path}: built with glistmaker version "
+        f"{h.version_major}.{h.version_minor}\n"
+        f"Wordlength\t{h.word_length}\nNUnique\t{h.n_words}\n"
+        f"NTotal\t{h.total_count}\n")
+
+
+def print_median(lst: ListQuery):
+    """Exact replica of the reference's iterative median search
+    (src/glistquery.c:814-892) with vectorized count passes."""
+    counts = np.asarray(lst.counts)
+    n = len(counts)
+    h = lst.header
+    gmin = int(counts.min()) if n else 0xFFFFFFFF
+    gmax = int(counts.max()) if n else 0
+    mn, mx = gmin, gmax
+    med = (mn + mx) // 2
+    while mx > mn:
+        above = int((counts > med).sum())
+        below = int((counts < med).sum())
+        equal = n - above - below
+        if mx == mn + 1:
+            if above > below + equal:
+                med = mx
+            break
+        if above > below:
+            if above - below < equal:
+                break
+            mn = med
+        elif below > above:
+            if below - above < equal:
+                break
+            mx = med
+        else:
+            break
+        med = (mn + mx) // 2
+    sys.stdout.write(
+        f"List {lst.path}: built with glistmaker version "
+        f"{h.version_major}.{h.version_minor}\n"
+        f"Wordlength\t{h.word_length}\nNUnique\t{h.n_words}\n"
+        f"NTotal\t{h.total_count}\n")
+    avg = h.total_count / h.n_words if h.n_words else float("nan")
+    sys.stdout.write(f"Min {gmin} Max {gmax} Median {med} Average {avg:.2f}\n")
+
+
+def print_distro(lst: ListQuery, max_count: int):
+    counts = np.asarray(lst.counts)
+    d = np.bincount(np.minimum(counts, max_count + 1),
+                    minlength=max_count + 2)[1:max_count + 1]
+    _emit(f"{i + 1}\t{d[i]}\n" for i in range(max_count))
+
+
+def print_gc(lst: ListQuery):
+    words = np.asarray(lst.words)
+    counts = np.asarray(lst.counts).astype(np.uint64)
+    k = lst.k
+    gc_bases = np.zeros(len(words), np.uint64)
+    w = words.copy()
+    for _ in range(k):
+        gc_bases += (w ^ (w >> np.uint64(1))) & np.uint64(1)
+        w >>= np.uint64(2)
+    total = int((gc_bases * counts).sum())
+    denom = int(counts.sum()) * k
+    sys.stdout.write("GC\t%g\n" % (total / denom if denom else float("nan")))

@@ -35,13 +35,18 @@ def has_reference() -> bool:
     return (REF_BIN / "glistmaker").exists()
 
 
-def run_reference(args, cwd=None, input=None):
-    """Run a reference binary (test oracle) and return CompletedProcess."""
+def run_reference(args, cwd=None, input=None, timeout=120):
+    """Run a reference binary (test oracle) and return CompletedProcess.
+
+    timeout guards against latent reference bugs (e.g. the glistquery -l
+    zipper infinite loop when the searched list exhausts first,
+    src/glistquery.c:702-717).
+    """
     prog = REF_BIN / args[0]
     if not prog.exists():
         pytest.skip(f"reference binary {args[0]} not built")
     return subprocess.run([str(prog)] + list(args[1:]), cwd=cwd, input=input,
-                          capture_output=True, check=False)
+                          capture_output=True, check=False, timeout=timeout)
 
 
 @pytest.fixture

@@ -1,0 +1,115 @@
+"""Differential tests: glistquery vs the reference binary."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import run_reference, random_fasta
+from genometester4_tpu.pipelines.listmaker import make_list
+from genometester4_tpu.cli import glistquery as cli
+
+
+@pytest.fixture
+def lists(tmp_path, rng):
+    base = random_fasta(rng, 2, 3000, 6000)
+    t1 = base + random_fasta(rng, 1, 2000, 3000)
+    t2 = base + random_fasta(rng, 1, 2000, 3000)
+    (tmp_path / "a.fa").write_text(t1)
+    (tmp_path / "b.fa").write_text(t2)
+    l1 = tmp_path / "a_12.list"
+    l2 = tmp_path / "b_12.list"
+    make_list([str(tmp_path / "a.fa")], 12, str(l1))
+    make_list([str(tmp_path / "b.fa")], 12, str(l2))
+    return l1, l2
+
+
+def _both(capsys, args):
+    r = run_reference(["glistquery"] + [str(a) for a in args])
+    rc = cli.main([str(a) for a in args])
+    out = capsys.readouterr().out
+    assert rc == r.returncode, (rc, r.returncode, r.stderr)
+    assert out == r.stdout.decode(), "stdout differs"
+
+
+def test_full_dump(lists, capsys):
+    _both(capsys, [lists[0]])
+
+
+def test_stats_median_distro_gc(lists, capsys):
+    for flag in [["--stats"], ["--median"], ["--distribution", "5"], ["--gc"]]:
+        _both(capsys, [lists[0]] + flag)
+
+
+def test_single_queries(lists, capsys, rng):
+    # present word: take one from the dump
+    r = run_reference(["glistquery", str(lists[0])])
+    word = r.stdout.decode().splitlines()[3].split("\t")[0]
+    for args in [["-q", word], ["-q", word, "-mm", "1"],
+                 ["-q", word, "-mm", "2", "--all"],
+                 ["-q", "TTTTTTTTTTTT"], ["-q", "TTTTTTTTTTTT", "-min", "1"],
+                 ["-q", word, "-mm", "1", "-p", "4"],
+                 ["-q", word + "ACGT", "--3p"],
+                 ["-q", word + "ACGT", "--5p"],
+                 ["-q", word, "-min", "2"], ["-q", word, "-max", "1"]]:
+        _both(capsys, [lists[0]] + args)
+
+
+def test_query_file(lists, tmp_path, capsys):
+    r = run_reference(["glistquery", str(lists[0])])
+    words = [l.split("\t")[0] for l in r.stdout.decode().splitlines()[:20]]
+    qf = tmp_path / "queries.txt"
+    qf.write_text("\n".join(words) + "\nTTTTTTTTTTTT\n")
+    _both(capsys, [lists[0], "-f", qf])
+    _both(capsys, [lists[0], "-f", qf, "-mm", "1"])
+
+
+def test_seq_file(lists, tmp_path, capsys, rng):
+    fa = tmp_path / "q.fa"
+    fa.write_text(random_fasta(rng, 2, 100, 200, n_prob=0.02))
+    _both(capsys, [lists[0], "-s", fa])
+    _both(capsys, [lists[0], "-s", fa, "-min", "1"])
+    _both(capsys, [lists[0], "-s", fa, "-mm", "1"])
+
+
+def test_query_list_zipper(lists, tmp_path, capsys):
+    """-l zipper. NOTE: the reference INFINITE-LOOPS when the searched
+    list exhausts before the query list (src/glistquery.c:702-717 has no
+    EOF check in its advance loop); we only compare on inputs where the
+    searched list's last word is >= the query's last word, which is the
+    only regime the reference can actually process. Our implementation
+    terminates in all cases."""
+    from genometester4_tpu.formats.list_format import read_list, write_list
+    import numpy as np
+    h, w, c = read_list(lists[0])
+    # query = every third word of the searched list -> reference-safe
+    qpath = tmp_path / "query_12.list"
+    write_list(qpath, h.word_length, np.asarray(w)[::3], np.asarray(c)[::3])
+    _both(capsys, [lists[0], "-l", qpath])
+    _both(capsys, [lists[0], "-l", qpath, "-mm", "1"])
+
+
+def test_query_list_zipper_terminates_where_reference_hangs(lists, capsys):
+    """Query list extends past the searched list: the reference would
+    hang here; we must terminate and print the overlap."""
+    rc = cli.main([str(lists[0]), "-l", str(lists[1])])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert len(out.splitlines()) > 0
+
+
+def test_multi_list_table(lists, tmp_path, capsys):
+    l1, l2 = lists
+    _both(capsys, [l1, l2, "-l", l1])
+
+
+def test_multi_dump(lists, capsys):
+    l1, l2 = lists
+    _both(capsys, [l1, l2])
+    _both(capsys, [l1, l2, "--is_union"])
+    _both(capsys, [l1, l2, "--header"])
+
+
+def test_errors(lists, capsys):
+    l1, l2 = lists
+    _both(capsys, [l1, l2, "-q", "ACGTACGTACGT"])
+    _both(capsys, [l1, "-q", "ACGT"])  # too short
+    _both(capsys, [l1, "-mm", "8", "-p", "8", "-q", "ACGTACGTACGT"])
