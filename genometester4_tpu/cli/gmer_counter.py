@@ -1,0 +1,208 @@
+"""gmer_counter CLI — flag-compatible with the reference
+(src/gmer_counter.c:100-270).
+
+Usage: gmer_counter ARGUMENTS SEQUENCES...
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+# The counts-file header announces the FORMAT version; downstream
+# gmer_caller output is diffed byte-for-byte against the reference, so we
+# emit the reference format version string (src/gmer_counter.c:395).
+REF_VERSION = "4.2.16 (stable)"
+
+HELP = f"""gmer_counter version {REF_VERSION}
+Usage:
+  gmer_counter ARGUMENTS SEQUENCES...
+Arguments:
+    -v | --version   - Print version information and exit
+    -db DATABASE     - SNP/KMER database file
+    -dbb DBBINARY    - binary database file
+    -w FILENAME      - write binary database to file
+    -32              - use 32-bit integeres for counts (default 16-bit)
+    --max_kmers NUM  - maximum number of kmers per node
+    --silent         - do not print kmer counts (default for index and binary database compilation)
+    --verbose        - print kmer counts (default for counting)
+    --header         - print header row
+    --total          - print the total number of kmers per node
+    --unique         - print the number of nonzero kmers per node
+    --kmers          - print individual kmer counts (default if no other output)
+    --compile_index FILENAME - Add read index to database and write it to file
+    --distribution NUM  - print kmer distribution (up to given number)
+    --num_threads    - number of worker threads (accepted; scheduling is XLA's job)
+    --prefetch       - prefetch memory mapped files (accepted, ignored)
+    --recover        - recover from FastA/FastQ errors (useful for corrupted streams)
+    --stats          - print some statistics about sequence and kmers
+    -D               - increase debug level
+    -DDB             - increase database debug level
+"""
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    db_name = dbb = wdb = index_name = None
+    max_kmers_per_node = 1000000000
+    silent = verbose = big = dm = 0
+    header = total = unique = kmers = distro = 0
+    stats = 0
+    debug = 0
+    seqnames: list[str] = []
+    i = 0
+    try:
+        while i < len(argv):
+            a = argv[i]
+            if a in ("-v", "--version"):
+                print(f"gmer_counter version {REF_VERSION}")
+                return 0
+            elif a in ("-h", "--help"):
+                print(HELP)
+                return 0
+            elif a == "-db":
+                i += 1
+                db_name = argv[i]
+            elif a == "-dbb":
+                i += 1
+                dbb = argv[i]
+            elif a == "-w":
+                i += 1
+                wdb = argv[i]
+            elif a == "--max_kmers":
+                i += 1
+                max_kmers_per_node = int(argv[i])
+            elif a == "--silent":
+                silent = 1
+            elif a == "--verbose":
+                verbose = 1
+            elif a == "--header":
+                header = 1
+            elif a == "--total":
+                total = 1
+            elif a == "--unique":
+                unique = 1
+            elif a == "--kmers":
+                kmers = 1
+            elif a == "-32":
+                big = 1
+            elif a == "--double_median":
+                dm = 1
+            elif a == "--compile_index":
+                i += 1
+                index_name = argv[i]
+            elif a == "--distribution":
+                i += 1
+                distro = int(argv[i])
+            elif a == "--num_threads":
+                i += 1
+            elif a == "--prefetch":
+                pass
+            elif a == "--recover":
+                pass
+            elif a in ("--stats", "-stat"):
+                stats = 1
+            elif a == "-D":
+                debug += 1
+            elif a == "-DDB":
+                debug += 1
+            else:
+                if len(seqnames) >= 1024:
+                    sys.stderr.write(
+                        "Maximum number of input sequence files is 1024\n")
+                    return 1
+                seqnames.append(a)
+            i += 1
+    except (IndexError, ValueError):
+        sys.stderr.write(HELP)
+        return 1
+
+    if not seqnames and not wdb:
+        sys.stderr.write("Nothing to do!\n" + HELP)
+        return 1
+    if db_name and dbb:
+        sys.stderr.write("Both text and binary database specifed\n" + HELP)
+        return 1
+    if dbb and wdb:
+        sys.stderr.write("Binary database read and written\n" + HELP)
+        return 1
+    if index_name and not verbose:
+        silent = 1
+    if not total and not unique and not distro:
+        kmers = 1
+    if distro > 65536:
+        distro = 65536
+
+    from genometester4_tpu.formats.gmerdb import load_text_db
+    from genometester4_tpu.pipelines.gmercount import (
+        DBCounter, format_counts, pair_median)
+
+    db = None
+    if db_name:
+        if not os.path.exists(db_name):
+            sys.stderr.write(f"Cannot mmap database file {db_name}\n")
+            return 1
+        db = load_text_db(db_name, max_kmers_per_node, 32 if big else 16)
+        if db is None:
+            sys.stderr.write(f"Cannot read text database {db_name}\n")
+            return 1
+    if dbb:
+        from genometester4_tpu.formats.gmerdb_binary import load_binary_db
+        if not os.path.exists(dbb):
+            sys.stderr.write(f"Cannot mmap {dbb}\n")
+            return 1
+        db = load_binary_db(dbb)
+        if db is None:
+            sys.stderr.write(f"Cannot read binary database {dbb}\n")
+            return 1
+    if db is None:
+        sys.stderr.write("Nothing to do!\n" + HELP)
+        return 1
+
+    if wdb:
+        from genometester4_tpu.formats.gmerdb_binary import write_binary_db
+        with open(wdb, "wb") as f:
+            write_binary_db(db, f)
+
+    if seqnames:
+        counter = DBCounter(db, collect_stats=bool(stats))
+        for path in seqnames:
+            if path != "-" and not os.path.exists(path):
+                sys.stderr.write(f"Cannot open {path}\n")
+                return 1
+            counter.add_file(path)
+        counts = counter.result.clamped(db.count_bits)
+
+        if index_name:
+            sys.stderr.write(
+                "gmer_counter: --compile_index is not implemented yet in "
+                "genometester4_tpu\n")
+            return 1
+
+        if not silent:
+            out = sys.stdout
+            out.write(f"#gmer_counter version {REF_VERSION}\n")
+            if db_name:
+                out.write(f"#TextDatabase\t{db_name}\n")
+            if dbb:
+                out.write(f"#BinaryDatabase\t{dbb}\n")
+            if dm:
+                out.write(f"#PairMedian\t{pair_median(db, counts)}\n")
+            if stats:
+                st = counter.result.stats
+                out.write(f"#LENGTH\t{st.n_seq}\n")
+                out.write(f"#LENGTH_ACGT\t{st.n_nucl}\n")
+                out.write("#GC\t%.3f\n" % (st.n_gc / st.n_nucl
+                                           if st.n_nucl else float("nan")))
+                out.write(f"#TOTAL_KMERS\t{st.n_kmers_total}\n")
+                out.write(f"#LIST_KMERS\t{st.n_kmers}\n")
+                denom = st.n_kmers * db.wordsize
+                out.write("#LIST_KMER_GC\t%.3f\n" % (st.n_kmer_gc / denom
+                                                     if denom else float("nan")))
+            format_counts(db, counts, bool(total), bool(unique), bool(kmers),
+                          distro, bool(header), out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

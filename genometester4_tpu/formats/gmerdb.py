@@ -1,0 +1,302 @@
+"""FastGT SNV k-mer database (GmerDB) — text parser + lookup tables.
+
+The reference stores the database as per-marker lines
+
+    NAME  N_KMERS  KMER1  KMER2 ...
+
+parsed into a node table, a flat count table, a name blob and a pointer
+trie mapping canonical k-mer -> 32-bit code (reference:
+src/database.c:94-260, src/database.h:13-46).  The code packs
+``dir | (node+1) << kmer_bits | kmer`` (src/database.c:217-218).
+
+TPU-native redesign: the trie (pointer-chasing, cache-miss bound) is
+replaced by a **sorted canonical k-mer array + parallel code array**; DB
+lookup becomes a batched branchless binary search on device
+(ops.lookup.batched_lookup_pair), the same primitive glistquery uses.
+No pointers, no serialization-order dependence, HBM-resident.
+
+Bit-exact parity notes (verified against the reference sources):
+
+* wordsize is the length of the 3rd whitespace token of the first
+  non-comment line (src/database.c:57-60);
+* a k-mer token is consumed as: skip bytes < 0x20, take exactly
+  ``wordsize`` raw bytes, then skip bytes >= 0x20 — so only TAB-separated
+  k-mer columns parse cleanly and over-long tokens contribute their
+  prefix (src/database.c:208-243);
+* invalid characters inside a k-mer warn on stderr but still contribute
+  their bit-trick value (src/sequence.c:118-130);
+* adding the same canonical k-mer twice SUMS the stored codes (u32 wrap)
+  because the reference trie treats the code as a count
+  (src/trie.c:266-282) — duplicates therefore yield garbage codes, which
+  we reproduce;
+* per-node k-mer counts are clipped to ``--max_kmers``
+  (src/database.c:196-199); lines with fewer k-mers than declared abort
+  that node and stop it being counted (src/database.c:245-249).
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from genometester4_tpu.ops.encode import (NUCL_CODES, canonical_u64,
+                                          reverse_complement_u64)
+
+# byte -> 2-bit value used by string_to_word for ANY byte: valid bases map
+# via NUCL_CODES, everything else gets the reference's bit-trick garbage
+# value ((ch & 4) ? ((ch >> 4) | 2) & 3 : (ch & 6) >> 1, src/sequence.c:45-53)
+_ALL_BYTE_CODES = np.empty(256, np.uint8)
+for _ch in range(256):
+    if _ch & 4:
+        _ALL_BYTE_CODES[_ch] = ((_ch >> 4) | 2) & 3
+    else:
+        _ALL_BYTE_CODES[_ch] = (_ch & 6) >> 1
+_VALID = NUCL_CODES != 255
+_ALL_BYTE_CODES[_VALID] = NUCL_CODES[_VALID]
+
+
+def _get_bits(value: int) -> int:
+    """src/database.c:86-93."""
+    bits = 0
+    while value > 0:
+        bits += 1
+        value //= 2
+    return bits
+
+
+@dataclass
+class GmerDB:
+    """In-memory FastGT database with device-friendly lookup tables."""
+
+    wordsize: int
+    node_bits: int
+    kmer_bits: int
+    count_bits: int
+    # per node
+    names: list  # list[bytes]
+    node_kmers_start: np.ndarray  # u64[n_nodes] offset into flat kmer table
+    node_nkmers: np.ndarray  # u32[n_nodes]
+    # per flat kmer slot (DB order)
+    kmer_words: np.ndarray  # u64[n_kmers] canonical
+    kmer_dirs: np.ndarray  # bool[n_kmers] True if revcomp was taken
+    # lookup tables: unique canonical words sorted ascending + summed codes
+    sorted_words: np.ndarray = field(default=None)  # u64[n_unique]
+    sorted_codes: np.ndarray = field(default=None)  # u32[n_unique]
+    # read index (KATK), populated by gmer_counter --compile_index or
+    # loaded from a binary GMDB
+    index: "object | None" = None
+
+    @property
+    def n_nodes(self) -> int:
+        return len(self.names)
+
+    @property
+    def n_kmers(self) -> int:
+        return len(self.kmer_words)
+
+    def finalize_lookup(self):
+        """Build the sorted-array dictionary (replaces the trie).
+
+        Codes of duplicate canonical words are SUMMED with u32 wrap to
+        match trie_node_kmer_add_word (src/trie.c:266-282).
+        """
+        n = self.n_kmers
+        nodes = np.repeat(
+            np.arange(self.n_nodes, dtype=np.uint32),
+            self.node_nkmers.astype(np.int64))
+        within = (np.arange(n, dtype=np.uint64)
+                  - np.repeat(self.node_kmers_start, self.node_nkmers.astype(np.int64)))
+        codes = (np.where(self.kmer_dirs, np.uint32(0x80000000), np.uint32(0))
+                 | ((nodes + np.uint32(1)) << np.uint32(self.kmer_bits))
+                 | within.astype(np.uint32))
+        order = np.argsort(self.kmer_words, kind="stable")
+        sw = self.kmer_words[order]
+        sc = codes[order]
+        head = np.concatenate([[True], sw[1:] != sw[:-1]])
+        # summed codes per unique word (u32 wrap)
+        seg = np.cumsum(head) - 1
+        summed = np.zeros(int(head.sum()), np.uint64)
+        np.add.at(summed, seg, sc.astype(np.uint64))
+        self.sorted_words = sw[head]
+        self.sorted_codes = (summed & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+    def decode(self, codes: np.ndarray):
+        """code -> (node i32, kmer i32, valid bool) vectorized
+        (src/gmer_counter.c:779-795)."""
+        c = codes.astype(np.uint32) & np.uint32(0x7FFFFFFF)
+        node = (c >> np.uint32(self.kmer_bits)).astype(np.int64) - 1
+        kmer = (c & np.uint32((1 << self.kmer_bits) - 1)).astype(np.int64)
+        ok_node = (node >= 0) & (node < self.n_nodes)
+        nk = np.zeros(len(c), np.int64)
+        nk[ok_node] = self.node_nkmers[node[ok_node]]
+        ok = ok_node & (kmer < nk)
+        return node, kmer, ok
+
+    def flat_slot(self, node: np.ndarray, kmer: np.ndarray) -> np.ndarray:
+        return self.node_kmers_start[node].astype(np.int64) + kmer
+
+
+def parse_text_db(data: bytes, max_kmers_per_node: int = 1000000000,
+                  count_bits: int = 16) -> GmerDB | None:
+    """Parse a text SNV database byte-for-byte like
+    gt4_gmer_db_new_from_text (src/database.c:94-260).
+
+    Returns None when the reference would fail to load the file.
+    """
+    if len(data) < 8:
+        return None
+    if data[5] == 0 or data[7] == 0:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    csize = len(data)
+
+    # --- pass 1: count lines, establish wordsize/max_kmers (database.c:21-83)
+    lines = []  # (start, end) of non-comment lines
+    pos = 0
+    wordsize = 0
+    max_kmers = 0
+    ok = True
+    nl_positions = np.flatnonzero(buf == 0x0A)
+    nl_iter = 0
+
+    def line_end(p):
+        nonlocal nl_iter
+        while nl_iter < len(nl_positions) and nl_positions[nl_iter] < p:
+            nl_iter += 1
+        return int(nl_positions[nl_iter]) if nl_iter < len(nl_positions) else csize
+
+    n_lines = 0
+    while pos < csize:
+        if data[pos] == ord("#"):
+            pos = line_end(pos) + 1
+            continue
+        end = line_end(pos)
+        toks = _split_line(data, pos, end, 3)
+        if len(toks) < 2:
+            sys.stderr.write(f"Line {n_lines} has <2 ({len(toks)}) tokens\n")
+            ok = False
+            break
+        if not wordsize:
+            if len(toks) > 2:
+                wordsize = toks[2][1] - toks[2][0]
+        try:
+            nk = int(data[toks[1][0]:toks[1][1]])
+        except ValueError:
+            nk = _strtol(data, toks[1][0], toks[1][1])
+        if nk > max_kmers:
+            max_kmers = nk
+        lines.append((pos, end))
+        n_lines += 1
+        pos = end + 1
+    if not ok or n_lines == 0:
+        sys.stderr.write("File is not text-format kmer database (maybe binary?)\n")
+        return None
+    if max_kmers > max_kmers_per_node:
+        max_kmers = max_kmers_per_node
+    node_bits = _get_bits(n_lines + 1)
+    kmer_bits = _get_bits(max_kmers)
+    if node_bits + kmer_bits > 31:
+        sys.stderr.write(
+            f"Too many nodes and kmers ({n_lines + 1} ({node_bits} bits), "
+            f"{max_kmers} ({kmer_bits} bits)\n")
+        return None
+
+    # --- pass 2: fill tables (database.c:164-266)
+    names: list[bytes] = []
+    nkmers_list: list[int] = []
+    kmer_chunks: list[np.ndarray] = []
+
+    for (start, end) in lines:
+        toks = _split_line(data, start, end, 3)
+        name = data[toks[0][0]:toks[0][1]]
+        nk = _strtol(data, toks[1][0], toks[1][1])
+        if nk > max_kmers_per_node:
+            nk = max_kmers_per_node
+        # walk kmer tokens exactly like database.c:203-243
+        cpos = toks[2][0] if len(toks) > 2 else end
+        kws = np.empty(nk, np.uint64)
+        i = 0
+        while i < nk:
+            while cpos < csize and data[cpos] < 0x20:
+                cpos += 1
+            if csize - cpos < wordsize:
+                break
+            seg = buf[cpos:cpos + wordsize]
+            if not _VALID[seg].all():
+                for ch in seg[~_VALID[seg]]:
+                    sys.stderr.write(f"Invalid character {chr(ch)} in string!\n")
+            vals = _ALL_BYTE_CODES[seg].astype(np.uint64)
+            w = np.uint64(0)
+            for v in vals:  # wordsize <= 32 iterations
+                w = ((w << np.uint64(2)) | v) & np.uint64(0xFFFFFFFFFFFFFFFF)
+            kws[i] = w
+            i += 1
+            while cpos < csize and data[cpos] >= 0x20:
+                cpos += 1
+        if i == nk:
+            names.append(bytes(name))
+            nkmers_list.append(nk)
+            kmer_chunks.append(kws)
+        else:
+            sys.stderr.write(
+                f"Inconsisten number of kmers at node {len(names)}: {i} "
+                f"(should be {nk})\n")
+
+    nkmers = np.asarray(nkmers_list, np.uint32)
+    starts = np.zeros(len(nkmers), np.uint64)
+    if len(nkmers):
+        starts[1:] = np.cumsum(nkmers.astype(np.uint64))[:-1]
+    words = (np.concatenate(kmer_chunks) if kmer_chunks
+             else np.empty(0, np.uint64))
+    rc = reverse_complement_u64(words, wordsize)
+    dirs = rc < words
+    cwords = np.minimum(words, rc)
+
+    db = GmerDB(wordsize=wordsize, node_bits=node_bits, kmer_bits=kmer_bits,
+                count_bits=count_bits, names=names,
+                node_kmers_start=starts, node_nkmers=nkmers,
+                kmer_words=cwords, kmer_dirs=dirs)
+    db.finalize_lookup()
+    return db
+
+
+def _split_line(data: bytes, start: int, end: int, max_tokens: int):
+    """Whitespace tokenizer matching split_line (src/utils.c:217-246):
+    tokens are runs of bytes > 0x20, at most ``max_tokens`` returned."""
+    toks = []
+    p = start
+    while p < end and len(toks) < max_tokens:
+        while p < end and data[p] <= 0x20:
+            p += 1
+        if p >= end:
+            break
+        s = p
+        while p < end and data[p] > 0x20:
+            p += 1
+        toks.append((s, p))
+    return toks
+
+
+def _strtol(data: bytes, start: int, end: int) -> int:
+    """C strtol base 10 on the token (stops at first non-digit)."""
+    s = data[start:end].decode("latin1")
+    i = 0
+    neg = False
+    if i < len(s) and s[i] in "+-":
+        neg = s[i] == "-"
+        i += 1
+    j = i
+    while j < len(s) and s[j].isdigit():
+        j += 1
+    if j == i:
+        return 0
+    v = int(s[i:j])
+    return -v if neg else v
+
+
+def load_text_db(path: str, max_kmers_per_node: int = 1000000000,
+                 count_bits: int = 16) -> GmerDB | None:
+    with open(path, "rb") as f:
+        return parse_text_db(f.read(), max_kmers_per_node, count_bits)

@@ -63,6 +63,10 @@ class ParsedSequences:
     rec_lengths: np.ndarray
     _name_spans: np.ndarray | None = None  # (n,2) byte offsets into _data
     _data: bytes | None = None
+    # number of 'N'/'n' bytes among sequence characters (gmer_counter
+    # --stats counts Ns separately from other invalid chars,
+    # src/gmer_counter.c:929-936)
+    count_n: int = 0
 
     @property
     def n_records(self) -> int:
@@ -110,7 +114,9 @@ def _scatter_records(data: np.ndarray, seq_spans_start, seq_spans_end,
     span_offsets = span_lens.cumsum() - span_lens
     within = np.arange(total, dtype=np.int64) - np.repeat(span_offsets, span_lens)
     src = np.repeat(seq_spans_start, span_lens) + within
-    codes_flat = NUCL_CODES[data[src]]
+    seq_bytes = data[src]
+    count_n = int(((seq_bytes == ord("N")) | (seq_bytes == ord("n"))).sum())
+    codes_flat = NUCL_CODES[seq_bytes]
     # record id per base, then output position = base rank + #sentinels before
     rec_of_base = np.repeat(rec_id_of_span, span_lens)
     rec_lengths = np.bincount(rec_of_base, minlength=n_records).astype(np.int64)
@@ -118,7 +124,7 @@ def _scatter_records(data: np.ndarray, seq_spans_start, seq_spans_end,
     out_pos = np.arange(total, dtype=np.int64) + rec_of_base
     out[out_pos] = codes_flat
     rec_starts = np.concatenate([[0], (rec_lengths + 1).cumsum()[:-1]])
-    return out, rec_starts, rec_lengths
+    return out, rec_starts, rec_lengths, count_n
 
 
 def parse_fasta(raw: bytes) -> ParsedSequences:
@@ -132,11 +138,12 @@ def parse_fasta(raw: bytes) -> ParsedSequences:
     # sequence lines belong to the most recent header
     rec_of_line = np.cumsum(is_header) - 1  # -1 before first header
     seq_mask = (~is_header) & (rec_of_line >= 0)
-    out, rec_starts, rec_lengths = _scatter_records(
+    out, rec_starts, rec_lengths, count_n = _scatter_records(
         data, starts[seq_mask], ends[seq_mask], rec_of_line[seq_mask],
         len(header_idx))
     name_spans = np.stack([starts[header_idx] + 1, ends[header_idx]], axis=1)
-    return ParsedSequences(out, rec_starts, rec_lengths, name_spans, raw)
+    return ParsedSequences(out, rec_starts, rec_lengths, name_spans, raw,
+                           count_n)
 
 
 def parse_fastq(raw: bytes) -> ParsedSequences:
@@ -153,12 +160,13 @@ def parse_fastq(raw: bytes) -> ParsedSequences:
         # path skips malformed tails; we do the same silently here
         pass
     seq_lines = np.arange(n_records, dtype=np.int64) * 4 + 1
-    out, rec_starts, rec_lengths = _scatter_records(
+    out, rec_starts, rec_lengths, count_n = _scatter_records(
         data, starts[seq_lines], ends[seq_lines],
         np.arange(n_records, dtype=np.int64), n_records)
     hdr_lines = seq_lines - 1
     name_spans = np.stack([starts[hdr_lines] + 1, ends[hdr_lines]], axis=1)
-    return ParsedSequences(out, rec_starts, rec_lengths, name_spans, raw)
+    return ParsedSequences(out, rec_starts, rec_lengths, name_spans, raw,
+                           count_n)
 
 
 def parse_sequences(raw: bytes) -> ParsedSequences:

@@ -1,0 +1,263 @@
+"""gmer_counter equivalent: count DB k-mers in sequencing reads.
+
+Reference pipeline (src/gmer_counter.c:625-872, SURVEY.md §3.4): FASTA
+reader emits canonical words into 10 Mi-word tables; worker threads walk
+the trie per word and bump the flat count table.
+
+TPU-native pipeline:
+
+  host parse (vectorized)        io.fasta
+  -> device extract+canonicalize ops.kmers.extract_kmers
+  -> device batched binary search into the sorted DB word array
+     (replaces the trie walk)    ops.lookup.batched_lookup_pair
+  -> device dedupe-and-sum of hit CODES (sort + segmented reduction,
+     no scatters)                ops.sortcount.count_unique
+  -> tiny (code, count) pairs back to host; decoded and accumulated
+     into the flat per-slot count table.
+
+Count semantics match the reference: per-occurrence increments clamp at
+65535 (16-bit) or 2^32-1 (src/gmer_counter.c:790-795) — with pure
+increments that equals min(total, limit), so totals accumulate in u64
+and clamp at the end.  A code that decodes outside the node/kmer tables
+makes the reference print a "DB inconsistency" error and abandon the
+REST OF THAT 10 Mi-WORD BLOCK (break, src/gmer_counter.c:779-788);
+we reproduce the message and the abandon-rest-of-chunk behavior, but our
+chunk boundary differs from the reference's, so outputs only match
+bit-for-bit on databases without duplicate/garbage codes (any sane DB).
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from genometester4_tpu.formats.gmerdb import GmerDB
+from genometester4_tpu.io.fasta import load_file
+from genometester4_tpu.ops.encode import split_u64
+from genometester4_tpu.ops.kmers import extract_kmers
+from genometester4_tpu.ops.lookup import batched_lookup_pair, lookup_steps
+from genometester4_tpu.ops.sortcount import count_unique
+
+DEFAULT_CHUNK_BASES = 1 << 24
+
+
+@dataclass
+class CountStats:
+    """--stats accumulators (src/gmer_counter.c:69-80,292-302)."""
+    n_seq: int = 0          # nucleotides + Ns
+    n_nucl: int = 0         # valid ACGTU
+    n_gc: int = 0           # C/G among valid
+    n_kmers_total: int = 0  # canonical words emitted
+    n_kmers: int = 0        # words that hit the DB
+    n_kmer_gc: int = 0      # G+C bases inside hit words
+
+
+@dataclass
+class CountResult:
+    counts: np.ndarray                      # u64[n_kmers] unclamped totals
+    stats: CountStats = field(default_factory=CountStats)
+
+    def clamped(self, count_bits: int) -> np.ndarray:
+        limit = np.uint64(65535 if count_bits == 16 else 0xFFFFFFFF)
+        return np.minimum(self.counts, limit)
+
+
+def _make_count_fn(k: int, steps: int):
+    """One fused device program: extract -> canonical -> DB lookup ->
+    dedupe-and-sum hit codes."""
+
+    @jax.jit
+    def run(codes, thi, tlo, tcode, n_words):
+        hi, lo, valid = extract_kmers(codes, k, canonical=True)
+        found, code, _ = batched_lookup_pair(thi, tlo, tcode, n_words,
+                                             hi, lo, steps=steps)
+        hit = found & valid
+        ones = jnp.ones(code.shape, jnp.uint32)
+        uhi, ucode, ccount, n_uniq = count_unique(
+            jnp.zeros_like(code), code, ones, hit)
+        return (ucode, ccount, n_uniq,
+                jnp.sum(valid.astype(jnp.int32)),
+                jnp.sum(hit.astype(jnp.int32)))
+
+    return run
+
+
+class DBCounter:
+    """Accumulates DB k-mer counts across files/chunks on device."""
+
+    def __init__(self, db: GmerDB, chunk_bases: int = DEFAULT_CHUNK_BASES,
+                 collect_stats: bool = False):
+        self.db = db
+        self.chunk_bases = chunk_bases
+        self.collect_stats = collect_stats
+        self.result = CountResult(np.zeros(db.n_kmers, np.uint64))
+        # device table (padded to pow2)
+        n = len(db.sorted_words)
+        cap = 1 << max(10, math.ceil(math.log2(max(n, 2))))
+        w = np.zeros(cap, np.uint64)
+        w[:n] = db.sorted_words
+        c = np.zeros(cap, np.uint32)
+        c[:n] = db.sorted_codes
+        hi, lo = split_u64(w)
+        self._thi = jnp.asarray(hi)
+        self._tlo = jnp.asarray(lo)
+        self._tcode = jnp.asarray(c)
+        self._n = np.int32(n)
+        self._run = _make_count_fn(db.wordsize, lookup_steps(cap))
+        # per-slot GC counts for --stats. Bug-compat: the reference
+        # re-reads the UNSHIFTED word every loop iteration
+        # (src/gmer_counter.c:798-803 redeclares `word` inside the loop),
+        # so its "GC count" is wordsize x (last base is G or C).
+        if collect_stats:
+            w = db.kmer_words
+            self._slot_gc = (np.uint64(db.wordsize)
+                             * ((w ^ (w >> np.uint64(1))) & np.uint64(1)))
+
+    def add_file(self, path: str):
+        parsed = load_file(path)
+        if self.collect_stats:
+            st = self.result.stats
+            st.n_nucl += int((parsed.codes < 4).sum())
+            st.n_gc += int(((parsed.codes == 1) | (parsed.codes == 2)).sum())
+            st.n_seq = st.n_nucl + parsed.count_n
+        self._add_codes(parsed.codes)
+
+    def _add_codes(self, codes: np.ndarray):
+        k = self.db.wordsize
+        n = len(codes)
+        if n < k:
+            return
+        from genometester4_tpu.pipelines.listmaker import pad_pow2_chunk
+        step = self.chunk_bases - (k - 1)
+        for start in range(0, max(n - (k - 1), 1), step):
+            chunk = pad_pow2_chunk(codes[start:start + self.chunk_bases],
+                                   self.chunk_bases)
+            ucode, ccount, n_uniq, n_valid, n_hit = self._run(
+                jnp.asarray(chunk), self._thi, self._tlo, self._tcode,
+                self._n)
+            m = int(n_uniq)
+            codes_u = np.asarray(ucode[:m])
+            counts_u = np.asarray(ccount[:m]).astype(np.uint64)
+            node, kmer, ok = self.db.decode(codes_u)
+            if not ok.all():
+                # reference prints per bad word and abandons the block
+                bad_node = node[~ok]
+                if (bad_node < 0).any() or (bad_node >= self.db.n_nodes).any():
+                    sys.stderr.write(
+                        "DB inconsistency: Node index is bigger than the "
+                        "number of nodes\n")
+                else:
+                    sys.stderr.write(
+                        "DB inconsistency: KMer index is bigger than the "
+                        "number of kmers\n")
+                codes_u, counts_u = codes_u[ok], counts_u[ok]
+                node, kmer = node[ok], kmer[ok]
+            slots = self.db.flat_slot(node, kmer)
+            np.add.at(self.result.counts, slots, counts_u)
+            if self.collect_stats:
+                st = self.result.stats
+                st.n_kmers_total += int(n_valid)
+                st.n_kmers += int(counts_u.sum())
+                st.n_kmer_gc += int((self._slot_gc[slots] * counts_u).sum())
+
+
+def pair_median(db: GmerDB, counts_clamped: np.ndarray) -> int:
+    """--double_median: median of per-node k-mer PAIR sums, found by the
+    reference's iterative bisection (src/gmer_counter.c:946-1013).
+
+    Pairs step 2 through each node's flat slots; an odd node reads one
+    slot past its end in the reference (flat table overrun) — we read the
+    next node's first count, which is what the overrun hits in the flat
+    layout, and 0 at the very end of the table.
+    """
+    flat = np.concatenate([counts_clamped.astype(np.int64), [0]])
+    sums = []
+    total = 0
+    for i in range(db.n_nodes):
+        nk = int(db.node_nkmers[i])
+        k0 = int(db.node_kmers_start[i])
+        total += nk // 2
+        for j in range(0, nk, 2):
+            sums.append(int(flat[k0 + j] + flat[k0 + j + 1]))
+    s = np.asarray(sums, np.int64)
+    mx = int(s.max(initial=0))
+    mn = int(s.min(initial=0xFFFFFFFF))
+    med = (mn + mx) // 2
+    while mx > mn:
+        above = int((s > med).sum())
+        below = int((s < med).sum())
+        equal = total - above - below
+        if mx == mn + 1:
+            if above > below + equal:
+                med = mx
+            break
+        if above > below:
+            if above - below < equal:
+                break
+            mn = med
+        elif below > above:
+            if below - above < equal:
+                break
+            mx = med
+        else:
+            break
+        med = (mn + mx) // 2
+    return med
+
+
+def format_counts(db: GmerDB, counts: np.ndarray, show_total: bool,
+                  show_unique: bool, show_kmers: bool, distro: int,
+                  header: bool, out) -> None:
+    """Per-node output lines (src/gmer_counter.c:625-711).
+
+    Bug-compat: the reference's --unique tests ``kmers_16[idx]`` even in
+    32-bit mode (src/gmer_counter.c:655-659), aliasing 16-bit reads onto
+    the u32 count array — slot j reads the low/high half of count j//2.
+    We reproduce that deterministic aliasing.
+    """
+    if header:
+        cols = ["NODE", "N_KMERS"]
+        if show_total:
+            cols.append("TOTAL")
+        if show_unique:
+            cols.append("UNIQUE")
+        if show_kmers:
+            cols.append("KMERS")
+        if distro:
+            cols.append("DISTRIBUTION")
+        out.write("\t".join(cols) + "\n")
+    starts = db.node_kmers_start.astype(np.int64)
+    nks = db.node_nkmers.astype(np.int64)
+    counts = counts.astype(np.uint64)
+    if show_unique and db.count_bits == 32:
+        aliased16 = counts.astype(np.uint32).view(np.uint16)
+    lines = []
+    for i in range(db.n_nodes):
+        c = counts[starts[i]:starts[i] + nks[i]]
+        parts = [db.names[i].decode("latin1"), str(int(nks[i]))]
+        if show_total:
+            parts.append(str(int(c.sum())))
+        if show_unique:
+            if db.count_bits == 32:
+                u = aliased16[starts[i]:starts[i] + nks[i]]
+                parts.append(str(int((u != 0).sum())))
+            else:
+                parts.append(str(int((c != 0).sum())))
+        if show_kmers:
+            parts.extend(str(int(v)) for v in c)
+        if distro:
+            sc = np.sort(c)
+            hist = np.bincount(np.minimum(sc, distro + 1).astype(np.int64),
+                               minlength=distro + 2)
+            parts.extend(str(int(hist[v])) for v in range(distro + 1))
+        lines.append("\t".join(parts))
+        if len(lines) >= 4096:
+            out.write("\n".join(lines) + "\n")
+            lines = []
+    if lines:
+        out.write("\n".join(lines) + "\n")

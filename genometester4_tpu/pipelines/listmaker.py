@@ -53,13 +53,29 @@ def _make_chunk_fn(k: int, canonical: bool = True):
     return run
 
 
+def pad_pow2_chunk(chunk: np.ndarray, cap_limit: int) -> np.ndarray:
+    """Pad a chunk with invalid bytes up to the next power of two.
+
+    Keeps compiled-shape count at ~log2(cap_limit) instead of padding
+    tiny inputs to the full chunk size (a 10 KB FASTA must not compile
+    and sort a 16 Mi-element buffer).
+    """
+    cap = 1 << max(10, math.ceil(math.log2(max(len(chunk), 2))))
+    cap = min(cap, cap_limit)
+    if len(chunk) < cap:
+        chunk = np.concatenate(
+            [chunk, np.full(cap - len(chunk), 255, np.uint8)])
+    return chunk
+
+
 def count_chunks(codes: np.ndarray, k: int, chunk_bases: int = DEFAULT_CHUNK_BASES,
                  canonical: bool = True):
     """Yield per-chunk sorted unique (words u64, counts u32) numpy arrays.
 
     ``codes`` is the packed uint8 code array from the parser. Chunks
     overlap by k-1 bases so no window is lost at a seam; the final chunk
-    is padded with 255 (invalid) bytes, preserving static shapes.
+    is padded with 255 (invalid) bytes to the next power of two,
+    preserving a small set of static shapes.
     """
     run = _make_chunk_fn(k, canonical)
     n = len(codes)
@@ -67,10 +83,7 @@ def count_chunks(codes: np.ndarray, k: int, chunk_bases: int = DEFAULT_CHUNK_BAS
     if n <= k - 1:
         return
     for start in range(0, max(n - (k - 1), 1), step):
-        chunk = codes[start:start + chunk_bases]
-        if len(chunk) < chunk_bases:
-            chunk = np.concatenate(
-                [chunk, np.full(chunk_bases - len(chunk), 255, np.uint8)])
+        chunk = pad_pow2_chunk(codes[start:start + chunk_bases], chunk_bases)
         uhi, ulo, counts, n_uniq = run(jnp.asarray(chunk))
         m = int(n_uniq)
         if m == 0:

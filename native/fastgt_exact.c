@@ -1,0 +1,606 @@
+/* FastGT exact-math kernel library.
+ *
+ * gmer_caller's genotype model is an empirical-Bayes classifier whose
+ * published behavior is defined by specific float/double mixed-precision
+ * arithmetic, libm lgamma/log/exp, and the glibc rand() stream seeded
+ * with srand(1) (reference: src/gmer_caller.c, src/genotypes.c,
+ * src/binomial.c, src/simplex.c).  Reproducing those call outputs
+ * bit-for-bit is impossible from JAX (different libm, different
+ * reductions), so the exact path lives here as a host-native library:
+ * Python orchestrates I/O and formatting, this library does the numeric
+ * inner loops (vectorized over markers), and a separate jnp
+ * implementation (genometester4_tpu/models/genotype.py) provides the
+ * TPU-accelerated path for throughput work.
+ *
+ * Everything here is a fresh implementation written against the
+ * reference's observed semantics; expression groupings and precision
+ * mixes are preserved deliberately, because they are the file format,
+ * so to speak, of this model.
+ *
+ * Build: gcc -O2 -shared -fPIC fastgt_exact.c -o libfastgt_exact.so -lm
+ * (no -march / -ffast-math: the reference builds plain -O3 x86-64 SSE2,
+ * with no FMA contraction available, src/Makefile:168-176).
+ */
+
+#include <math.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define N_GT 15
+#define TABLE_N 16384 /* log-factorial table size, src/binomial.c:11 */
+
+/* ------------------------------------------------------------------ */
+/* binomial / negative binomial kernels (semantics: src/binomial.c)    */
+/* ------------------------------------------------------------------ */
+
+static double *lf_d = NULL;   /* log n!   (double) */
+static float *lf_f = NULL;
+static double *ls_d = NULL;   /* sum_{j=1..n} log j built the slow way */
+static float *ls_f = NULL;
+
+void fgx_init (void)
+{
+  unsigned int i, j;
+  if (lf_d) return;
+  lf_d = (double *) malloc (TABLE_N * sizeof (double));
+  lf_d[0] = 0;
+  for (i = 1; i < TABLE_N; i++) lf_d[i] = lf_d[i - 1] + log (i);
+  lf_f = (float *) malloc (TABLE_N * sizeof (float));
+  lf_f[0] = 0;
+  for (i = 1; i < TABLE_N; i++) lf_f[i] = lf_f[i - 1] + logf (i);
+  /* the reference accumulates these per-entry from scratch
+   * (src/binomial.c:40-51), giving slightly different rounding than a
+   * running sum - reproduce that summation order */
+  ls_d = (double *) malloc (TABLE_N * sizeof (double));
+  {
+    double *logs = (double *) malloc (TABLE_N * sizeof (double));
+    for (i = 1; i < TABLE_N; i++) {
+      logs[i] = log (i);
+      ls_d[i] = logs[i];
+      for (j = 2; j < i; j++) ls_d[i] += logs[j];
+    }
+    free (logs);
+  }
+  ls_f = (float *) malloc (TABLE_N * sizeof (float));
+  {
+    float *logs = (float *) malloc (TABLE_N * sizeof (float));
+    for (i = 1; i < TABLE_N; i++) {
+      logs[i] = logf (i);
+      ls_f[i] = logs[i];
+      for (j = 2; j < i; j++) ls_f[i] += logs[j];
+    }
+    free (logs);
+  }
+}
+
+static double log_factorial (unsigned int v)
+{
+  double dv = v;
+  double val = 0;
+  while (v >= TABLE_N) {
+    val += log (dv);
+    dv -= 1;
+    v -= 1;
+  }
+  return val + lf_d[v];
+}
+
+static double log_combinations_d (unsigned int n, unsigned int k)
+{
+  if (!k || (k == n)) return 0;
+  if (k == 1) return log (n);
+  if (n >= TABLE_N) {
+    double num = log (n), den = log (k);
+    while (k > 1) {
+      n -= 1;
+      k -= 1;
+      num += log (n);
+      den -= log (k);
+    }
+    return num - den;
+  }
+  return ls_d[n] - ls_d[n - k] - ls_d[k];
+}
+
+double fgx_dbinom (unsigned int x, unsigned int n, double p)
+{
+  if ((x == 0) && (p == 0)) return 1;
+  if ((x == n) && (p == 1)) return 1;
+  {
+    double c = exp (log_combinations_d (n, x));
+    double p0 = pow (p, x);
+    double p1 = pow (1 - p, n - x);
+    return c * p0 * p1;
+  }
+}
+
+static double log_comb_k_r (unsigned int k, double r)
+{
+  if (!k) return 0;
+  return lgamma (k + r) - lgamma (r) - log_factorial (k);
+}
+
+double fgx_dnbinom_mu (unsigned int x, double size, double mu)
+{
+  double p, c, p0, p1;
+  if (size <= 0) return 0;
+  if (mu <= 0) return 0;
+  p = mu / (size + mu);
+  c = log_comb_k_r (x, size);
+  p0 = log (p) * x;
+  p1 = log (1 - p) * size;
+  return exp (c + p0 + p1);
+}
+
+double fgx_poisson (unsigned int k, double lambda)
+{
+  double dk = k;
+  double dl = lambda;
+  double p = exp (-dl);
+  while (k > 0) {
+    p *= dl;
+    p /= dk;
+    dk -= 1;
+    k -= 1;
+  }
+  return p;
+}
+
+/* ------------------------------------------------------------------ */
+/* 15-genotype posterior (semantics: src/genotypes.c:10-125)           */
+/* ------------------------------------------------------------------ */
+
+/* negbin mu levels shared by the genotype table */
+enum { MU_ERR, MU_HALF, MU_FULL, MU_15, MU_2, N_MU };
+
+/* (allele-A count level, allele-B count level) per genotype, in the
+ * X,A,B,AA,AB,BB,AAA,AAB,BBA,BBB,AAAA,AAAB,BBBA,AABB,BBBB order of
+ * src/genotypes.h:4-6 */
+static const unsigned char GT_MU[N_GT][2] = {
+  {MU_ERR, MU_ERR},   /* X    */
+  {MU_HALF, MU_ERR},  /* A    */
+  {MU_ERR, MU_HALF},  /* B    */
+  {MU_FULL, MU_ERR},  /* AA   */
+  {MU_HALF, MU_HALF}, /* AB   */
+  {MU_ERR, MU_FULL},  /* BB   */
+  {MU_15, MU_ERR},    /* AAA  */
+  {MU_FULL, MU_HALF}, /* AAB  */
+  {MU_HALF, MU_FULL}, /* BBA  */
+  {MU_ERR, MU_15},    /* BBB  */
+  {MU_2, MU_ERR},     /* AAAA */
+  {MU_15, MU_HALF},   /* AAAB */
+  {MU_HALF, MU_15},   /* BBBA */
+  {MU_FULL, MU_FULL}, /* AABB */
+  {MU_ERR, MU_2},     /* BBBB */
+};
+
+void fgx_genotype_probabilities (double a[], float pB,
+                                 unsigned int var1, unsigned int var2,
+                                 double l_viga, double p_0, double p_1,
+                                 double p_2, double lambda, double size,
+                                 double size2)
+{
+  double p[N_GT];
+  double mu[N_MU], sz[N_MU], q1[N_MU], q2[N_MU];
+  double pb = pB, pa = 1 - pb;
+  double p_lisa, pl1, pl2;
+  unsigned int g, l;
+
+  p[0] = p_0;
+  p[1] = pa * p_1;
+  p[2] = pb * p_1;
+  p[3] = pa * pa * p_2;
+  p[4] = 2 * pa * pb * p_2;
+  p[5] = pb * pb * p_2;
+  p_lisa = 1 - p_0 - p_1 - p_2;
+  if (p_lisa >= 0) {
+    /* sqrtf, not sqrt: the reference computes the 3-copy prior in float
+     * (src/genotypes.c:31) */
+    pl1 = (-1 + sqrtf (1 + 4 * p_lisa)) / 2;
+    pl2 = pl1 * pl1;
+  } else {
+    pl1 = 0;
+    pl2 = 0;
+  }
+  p[6] = fgx_dbinom (3, 3, pa) * pl1;  /* AAA */
+  p[7] = fgx_dbinom (2, 3, pa) * pl1;  /* AAB */
+  p[8] = fgx_dbinom (1, 3, pa) * pl1;  /* BBA */
+  p[9] = fgx_dbinom (0, 3, pa) * pl1;  /* BBB */
+  p[10] = fgx_dbinom (4, 4, pa) * pl2; /* AAAA */
+  p[11] = fgx_dbinom (3, 4, pa) * pl2; /* AAAB */
+  p[12] = fgx_dbinom (1, 4, pa) * pl2; /* BBBA */
+  p[13] = fgx_dbinom (2, 4, pa) * pl2; /* AABB */
+  p[14] = fgx_dbinom (0, 4, pa) * pl2; /* BBBB */
+
+  /* mu / size per coverage level; groupings must match the reference's
+   * inline expressions (e.g. size + size2 * lambda / 2 groups as
+   * size + ((size2 * lambda) / 2)) */
+  mu[MU_ERR] = l_viga;
+  sz[MU_ERR] = size + size2 * l_viga;
+  mu[MU_HALF] = lambda / 2;
+  sz[MU_HALF] = size + size2 * lambda / 2;
+  mu[MU_FULL] = lambda;
+  sz[MU_FULL] = size + size2 * lambda;
+  mu[MU_15] = lambda * 1.5;
+  sz[MU_15] = size + size2 * lambda * 1.5;
+  mu[MU_2] = lambda * 2;
+  sz[MU_2] = size + size2 * lambda * 2;
+  for (l = 0; l < N_MU; l++) {
+    q1[l] = fgx_dnbinom_mu (var1, sz[l], mu[l]);
+    q2[l] = fgx_dnbinom_mu (var2, sz[l], mu[l]);
+  }
+  for (g = 0; g < N_GT; g++) {
+    a[g] = q1[GT_MU[g][0]] * q2[GT_MU[g][1]] * p[g];
+  }
+}
+
+/* ------------------------------------------------------------------ */
+/* batch posterior for printing (semantics: src/gmer_caller.c:363-388) */
+/* ------------------------------------------------------------------ */
+
+void fgx_genotype_batch (const unsigned short *counts /* 2n */,
+                         unsigned int n, float pB, const float params[7],
+                         double *out_a /* n*15 */, double *out_sum,
+                         unsigned int *out_best)
+{
+  unsigned int i, j;
+  for (i = 0; i < n; i++) {
+    double *a = out_a + (size_t) i * N_GT;
+    double best;
+    fgx_genotype_probabilities (a, pB, counts[2 * i], counts[2 * i + 1],
+                                params[0], params[1], params[2], params[3],
+                                params[4], params[5], params[6]);
+    out_sum[i] = a[0];
+    out_best[i] = 0;
+    best = a[0];
+    for (j = 1; j < N_GT; j++) {
+      out_sum[i] += a[j];
+      if (a[j] > best) {
+        out_best[i] = j;
+        best = a[j];
+      }
+    }
+  }
+}
+
+/* ------------------------------------------------------------------ */
+/* training objective (semantics: src/gmer_caller.c:811-914)           */
+/* ------------------------------------------------------------------ */
+
+#define MIN_P (1.0f / 8192)
+#define MAX_E 0.25f
+
+static float logit_clamped (float p, float min, float max)
+{
+  if (p <= min) p = min;
+  else if (p >= max) p = max;
+  else p = (p - min) / (max - min);
+  return logf (p / (1 - p));
+}
+
+static float logit_1_clamped (float a, float min, float max)
+{
+  a = 1 / (1 + expf (-a));
+  return min + (max - min) * a;
+}
+
+typedef struct {
+  const unsigned int *var1;
+  const unsigned int *var2;
+  unsigned int n_calls;
+  float pB;
+  float lambda_est;
+  float lambda_sigma;
+  unsigned int n_chunks;
+  unsigned int chunk_size;
+} Objective;
+
+static double chunk_neg_loglik (const Objective *obj, unsigned int first,
+                                unsigned int count, float l_viga, float p_0,
+                                float p_1, float p_2, float lambda,
+                                float size, float size2)
+{
+  double sum = 0;
+  unsigned int i;
+  for (i = 0; i < count; i++) {
+    double a[N_GT];
+    double call_sum = 0;
+    int j;
+    fgx_genotype_probabilities (a, obj->pB, obj->var1[first + i],
+                                obj->var2[first + i], l_viga, p_0, p_1, p_2,
+                                lambda, size, size2);
+    for (j = 0; j < N_GT; j++) call_sum += a[j];
+    if (call_sum < 1e-30) call_sum = 1e-30;
+    sum += log (call_sum);
+  }
+  /* per-chunk coverage prior (float arithmetic, added to the double
+   * chunk sum, src/gmer_caller.c:855-858) */
+  return -sum + count * (obj->lambda_est - lambda) * (obj->lambda_est - lambda)
+         / (obj->lambda_sigma * obj->lambda_sigma);
+}
+
+static float objective_distance (int ndim, const float params[], void *data)
+{
+  Objective *obj = (Objective *) data;
+  float l_viga = logit_1_clamped (params[0], MIN_P, MAX_E);
+  float p_0 = logit_1_clamped (params[1], MIN_P, 1 - MIN_P);
+  float p_1 = logit_1_clamped (params[2], MIN_P, 1 - MIN_P);
+  float p_2 = logit_1_clamped (params[3], MIN_P, 1 - MIN_P);
+  float lambda = expf (params[4]);
+  float size = params[5];
+  float size2 = -expf (params[6]);
+  double result = 0;
+  double delta0, delta1;
+  unsigned int c;
+  (void) ndim;
+  /* chunk sums added in chunk order: this reproduces the reference's
+   * thread-pool fan-out, whose partial sums are combined in thread-index
+   * order regardless of completion order (src/gmer_caller.c:875-880) */
+  for (c = 0; c < obj->n_chunks; c++) {
+    unsigned int first = c * obj->chunk_size;
+    unsigned int count = obj->chunk_size;
+    if (first + count > obj->n_calls) count = obj->n_calls - first;
+    result += chunk_neg_loglik (obj, first, count, l_viga, p_0, p_1, p_2,
+                                lambda, size, size2);
+  }
+  if (p_0 + p_1 + p_2 > 1) {
+    result = result + 10000 - 100000 * (1 - p_0 - p_1 - p_2);
+  }
+  delta0 = size + size2 * lambda / 2;
+  if (delta0 < 0) result = result + 10000 + 100 * delta0;
+  delta1 = size + size2 * l_viga;
+  if (delta1 < 0) result = result + 10000 + 100 * delta1;
+  return (float) result;
+}
+
+/* ------------------------------------------------------------------ */
+/* Nelder-Mead downhill simplex (semantics: src/simplex.c:14-209)      */
+/*                                                                     */
+/* This must track the reference's unusual variant decision-for-       */
+/* decision: restarts perturb the start point with glibc rand(), the   */
+/* contraction failure path tries point reflection through the low     */
+/* vertex and then a quartic line search before collapsing, and all    */
+/* vertex math is float with double-literal promotion.                 */
+/* ------------------------------------------------------------------ */
+
+typedef float (*fgx_objective) (int, const float[], void *);
+
+float fgx_downhill_simplex (int ndim, float mx[], float mdx[], float emax,
+                            int nruns, int niterations, fgx_objective func,
+                            void *data)
+{
+  float mp[26][25];
+  float pb[25], pr[25], prr[25];
+  float y[26];
+  int i, j, run, iter;
+  int ilo = 0, ihi, inhi;
+  int npts = ndim + 1;
+  float al = 1.0, bt = 0.5, gm = 2.0;
+  float ypr, yprr;
+  (void) emax;
+
+  y[0] = func (ndim, mx, data);
+  for (run = 0; run < nruns; run++) {
+    for (i = 0; i < ndim; i++) {
+      for (j = 0; j < npts; j++) mp[j][i] = mx[i];
+      mp[i][i] += mdx[i] * (0.9 + 0.2 * rand () / RAND_MAX) / (5 * run + 1);
+    }
+    for (j = 0; j <= ndim; j++) {
+      for (i = 0; i < ndim; i++) mx[i] = mp[j][i];
+      y[j] = func (ndim, mx, data);
+    }
+    for (iter = 0; iter < niterations; iter++) {
+      ilo = 0;
+      if (y[0] > y[1]) { ihi = 0; inhi = 1; }
+      else { ihi = 1; inhi = 0; }
+      for (i = 0; i < npts; i++) {
+        if (y[i] < y[ilo]) ilo = i;
+        if (y[i] > y[ihi]) { inhi = ihi; ihi = i; }
+        else if (y[i] > y[inhi]) { if (i != ihi) inhi = i; }
+      }
+      /* centroid of all but the worst */
+      for (j = 0; j < ndim; j++) pb[j] = 0.0;
+      for (i = 0; i < npts; i++) {
+        if (i != ihi) for (j = 0; j < ndim; j++) pb[j] += mp[i][j];
+      }
+      for (j = 0; j < ndim; j++) {
+        pb[j] /= ndim;
+        pr[j] = (1.0 + al) * pb[j] - al * mp[ihi][j];
+      }
+      for (j = 0; j < ndim; j++) mx[j] = pr[j];
+      ypr = func (ndim, mx, data);
+      if (ypr <= y[ilo]) {
+        /* expand */
+        for (j = 0; j < ndim; j++) prr[j] = gm * pr[j] + (1.0 - gm) * pb[j];
+        for (j = 0; j < ndim; j++) mx[j] = prr[j];
+        yprr = func (ndim, mx, data);
+        if (ypr > yprr) {
+          for (j = 0; j < ndim; j++) mp[ihi][j] = prr[j];
+          y[ihi] = yprr;
+        } else {
+          for (j = 0; j < ndim; j++) mp[ihi][j] = pr[j];
+          y[ihi] = ypr;
+        }
+      } else if (ypr >= y[inhi]) {
+        if (ypr < y[ihi]) {
+          for (j = 0; j < ndim; j++) mp[ihi][j] = pr[j];
+          y[ihi] = ypr;
+        }
+        /* contract toward centroid */
+        for (j = 0; j < ndim; j++) prr[j] = bt * mp[ihi][j] + (1.0 - bt) * pb[j];
+        for (j = 0; j < ndim; j++) mx[j] = prr[j];
+        yprr = func (ndim, mx, data);
+        if (yprr < y[ihi]) {
+          for (j = 0; j < ndim; j++) mp[ihi][j] = prr[j];
+          y[ihi] = yprr;
+        } else {
+          /* midpoint toward the best vertex */
+          for (j = 0; j < ndim; j++) pr[j] = 0.5 * (mp[ihi][j] + mp[ilo][j]);
+          for (j = 0; j < ndim; j++) mx[j] = pr[j];
+          ypr = func (ndim, mx, data);
+          if (ypr < y[ihi]) {
+            for (j = 0; j < ndim; j++) mp[ihi][j] = pr[j];
+            y[ihi] = ypr;
+          } else {
+            /* reflect the worst through the best */
+            for (j = 0; j < ndim; j++) prr[j] = -mp[ihi][j] + 2.0 * mp[ilo][j];
+            for (j = 0; j < ndim; j++) mx[j] = prr[j];
+            yprr = func (ndim, mx, data);
+            if (yprr < y[ihi]) {
+              for (j = 0; j < ndim; j++) mp[ihi][j] = prr[j];
+              y[ihi] = yprr;
+            } else {
+              /* quartic model line search along (lo -> hi) */
+              float xa = 3 * y[ihi] - 8 * ypr + 6 * y[ilo] - yprr;
+              float xb = y[ihi] - 2 * y[ilo] + yprr;
+              float xc = -0.5 * y[ihi] + 8 * ypr / 3 - 2 * y[ilo] + yprr / 6;
+              float xd = xb * xb - 4 * xa * xc;
+              if (xd > 0) {
+                float lmin = 0.5 * (-xb - sqrt (xd)) / xa;
+                if (isfinite (lmin)) {
+                  for (j = 0; j < ndim; j++)
+                    pr[j] = lmin * mp[ihi][j] + (1 - lmin) * mp[ilo][j];
+                } else {
+                  for (j = 0; j < ndim; j++)
+                    pr[j] = 0.5f * mp[ihi][j] + 0.5f * mp[ilo][j];
+                }
+                for (j = 0; j < ndim; j++) mx[j] = pr[j];
+                ypr = func (ndim, mx, data);
+              }
+              if (ypr < y[ihi]) {
+                for (j = 0; j < ndim; j++) mp[ihi][j] = pr[j];
+                y[ihi] = ypr;
+              } else {
+                /* collapse the worst onto the best */
+                for (j = 0; j < ndim; j++) mp[ihi][j] = mp[ilo][j];
+                y[ihi] = y[ilo];
+              }
+            }
+          }
+        }
+      } else {
+        for (j = 0; j < ndim; j++) mp[ihi][j] = pr[j];
+        y[ihi] = ypr;
+      }
+    }
+    ilo = 0;
+    for (i = 1; i < npts; i++) if (y[i] < y[ilo]) ilo = i;
+    for (i = 0; i < ndim; i++) mx[i] = mp[ilo][i];
+  }
+  return y[ilo];
+}
+
+/* ------------------------------------------------------------------ */
+/* training driver (semantics: src/gmer_caller.c:225-347)              */
+/* ------------------------------------------------------------------ */
+
+void fgx_srand (unsigned int seed) { srand (seed); }
+
+static unsigned long long rand_ull (unsigned long long min_v,
+                                    unsigned long long max_v)
+{
+  unsigned long long delta = max_v - min_v + 1;
+  return min_v + (unsigned long long) (delta * (rand () / (RAND_MAX + 1.0)));
+}
+
+float fgx_allele_freq (const unsigned short *counts, unsigned int n)
+{
+  double ppb = 0, npb = 0;
+  unsigned int i;
+  for (i = 0; i < n; i++) {
+    unsigned int c0 = counts[2 * i], c1 = counts[2 * i + 1];
+    if (c0 + c1) {
+      ppb += (1.0f * c1) / (c0 + c1);
+      npb += 1;
+    }
+  }
+  return npb ? (float) (ppb / npb) : 0;
+}
+
+/* returns 0 if training was aborted (empty sample), 1 otherwise */
+int fgx_train_model (const unsigned short *counts /* 2*ncalls */,
+                     unsigned int ncalls, unsigned int max_training,
+                     unsigned int nruns, float v[7], float *pB,
+                     unsigned int mul, unsigned int nthreads)
+{
+  unsigned int *train;
+  unsigned int ntrain, i, chunk_size;
+  double s0 = 0, s1 = 0, ppb = 0, npb = 0;
+  double mean;
+  float params[7], deltas[7];
+  unsigned int *var1, *var2;
+  Objective obj;
+
+  fgx_init ();
+  ntrain = ncalls < max_training ? ncalls : max_training;
+  /* partial Fisher-Yates over the identity permutation,
+   * one rand_ull(0, ncalls-1) per training slot */
+  train = (unsigned int *) malloc (ncalls * sizeof (unsigned int));
+  for (i = 0; i < ncalls; i++) train[i] = i;
+  for (i = 0; i < ntrain; i++) {
+    unsigned int p = (unsigned int) rand_ull (0, ncalls - 1);
+    unsigned int t = train[i];
+    train[i] = train[p];
+    train[p] = t;
+  }
+
+  for (i = 0; i < ntrain; i++) {
+    unsigned int c0 = counts[2 * train[i]];
+    unsigned int c1 = counts[2 * train[i] + 1];
+    s0 += c0;
+    s1 += c1;
+    if (c0 + c1) {
+      ppb += (1.0f * c1) / (c0 + c1);
+      npb += 1;
+    }
+  }
+  *pB = npb ? (float) (ppb / npb) : 0;
+  mean = (s0 + s1) / ntrain;
+  if (mean == 0) {
+    free (train);
+    return 0;
+  }
+  if (v[4] == 0) v[4] = mul * mean;
+
+  params[0] = logit_clamped (v[0], MIN_P, MAX_E);
+  params[1] = logit_clamped (v[1], MIN_P, 1 - MIN_P);
+  params[2] = logit_clamped (v[2], MIN_P, 1 - MIN_P);
+  params[3] = logit_clamped (v[3], MIN_P, 1 - MIN_P);
+  params[4] = logf (v[4]);
+  params[5] = v[5];
+  params[6] = logf (-v[6]);
+  for (i = 0; i < 7; i++) deltas[i] = params[i] / 10;
+
+  var1 = (unsigned int *) malloc (ntrain * sizeof (unsigned int));
+  var2 = (unsigned int *) malloc (ntrain * sizeof (unsigned int));
+  for (i = 0; i < ntrain; i++) {
+    var1[i] = counts[2 * train[i]];
+    var2[i] = counts[2 * train[i] + 1];
+  }
+  obj.var1 = var1;
+  obj.var2 = var2;
+  obj.n_calls = ntrain;
+  obj.pB = *pB;
+  obj.lambda_est = v[4];
+  obj.lambda_sigma = obj.lambda_est / 4;
+  chunk_size = (ntrain + nthreads - 1) / nthreads;
+  if (chunk_size < 2000) chunk_size = 2000;
+  obj.chunk_size = chunk_size;
+  obj.n_chunks = (ntrain + chunk_size - 1) / chunk_size;
+
+  fgx_downhill_simplex (7, params, deltas, 1e-6, nruns, 100,
+                        objective_distance, &obj);
+
+  v[0] = logit_1_clamped (params[0], MIN_P, MAX_E);
+  v[1] = logit_1_clamped (params[1], MIN_P, 1 - MIN_P);
+  v[2] = logit_1_clamped (params[2], MIN_P, 1 - MIN_P);
+  v[3] = logit_1_clamped (params[3], MIN_P, 1 - MIN_P);
+  v[4] = expf (params[4]);
+  v[5] = params[5];
+  v[6] = -expf (params[6]);
+
+  free (var1);
+  free (var2);
+  free (train);
+  return 1;
+}

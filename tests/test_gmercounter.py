@@ -1,0 +1,187 @@
+"""Differential tests: our gmer_counter vs the compiled reference binary.
+
+Covers text-DB counting (all print options), binary GMDB write
+byte-identity, and cross-implementation binary DB interop.
+"""
+
+import numpy as np
+import pytest
+
+from tests.conftest import run_reference, random_fasta, random_fastq
+
+BASES = np.frombuffer(b"ACGT", np.uint8)
+
+
+def make_db(rng, n_nodes, kmers_per_node, w, dup_word=None):
+    lines = []
+    kmers = []
+    for i in range(n_nodes):
+        ks = ["".join(chr(c) for c in rng.choice(BASES, w))
+              for _ in range(kmers_per_node)]
+        kmers.extend(ks)
+        lines.append(f"SNP{i}\t{kmers_per_node}\t" + "\t".join(ks))
+    return "\n".join(lines) + "\n", kmers
+
+
+def make_reads(rng, kmers, w, n_reads=300, read_len=100, hit_prob=0.5):
+    recs = []
+    for r in range(n_reads):
+        seq = "".join(chr(c) for c in rng.choice(BASES, read_len))
+        if rng.random() < hit_prob:
+            km = kmers[int(rng.integers(len(kmers)))]
+            p = int(rng.integers(0, read_len - w))
+            seq = seq[:p] + km + seq[p + w:]
+        recs.append(f">r{r}\n{seq}")
+    return "\n".join(recs) + "\n"
+
+
+def run_ours(args):
+    import io
+    import sys
+    from genometester4_tpu.cli.gmer_counter import main
+    old = sys.stdout
+    sys.stdout = io.StringIO()
+    try:
+        rc = main(args)
+        outs = sys.stdout.getvalue()
+    finally:
+        sys.stdout = old
+    return rc, outs
+
+
+@pytest.mark.parametrize("w,flags", [
+    (12, []),
+    (12, ["--header", "--total", "--unique"]),
+    (16, ["--stats", "--double_median"]),
+    (25, ["--distribution", "4"]),
+    (12, ["-32", "--total", "--unique"]),
+])
+def test_text_db_counting_identical(tmp_path, rng, w, flags):
+    db_text, kmers = make_db(rng, n_nodes=25, kmers_per_node=2, w=w)
+    reads = make_reads(rng, kmers, w)
+    db = tmp_path / "db.txt"
+    db.write_text(db_text)
+    fa = tmp_path / "reads.fa"
+    fa.write_text(reads)
+
+    ref = run_reference(["gmer_counter", "-db", str(db)] + flags + [str(fa)])
+    assert ref.returncode == 0, ref.stderr
+    rc, out = run_ours(["-db", str(db)] + flags + [str(fa)])
+    assert rc == 0
+    assert out == ref.stdout.decode()
+
+
+def test_fastq_and_multifile(tmp_path, rng):
+    w = 14
+    db_text, kmers = make_db(rng, n_nodes=10, kmers_per_node=3, w=w)
+    db = tmp_path / "db.txt"
+    db.write_text(db_text)
+    fa = tmp_path / "a.fa"
+    fa.write_text(make_reads(rng, kmers, w, n_reads=100))
+    fq = tmp_path / "b.fq"
+    fq.write_text(random_fastq(rng, 100, 60))
+
+    ref = run_reference(["gmer_counter", "-db", str(db), str(fa), str(fq)])
+    assert ref.returncode == 0, ref.stderr
+    rc, out = run_ours(["-db", str(db), str(fa), str(fq)])
+    assert rc == 0
+    assert out == ref.stdout.decode()
+
+
+def test_max_kmers_truncation(tmp_path, rng):
+    w = 12
+    db_text, kmers = make_db(rng, n_nodes=8, kmers_per_node=5, w=w)
+    db = tmp_path / "db.txt"
+    db.write_text(db_text)
+    fa = tmp_path / "reads.fa"
+    fa.write_text(make_reads(rng, kmers, w, n_reads=150))
+    args = ["-db", str(db), "--max_kmers", "3", str(fa)]
+    ref = run_reference(["gmer_counter"] + args)
+    assert ref.returncode == 0, ref.stderr
+    rc, out = run_ours(args)
+    assert rc == 0
+    assert out == ref.stdout.decode()
+
+
+def test_binary_db_write_byte_identical(tmp_path, rng):
+    # w=12 -> nbits 24 <= 28 so the trie root table stays small; trie
+    # branch paths are covered by test_trie_roundtrip_with_branches
+    db_text, _ = make_db(rng, n_nodes=20, kmers_per_node=2, w=12)
+    db = tmp_path / "db.txt"
+    db.write_text(db_text)
+    ref = run_reference(["gmer_counter", "-db", str(db), "-w",
+                         str(tmp_path / "ref.bin")])
+    assert ref.returncode == 0, ref.stderr
+    rc, _ = run_ours(["-db", str(db), "-w", str(tmp_path / "tpu.bin")])
+    assert rc == 0
+    assert (tmp_path / "tpu.bin").read_bytes() == (
+        tmp_path / "ref.bin").read_bytes()
+
+
+def test_binary_db_cross_interop(tmp_path, rng):
+    w = 12
+    db_text, kmers = make_db(rng, n_nodes=12, kmers_per_node=2, w=w)
+    db = tmp_path / "db.txt"
+    db.write_text(db_text)
+    fa = tmp_path / "reads.fa"
+    fa.write_text(make_reads(rng, kmers, w, n_reads=120))
+    run_reference(["gmer_counter", "-db", str(db), "-w",
+                   str(tmp_path / "ref.bin")])
+    run_ours(["-db", str(db), "-w", str(tmp_path / "tpu.bin")])
+
+    # ours reading the reference's binary == reference reading ours
+    ref = run_reference(["gmer_counter", "-dbb", str(tmp_path / "tpu.bin"),
+                         "--total", "--header", str(fa)])
+    assert ref.returncode == 0, ref.stderr
+    rc, out = run_ours(["-dbb", str(tmp_path / "ref.bin"), "--total",
+                        "--header", str(fa)])
+    assert rc == 0
+    ref_lines = ref.stdout.decode().splitlines()
+    our_lines = out.splitlines()
+    # paths in the #BinaryDatabase line differ by design
+    assert ref_lines[1].startswith("#BinaryDatabase")
+    assert our_lines[1].startswith("#BinaryDatabase")
+    assert ref_lines[:1] + ref_lines[2:] == our_lines[:1] + our_lines[2:]
+
+
+def test_trie_roundtrip_with_branches(rng):
+    """Branch/split logic: nbits > nbits_root forces shared-prefix splits.
+    Round-trip (build -> serialize -> walk) must recover every code."""
+    from genometester4_tpu.formats.gmerdb_binary import _TrieSim, _walk_trie
+
+    nbits = 40
+    sim = _TrieSim(nbits, nbits_root=6)  # tiny root -> deep branch chains
+    words = rng.integers(0, 1 << nbits, size=2000, dtype=np.uint64)
+    words = np.unique(words)
+    expect = {}
+    for i, wrd in enumerate(words):
+        code = int(rng.integers(1, 2**31))
+        sim.add_word(int(wrd), code)
+        expect[int(wrd)] = code
+    blob = sim.serialize()
+    got_w, got_c = _walk_trie(np.frombuffer(blob, np.uint8))
+    got = dict(zip(got_w.tolist(), got_c.tolist()))
+    assert got == expect
+
+
+def test_duplicate_kmer_codes_sum(rng):
+    """The reference trie SUMS codes of duplicate canonical k-mers
+    (src/trie.c:272-282); the sorted-array build must reproduce that."""
+    from genometester4_tpu.formats.gmerdb import parse_text_db
+
+    km = "ACGTACGTACGT"
+    text = f"N0\t2\t{km}\tTTTTTTTTTTTA\nN1\t1\t{km}\n"
+    db = parse_text_db(text.encode())
+    assert db is not None
+    # node0/kmer0 code + node1/kmer0 code, both forward (dir computed
+    # per occurrence)
+    from genometester4_tpu.ops.encode import string_to_word, canonical_u64
+    w = canonical_u64(np.array([string_to_word(km)], np.uint64), 12)[0]
+    idx = np.searchsorted(db.sorted_words, w)
+    assert db.sorted_words[idx] == w
+    kb = db.kmer_bits
+    code0 = (1 << kb) | 0
+    code1 = (2 << kb) | 0
+    dir_bit = 0x80000000 if db.kmer_dirs[0] else 0
+    expect = (code0 + code1 + 2 * dir_bit) & 0xFFFFFFFF
+    assert int(db.sorted_codes[idx]) == expect
