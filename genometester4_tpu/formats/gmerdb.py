@@ -263,19 +263,19 @@ def parse_text_db(data: bytes, max_kmers_per_node: int = 1000000000,
 
 
 def _split_line(data: bytes, start: int, end: int, max_tokens: int):
-    """Whitespace tokenizer matching split_line (src/utils.c:217-246):
-    tokens are runs of bytes > 0x20, at most ``max_tokens`` returned."""
+    """Tokenizer matching split_line (src/utils.c:234-248) exactly:
+    a token is a maximal run of bytes >= 0x20 (spaces are INSIDE tokens);
+    each token is followed by exactly one control-character separator, so
+    consecutive tabs yield empty tokens. ``end`` is the newline position."""
     toks = []
     p = start
-    while p < end and len(toks) < max_tokens:
-        while p < end and data[p] <= 0x20:
-            p += 1
-        if p >= end:
-            break
+    while len(toks) < max_tokens and p < end:
         s = p
-        while p < end and data[p] > 0x20:
+        while p < end and data[p] >= 0x20:
             p += 1
         toks.append((s, p))
+        if p < end and data[p] != 0x0A:
+            p += 1
     return toks
 
 

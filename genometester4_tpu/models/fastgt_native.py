@@ -1,0 +1,109 @@
+"""ctypes bindings for the exact-math FastGT kernel library.
+
+The library (native/fastgt_exact.c) reproduces gmer_caller's numerics
+bit-for-bit: the glibc rand() training subsample, the float32 Nelder-Mead
+simplex, and the mixed float/double genotype posterior
+(reference: src/gmer_caller.c, src/genotypes.c, src/binomial.c,
+src/simplex.c).  Compiled on first use into native/ next to the source.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_SRC = os.path.join(_NATIVE_DIR, "fastgt_exact.c")
+_SO = os.path.join(_NATIVE_DIR, "libfastgt_exact.so")
+
+_lock = threading.Lock()
+_lib = None
+
+N_GENOTYPES = 15
+
+
+def _build():
+    # plain x86-64 codegen, no -march/-ffast-math: the reference builds
+    # -O3 with default flags (src/Makefile:168-176), so no FMA
+    # contraction exists to diverge from
+    subprocess.run(
+        ["cc", "-O2", "-Wall", "-shared", "-fPIC", "-fopenmp", _SRC,
+         "-o", _SO, "-lm"],
+        check=True)
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            _build()
+        lib = ctypes.CDLL(_SO)
+        lib.fgx_init()
+        u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+        lib.fgx_srand.argtypes = [ctypes.c_uint]
+        lib.fgx_poisson.restype = ctypes.c_double
+        lib.fgx_poisson.argtypes = [ctypes.c_uint, ctypes.c_double]
+        lib.fgx_allele_freq.restype = ctypes.c_float
+        lib.fgx_allele_freq.argtypes = [u16p, ctypes.c_uint]
+        lib.fgx_train_model.restype = ctypes.c_int
+        lib.fgx_train_model.argtypes = [
+            u16p, ctypes.c_uint, ctypes.c_uint, ctypes.c_uint, f32p,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_uint, ctypes.c_uint]
+        lib.fgx_genotype_batch.argtypes = [
+            u16p, ctypes.c_uint, ctypes.c_float, f32p, f64p, f64p, u32p]
+        _lib = lib
+        return lib
+
+
+def srand(seed: int):
+    get_lib().fgx_srand(seed)
+
+
+def poisson(k: int, lam: float) -> float:
+    return get_lib().fgx_poisson(k, lam)
+
+
+def allele_freq(counts: np.ndarray) -> float:
+    counts = np.ascontiguousarray(counts, np.uint16)
+    return get_lib().fgx_allele_freq(counts, len(counts) // 2)
+
+
+def train_model(counts: np.ndarray, max_training: int, nruns: int,
+                params: np.ndarray, mul: int, nthreads: int):
+    """Train 7 params in place; returns (trained_ok, pB).
+
+    ``counts`` is a flat uint16 [a0,b0,a1,b1,...] array; ``params`` a
+    float32[7] updated in place like the reference's v[]
+    (src/gmer_caller.c:225-347).
+    """
+    counts = np.ascontiguousarray(counts, np.uint16)
+    assert params.dtype == np.float32 and params.flags.c_contiguous
+    pb = ctypes.c_float(0)
+    ok = get_lib().fgx_train_model(counts, len(counts) // 2, max_training,
+                                   nruns, params, ctypes.byref(pb), mul,
+                                   nthreads)
+    return bool(ok), pb.value
+
+
+def genotype_batch(counts: np.ndarray, pB: float, params: np.ndarray):
+    """Posterior for every (a,b) pair: returns (a[n,15], sum[n], best[n])."""
+    counts = np.ascontiguousarray(counts, np.uint16)
+    n = len(counts) // 2
+    out_a = np.empty((n, N_GENOTYPES), np.float64)
+    out_sum = np.empty(n, np.float64)
+    out_best = np.empty(n, np.uint32)
+    get_lib().fgx_genotype_batch(counts, n, pB,
+                                 np.ascontiguousarray(params, np.float32),
+                                 out_a, out_sum, out_best)
+    return out_a, out_sum, out_best

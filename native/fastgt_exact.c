@@ -243,8 +243,14 @@ void fgx_genotype_batch (const unsigned short *counts /* 2n */,
                          double *out_a /* n*15 */, double *out_sum,
                          unsigned int *out_best)
 {
-  unsigned int i, j;
-  for (i = 0; i < n; i++) {
+  long long i;
+  unsigned int j;
+  /* markers are independent and write disjoint slots: parallelism
+   * cannot change any output bit */
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) private(j)
+#endif
+  for (i = 0; i < (long long) n; i++) {
     double *a = out_a + (size_t) i * N_GT;
     double best;
     fgx_genotype_probabilities (a, pB, counts[2 * i], counts[2 * i + 1],
@@ -331,18 +337,30 @@ static float objective_distance (int ndim, const float params[], void *data)
   float size2 = -expf (params[6]);
   double result = 0;
   double delta0, delta1;
-  unsigned int c;
+  double stack_sums[256];
+  double *chunk_sums;
+  int c, n_chunks = (int) obj->n_chunks;
+  chunk_sums = (n_chunks <= 256) ? stack_sums
+               : (double *) malloc (n_chunks * sizeof (double));
   (void) ndim;
-  /* chunk sums added in chunk order: this reproduces the reference's
-   * thread-pool fan-out, whose partial sums are combined in thread-index
-   * order regardless of completion order (src/gmer_caller.c:875-880) */
-  for (c = 0; c < obj->n_chunks; c++) {
+  /* chunk sums are combined in chunk order AFTER the parallel section:
+   * this reproduces the reference's thread-pool fan-out, whose partial
+   * sums are added in thread-index order regardless of completion order
+   * (src/gmer_caller.c:875-880) — so OpenMP here cannot change the
+   * result bit (each chunk's serial sum is unchanged, and the final
+   * reduction order is fixed) */
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+  for (c = 0; c < n_chunks; c++) {
     unsigned int first = c * obj->chunk_size;
     unsigned int count = obj->chunk_size;
     if (first + count > obj->n_calls) count = obj->n_calls - first;
-    result += chunk_neg_loglik (obj, first, count, l_viga, p_0, p_1, p_2,
-                                lambda, size, size2);
+    chunk_sums[c] = chunk_neg_loglik (obj, first, count, l_viga, p_0, p_1,
+                                      p_2, lambda, size, size2);
   }
+  for (c = 0; c < n_chunks; c++) result += chunk_sums[c];
+  if (chunk_sums != stack_sums) free (chunk_sums);
   if (p_0 + p_1 + p_2 > 1) {
     result = result + 10000 - 100000 * (1 - p_0 - p_1 - p_2);
   }
