@@ -135,7 +135,7 @@ def main(argv=None) -> int:
 
     from genometester4_tpu.formats.gmerdb import load_text_db
     from genometester4_tpu.pipelines.gmercount import (
-        DBCounter, format_counts, pair_median)
+        DBCounter, format_counts, pair_median, write_index_db)
 
     db = None
     if db_name:
@@ -165,7 +165,8 @@ def main(argv=None) -> int:
             write_binary_db(db, f)
 
     if seqnames:
-        counter = DBCounter(db, collect_stats=bool(stats))
+        counter = DBCounter(db, collect_stats=bool(stats),
+                            build_index=bool(index_name))
         for path in seqnames:
             if path != "-" and not os.path.exists(path):
                 sys.stderr.write(f"Cannot open {path}\n")
@@ -173,11 +174,9 @@ def main(argv=None) -> int:
             counter.add_file(path)
         counts = counter.result.clamped(db.count_bits)
 
+        read_index = None
         if index_name:
-            sys.stderr.write(
-                "gmer_counter: --compile_index is not implemented yet in "
-                "genometester4_tpu\n")
-            return 1
+            read_index = write_index_db(db, counter, seqnames, index_name)
 
         if not silent:
             out = sys.stdout
@@ -200,7 +199,7 @@ def main(argv=None) -> int:
                 out.write("#LIST_KMER_GC\t%.3f\n" % (st.n_kmer_gc / denom
                                                      if denom else float("nan")))
             format_counts(db, counts, bool(total), bool(unique), bool(kmers),
-                          distro, bool(header), out)
+                          distro, bool(header), out, read_index=read_index)
     return 0
 
 

@@ -262,7 +262,9 @@ def _walk_trie(blob: np.ndarray):
 
 def write_binary_db(db: GmerDB, f, write_counts: bool = False,
                     counts: np.ndarray | None = None,
-                    index_blob: bytes | None = None) -> int:
+                    index_blob: bytes | None = None,
+                    index_physical: int | None = None,
+                    index_blocksize: int | None = None) -> int:
     """Serialize ``db`` byte-identically to write_db_to_file
     (src/database.c:285-395)."""
     names_blob = b"".join(n + b"\0" for n in db.names)
@@ -279,9 +281,11 @@ def write_binary_db(db: GmerDB, f, write_counts: bool = False,
 
     trie_blob = build_trie_blob(db)
     if index_blob is None:
-        index_blob, index_physical = _empty_index_blob()
-    else:
+        index_blob, index_physical, _bbs = _empty_index_blob()
+    elif index_physical is None:
         index_physical = len(index_blob)
+    if index_blocksize is None:
+        index_blocksize = _pad16(len(index_blob))
 
     f.write(b"GMDB")
     f.write(struct.pack("<HH", 0, 4))
@@ -312,20 +316,23 @@ def write_binary_db(db: GmerDB, f, write_counts: bool = False,
     block(trie_blob)
     # final block: the reference never materializes the trailing
     # alignment pad (it is a seek hole at EOF), so write only the
-    # physical bytes while recording the padded blocksize
+    # physical bytes while recording the (possibly buggy) blocksize
     starts.append(written)
-    f.write(struct.pack("<Q", _pad16(len(index_blob))))
+    f.write(struct.pack("<Q", index_blocksize))
     f.write(index_blob[:index_physical])
     end = written + 8 + index_physical
 
     f.seek(48)
     f.write(struct.pack("<QQQQQ", *starts))
     f.seek(end)
-    f.truncate()
+    try:
+        f.truncate()
+    except OSError:
+        pass  # non-regular sink (e.g. /dev/null)
     return written + 8 + _pad16(len(index_blob))
 
 
-def _empty_index_blob() -> tuple[bytes, int]:
+def _empty_index_blob() -> tuple[bytes, int, int]:
     """The empty read index gt4_index_write produces for a DB with no
     index (src/index.c:101-166 with an all-zero GT4Index): 80 padded
     bytes, 72 physical."""

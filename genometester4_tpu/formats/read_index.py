@@ -103,10 +103,16 @@ def pack_read_index(nbits_file: int, nbits_npos: int, nbits_kmer: int,
     """Serialize byte-identically to gt4_index_write_with_reads_callback
     (src/index.c:101-166).
 
-    Returns ``(blob, physical_len)``: the reference's trailing alignment
-    pad is a seek hole never materialized on disk when the index is the
-    file's last block, so the physical length ends at the last actual
-    write (the 48..72 starts-table rewrite is always the final one).
+    Returns ``(blob, physical_len, buggy_blocksize)``:
+
+    * the reference's trailing alignment pad is a seek hole never
+      materialized on disk when the index is the file's last block, so
+      ``physical_len`` ends at the last actual write;
+    * ``buggy_blocksize`` is what gmer_counter --compile_index records
+      as the index blocksize: its write_reads callback returns the READ
+      COUNT where bytes are expected (src/gmer_counter.c:482-521 vs
+      src/index.c:155), so the stored blocksize is
+      pad16(reads_start + n_reads) instead of the real size.
     """
     out = bytearray()
     out += struct.pack("<I", (ord("G") << 24) | (ord("T") << 16)
@@ -136,4 +142,5 @@ def pack_read_index(nbits_file: int, nbits_npos: int, nbits_kmer: int,
         out += b"\0"
     struct.pack_into("<QQQ", out, starts_at, files_start, blocks_start,
                      reads_start)
-    return bytes(out), max(physical, starts_at + 24)
+    buggy_blocksize = (reads_start + len(reads) + 15) & ~15
+    return bytes(out), max(physical, starts_at + 24), buggy_blocksize

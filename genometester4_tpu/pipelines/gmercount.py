@@ -42,6 +42,7 @@ from genometester4_tpu.ops.encode import split_u64
 from genometester4_tpu.ops.kmers import extract_kmers
 from genometester4_tpu.ops.lookup import batched_lookup_pair, lookup_steps
 from genometester4_tpu.ops.sortcount import count_unique
+from genometester4_tpu.pipelines.listmaker import pad_pow2_chunk
 
 DEFAULT_CHUNK_BASES = 1 << 24
 
@@ -87,14 +88,48 @@ def _make_count_fn(k: int, steps: int):
     return run
 
 
+def _make_index_fn(k: int, steps: int):
+    """Index-mode device program: like the count path but compacting
+    per-hit (code, window position, direction) triples in stream order
+    (scatter-free compaction via ops.sortcount.sort_compact)."""
+    from genometester4_tpu.ops.encode import canonical_pair
+    from genometester4_tpu.ops.sortcount import sort_compact
+
+    @jax.jit
+    def run(codes, thi, tlo, tcode, n_words):
+        fhi, flo, valid = extract_kmers(codes, k, canonical=False)
+        chi, clo = canonical_pair(fhi, flo, k)
+        # dir = canonical word != forward word (src/gmer_counter.c:911)
+        is_rc = ~((chi == fhi) & (clo == flo))
+        found, code, _ = batched_lookup_pair(thi, tlo, tcode, n_words,
+                                             chi, clo, steps=steps)
+        hit = found & valid
+        n = code.shape[0]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(n)
+        n_hit, hcode, hpos, hdir = sort_compact(hit, code, pos,
+                                                is_rc.astype(jnp.uint8))
+        return (n_hit, hcode, hpos, hdir,
+                jnp.sum(valid.astype(jnp.int32)))
+
+    return run
+
+
 class DBCounter:
-    """Accumulates DB k-mer counts across files/chunks on device."""
+    """Accumulates DB k-mer counts across files/chunks on device.
+
+    With ``build_index=True`` every hit's (code, record, position,
+    direction) is also collected — the data for --compile_index
+    (src/gmer_counter.c:523-623).
+    """
 
     def __init__(self, db: GmerDB, chunk_bases: int = DEFAULT_CHUNK_BASES,
-                 collect_stats: bool = False):
+                 collect_stats: bool = False, build_index: bool = False):
         self.db = db
         self.chunk_bases = chunk_bases
         self.collect_stats = collect_stats
+        self.build_index = build_index
+        # per-hit arrays in stream order, one entry per add_file
+        self.hits: list[dict] = []
         self.result = CountResult(np.zeros(db.n_kmers, np.uint64))
         # device table (padded to pow2)
         n = len(db.sorted_words)
@@ -109,6 +144,8 @@ class DBCounter:
         self._tcode = jnp.asarray(c)
         self._n = np.int32(n)
         self._run = _make_count_fn(db.wordsize, lookup_steps(cap))
+        self._run_idx = (_make_index_fn(db.wordsize, lookup_steps(cap))
+                         if build_index else None)
         # per-slot GC counts for --stats. Bug-compat: the reference
         # re-reads the UNSHIFTED word every loop iteration
         # (src/gmer_counter.c:798-803 redeclares `word` inside the loop),
@@ -125,14 +162,74 @@ class DBCounter:
             st.n_nucl += int((parsed.codes < 4).sum())
             st.n_gc += int(((parsed.codes == 1) | (parsed.codes == 2)).sum())
             st.n_seq = st.n_nucl + parsed.count_n
-        self._add_codes(parsed.codes)
+        if self.build_index:
+            self._add_codes_indexed(parsed)
+        else:
+            self._add_codes(parsed.codes)
+
+    def _add_codes_indexed(self, parsed):
+        """Index-mode ingestion: collect per-hit location data.
+
+        kmer_pos counts printable sequence characters (our code array
+        keeps one slot per printable char, N included, so the window
+        offset within the record IS the reference's seq_npos-based
+        position, src/fasta.c:252-266,908-911); the Read bitfield
+        truncates it to 18 bits (src/database.h:56-60). name_pos is the
+        absolute byte offset of the record name (src/fasta.c:141,188).
+        """
+        codes = parsed.codes
+        k = self.db.wordsize
+        n = len(codes)
+        file_idx = len(self.hits)
+        rec_starts = parsed.rec_starts
+        name_pos_abs = (parsed._name_spans[:, 0].astype(np.int64)
+                        if parsed._name_spans is not None
+                        else np.zeros(len(rec_starts), np.int64))
+        gpos_l, code_l, dir_l = [], [], []
+        if n >= k:
+            step = self.chunk_bases - (k - 1)
+            for start in range(0, max(n - (k - 1), 1), step):
+                chunk = pad_pow2_chunk(codes[start:start + self.chunk_bases],
+                                       self.chunk_bases)
+                n_hit, hcode, hpos, hdir, n_valid = self._run_idx(
+                    jnp.asarray(chunk), self._thi, self._tlo, self._tcode,
+                    self._n)
+                m = int(n_hit)
+                code_l.append(np.asarray(hcode[:m]))
+                gpos_l.append(np.asarray(hpos[:m]).astype(np.int64) + start)
+                dir_l.append(np.asarray(hdir[:m]))
+                if self.collect_stats:
+                    self.result.stats.n_kmers_total += int(n_valid)
+        code_a = (np.concatenate(code_l) if code_l
+                  else np.empty(0, np.uint32))
+        gpos = (np.concatenate(gpos_l) if gpos_l
+                else np.empty(0, np.int64))
+        dirs = (np.concatenate(dir_l) if dir_l
+                else np.empty(0, np.uint8))
+        rec = np.searchsorted(rec_starts, gpos, side="right") - 1
+        kmer_pos = (gpos - rec_starts[rec]) & 0x3FFFF
+        node, kmer, ok = self.db.decode(code_a)
+        if not ok.all():
+            sys.stderr.write("DB inconsistency: invalid code in index mode\n")
+            rec, kmer_pos, dirs = rec[ok], kmer_pos[ok], dirs[ok]
+            node, kmer = node[ok], kmer[ok]
+        slots = self.db.flat_slot(node, kmer)
+        np.add.at(self.result.counts, slots, 1)
+        if self.collect_stats:
+            st = self.result.stats
+            st.n_kmers += len(slots)
+            st.n_kmer_gc += int(self._slot_gc[slots].sum())
+        self.hits.append(dict(file_idx=file_idx, slot=slots,
+                              subseq=rec.astype(np.int64),
+                              kmer_pos=kmer_pos.astype(np.int64),
+                              name_pos=name_pos_abs[rec],
+                              dir=dirs.astype(np.uint64)))
 
     def _add_codes(self, codes: np.ndarray):
         k = self.db.wordsize
         n = len(codes)
         if n < k:
             return
-        from genometester4_tpu.pipelines.listmaker import pad_pow2_chunk
         step = self.chunk_bases - (k - 1)
         for start in range(0, max(n - (k - 1), 1), step):
             chunk = pad_pow2_chunk(codes[start:start + self.chunk_bases],
@@ -164,6 +261,88 @@ class DBCounter:
                 st.n_kmers_total += int(n_valid)
                 st.n_kmers += int(counts_u.sum())
                 st.n_kmer_gc += int((self._slot_gc[slots] * counts_u).sum())
+
+
+def _index_nbits(maxval: int) -> int:
+    """src/gmer_counter.c:587-603: nbits=1; while (max > 1) {nbits++;
+    max/=2;}"""
+    nbits = 1
+    while maxval > 1:
+        nbits += 1
+        maxval //= 2
+    return nbits
+
+
+def build_read_index(db: GmerDB, counter: DBCounter, file_names: list[str]):
+    """Assemble the KATK read index from collected hits
+    (src/gmer_counter.c:523-623).
+
+    Per-k-mer read lists come out in REVERSE encounter order because the
+    reference prepends to singly-linked ReadLists
+    (src/gmer_counter.c:805-810), and FILES are encountered in reverse
+    argv order because equal-priority tasks push onto the queue head
+    (src/queue.c:158-160) — so within a k-mer: file_idx ascending,
+    stream position descending. Byte-identity versus the reference holds
+    for --num_threads 1 (multi-threaded runs interleave blocks
+    nondeterministically).
+    """
+    from genometester4_tpu.formats.read_index import ReadIndex
+
+    slot = np.concatenate([h["slot"] for h in counter.hits]) \
+        if counter.hits else np.empty(0, np.int64)
+    n = len(slot)
+    gidx = np.concatenate(
+        [np.arange(len(h["slot"]), dtype=np.int64) for h in counter.hits]) \
+        if counter.hits else np.empty(0, np.int64)
+    file_idx = np.concatenate(
+        [np.full(len(h["slot"]), h["file_idx"], np.uint64)
+         for h in counter.hits]) if counter.hits else np.empty(0, np.uint64)
+    subseq = np.concatenate([h["subseq"] for h in counter.hits]) \
+        if counter.hits else np.empty(0, np.int64)
+    kmer_pos = np.concatenate([h["kmer_pos"] for h in counter.hits]) \
+        if counter.hits else np.empty(0, np.int64)
+    name_pos = np.concatenate([h["name_pos"] for h in counter.hits]) \
+        if counter.hits else np.empty(0, np.int64)
+    dirs = np.concatenate([h["dir"] for h in counter.hits]) \
+        if counter.hits else np.empty(0, np.uint64)
+
+    nbits_file = _index_nbits(len(file_names) - 1 if file_names else 0)
+    nbits_npos = _index_nbits(int(name_pos.max(initial=0)))
+    nbits_kmer = _index_nbits(int(kmer_pos.max(initial=0)))
+
+    # group by kmer slot; within a slot: file ascending, position
+    # descending (see docstring)
+    order = np.lexsort((-gidx, file_idx, slot))
+    reads = ((dirs[order] << np.uint64(nbits_file + nbits_npos + nbits_kmer))
+             | (file_idx[order] << np.uint64(nbits_npos + nbits_kmer))
+             | (name_pos[order].astype(np.uint64) << np.uint64(nbits_kmer))
+             | kmer_pos[order].astype(np.uint64))
+    per_slot = np.bincount(slot, minlength=db.n_kmers).astype(np.uint64)
+    read_blocks = np.zeros(db.n_kmers, np.uint64)
+    if db.n_kmers:
+        read_blocks[1:] = np.cumsum(per_slot)[:-1]
+    ri = ReadIndex(nbits_file, nbits_npos, nbits_kmer,
+                   [f.encode() for f in file_names], read_blocks, reads)
+    # bookkeeping for the verbose per-kmer (src/subseq/pos) dump
+    ri._print_info = (slot, file_idx, subseq, kmer_pos, gidx)  # type: ignore
+    return ri
+
+
+def write_index_db(db: GmerDB, counter: DBCounter, file_names: list[str],
+                   path: str):
+    """gmer_counter --compile_index: GMDB (no counts) + read index."""
+    from genometester4_tpu.formats.read_index import pack_read_index
+    from genometester4_tpu.formats.gmerdb_binary import write_binary_db
+    ri = build_read_index(db, counter, file_names)
+    blob, physical, buggy_bs = pack_read_index(ri.nbits_file, ri.nbits_npos,
+                                               ri.nbits_kmer, ri.files,
+                                               ri.read_blocks, ri.reads)
+    with open(path, "wb") as f:
+        # gmer_counter's write_reads returns a read COUNT where bytes are
+        # expected, so the recorded blocksize is too small — reproduced
+        write_binary_db(db, f, index_blob=blob, index_physical=physical,
+                        index_blocksize=buggy_bs)
+    return ri
 
 
 def pair_median(db: GmerDB, counts_clamped: np.ndarray) -> int:
@@ -212,7 +391,7 @@ def pair_median(db: GmerDB, counts_clamped: np.ndarray) -> int:
 
 def format_counts(db: GmerDB, counts: np.ndarray, show_total: bool,
                   show_unique: bool, show_kmers: bool, distro: int,
-                  header: bool, out) -> None:
+                  header: bool, out, read_index=None) -> None:
     """Per-node output lines (src/gmer_counter.c:625-711).
 
     Bug-compat: the reference's --unique tests ``kmers_16[idx]`` even in
@@ -236,6 +415,13 @@ def format_counts(db: GmerDB, counts: np.ndarray, show_total: bool,
     counts = counts.astype(np.uint64)
     if show_unique and db.count_bits == 32:
         aliased16 = counts.astype(np.uint32).view(np.uint16)
+    idx_info = None
+    if read_index is not None and hasattr(read_index, "_print_info"):
+        slot, file_idx, subseq, kmer_pos, gidx = read_index._print_info
+        order = np.lexsort((-gidx, file_idx, slot))
+        idx_info = (slot[order], file_idx[order], subseq[order],
+                    kmer_pos[order],
+                    np.searchsorted(slot[order], np.arange(db.n_kmers + 1)))
     lines = []
     for i in range(db.n_nodes):
         c = counts[starts[i]:starts[i] + nks[i]]
@@ -255,7 +441,16 @@ def format_counts(db: GmerDB, counts: np.ndarray, show_total: bool,
             hist = np.bincount(np.minimum(sc, distro + 1).astype(np.int64),
                                minlength=distro + 2)
             parts.extend(str(int(hist[v])) for v in range(distro + 1))
-        lines.append("\t".join(parts))
+        line = "\t".join(parts)
+        if idx_info is not None:
+            _, fi, ss, kp, bounds = idx_info
+            segs = []
+            for j in range(int(nks[i])):
+                s0, s1 = bounds[starts[i] + j], bounds[starts[i] + j + 1]
+                for r in range(s0, s1):
+                    segs.append(" (%u/%u/%u)" % (fi[r], ss[r], kp[r]))
+            line += "".join(segs)
+        lines.append(line)
         if len(lines) >= 4096:
             out.write("\n".join(lines) + "\n")
             lines = []

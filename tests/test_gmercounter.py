@@ -185,3 +185,67 @@ def test_duplicate_kmer_codes_sum(rng):
     dir_bit = 0x80000000 if db.kmer_dirs[0] else 0
     expect = (code0 + code1 + 2 * dir_bit) & 0xFFFFFFFF
     assert int(db.sorted_codes[idx]) == expect
+
+
+def make_fastq_reads(rng, kmers, w, n_reads=200, read_len=80, hit_prob=0.6):
+    recs = []
+    for r in range(n_reads):
+        seq = "".join(chr(c) for c in rng.choice(BASES, read_len))
+        if rng.random() < hit_prob:
+            km = kmers[int(rng.integers(len(kmers)))]
+            p = int(rng.integers(0, read_len - w))
+            seq = seq[:p] + km + seq[p + w:]
+        recs.append(f"@rd{r}\n{seq}\n+\n{'I' * read_len}")
+    return "\n".join(recs) + "\n"
+
+
+def test_compile_index_byte_identical(tmp_path, rng):
+    """--compile_index: GMDB + read index file must match the reference
+    byte for byte (reference run single-threaded: its per-kmer read
+    list order is thread-schedule-dependent otherwise)."""
+    w = 12
+    db_text, kmers = make_db(rng, n_nodes=15, kmers_per_node=2, w=w)
+    (tmp_path / "db.txt").write_text(db_text)
+    (tmp_path / "reads.fq").write_text(make_fastq_reads(rng, kmers, w))
+    # N bases inside reads exercise the printable-position semantics
+    fa_extra = make_reads(rng, kmers, w, n_reads=50)
+    fa_extra = fa_extra.replace("A", "N", 1)
+    (tmp_path / "extra.fa").write_text(fa_extra)
+
+    ref = run_reference(
+        ["gmer_counter", "-db", "db.txt", "--compile_index", "ref.idx",
+         "--num_threads", "1", "reads.fq", "extra.fa"], cwd=tmp_path)
+    assert ref.returncode == 0, ref.stderr
+    import os
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        rc, out = run_ours(["-db", "db.txt", "--compile_index", "tpu.idx",
+                            "--num_threads", "1", "reads.fq", "extra.fa"])
+    finally:
+        os.chdir(old)
+    assert rc == 0
+    assert (tmp_path / "tpu.idx").read_bytes() == (
+        tmp_path / "ref.idx").read_bytes()
+
+
+def test_compile_index_verbose_dump(tmp_path, rng):
+    w = 12
+    db_text, kmers = make_db(rng, n_nodes=10, kmers_per_node=2, w=w)
+    (tmp_path / "db.txt").write_text(db_text)
+    (tmp_path / "reads.fq").write_text(
+        make_fastq_reads(rng, kmers, w, n_reads=80))
+    ref = run_reference(
+        ["gmer_counter", "-db", "db.txt", "--compile_index", "ref.idx",
+         "--verbose", "--num_threads", "1", "reads.fq"], cwd=tmp_path)
+    assert ref.returncode == 0, ref.stderr
+    import os
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        rc, out = run_ours(["-db", "db.txt", "--compile_index", "tpu.idx",
+                            "--verbose", "--num_threads", "1", "reads.fq"])
+    finally:
+        os.chdir(old)
+    assert rc == 0
+    assert out == ref.stdout.decode()
