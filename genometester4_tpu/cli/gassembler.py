@@ -1,0 +1,484 @@
+"""gassembler CLI — flag-compatible with the reference
+(src/gassembler.c:646-930).
+
+Usage: gassembler --dbi FILENAME --region_file FILENAME [ARGUMENTS]
+
+Single-threaded region processing reproduces the reference's
+--num_threads 1 output byte for byte (its multi-threaded output depends
+on thread scheduling: per-kmer read subsampling consumes a shared
+rand() stream and blocks finish out of order).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+REF_VERSION_3 = "4.2.16"
+
+from genometester4_tpu.pipelines.gassemble import (
+    A, C, G, T, N, GAP, NONE, CHR_NAMES, CHR_MT, N2C, Assembler, Call,
+    CallBlock, Params, Region, SeqFiles, auto_sex, chr_from_string,
+    find_coverage)
+
+MAX_KMERS = 1024
+
+
+def _split_line(data: bytes, pos: int, max_tokens: int):
+    toks = []
+    p = pos
+    n = len(data)
+    while len(toks) < max_tokens and p < n and data[p] != 0x0A:
+        s = p
+        while p < n and data[p] >= 0x20:
+            p += 1
+        toks.append((s, p))
+        if p < n and data[p] != 0x0A:
+            p += 1
+    return toks
+
+
+def print_header(out, params: Params):
+    out.write("CHR\tPOS\tSUB\tREF\tCOV\tCALL\tCLASS\tP\tPMUT")
+    if params.print_extra > 1:
+        out.write("\tPREV")
+    if params.print_extra > 0:
+        out.write("\tA\tC\tG\tT\tGAP")
+    if params.print_extra > 1:
+        out.write("\tPROB\tRPROB\tHZPROB\tEDIST\tGRP_ALL\tGRP\tDIV0\tDIV1"
+                  "\tG0\tG1\tG0_COMP\tG1_COMP\tCOMP_2")
+
+
+def print_call(out, cb: CallBlock, call: Call, params: Params):
+    """src/gassembler.c:355-392."""
+    out.write("%s\t%u\t%u\t%c\t%u" % (CHR_NAMES[cb.chr], call.pos, call.sub,
+                                      N2C[call.ref], call.cov))
+    q32 = float(np.float32(call.q))
+    pd32 = float(np.float32(call.p_det))
+    if (call.ref != N and call.cov >= params.min_coverage
+            and q32 >= params.min_p
+            and (call.poly or pd32 >= params.min_pmut)
+            and call.nucl[0] != NONE):
+        out.write("\t%c%c" % (N2C[call.nucl[0]], N2C[call.nucl[1]]))
+    else:
+        out.write("\tNC")
+    if call.ref == GAP:
+        out.write("\tI")
+    elif call.nucl[1] == GAP:
+        out.write("\tD")
+    elif call.poly:
+        out.write("\tS")
+    else:
+        out.write("\t0")
+    out.write("\t%.3f" % q32)
+    out.write("\t%.3f" % pd32)
+    if params.print_extra > 1:
+        out.write("\t%c" % call.prev_ref)
+    if params.print_extra > 0:
+        out.write("\t%u\t%u\t%u\t%u\t%u" % (
+            call.counts[A], call.counts[C], call.counts[G], call.counts[T],
+            call.counts[GAP]))
+    if params.print_extra > 1:
+        e = call.extra
+        out.write("\t%.5f\t%.5f\t%.5f" % (
+            float(np.float32(e.get("prob", 0.0))),
+            float(np.float32(e.get("rprob", 0.0))),
+            float(np.float32(e.get("hzprob", 0.0)))))
+        out.write("\t%2u" % e.get("end_dist", 0))
+        out.write("\t%2u\t%2u\t%2u\t%2u" % (
+            e.get("n_groups_total", 0), e.get("n_groups", 0),
+            e.get("div_0", 0), e.get("div_1", 0)))
+        out.write("\t%2u\t%2u\t%2u\t%2u\t%2u" % (
+            e.get("max_cov_0", 0), e.get("max_cov_1", 0),
+            e.get("compat_0", 0), e.get("compat_1", 0),
+            e.get("compat_both", 0)))
+
+
+class OutputQueue:
+    """CallBlock retirement in genomic order (src/gassembler.c:245-538)."""
+
+    def __init__(self, out, params: Params):
+        self.out = out
+        self.p = params
+        self.processing: list[CallBlock] = []
+        self.finished: list[CallBlock] = []
+        self.last_chr = 0
+        self.last_pos = 0
+
+    def start_block(self, cb: CallBlock):
+        self.processing.insert(0, cb)
+
+    def finish_block(self, cb: CallBlock):
+        self.processing.remove(cb)
+        self.finished.insert(0, cb)
+
+    def flush(self):
+        min_chr_p = min_start_p = 0xFFFFFFFF
+        for cb in self.processing:
+            if (cb.chr < min_chr_p
+                    or (cb.chr == min_chr_p and cb.start < min_start_p)):
+                min_chr_p, min_start_p = cb.chr, cb.start
+        while self.finished:
+            cb_f = None
+            min_chr_f = min_start_f = 0xFFFFFFFF
+            for cb in self.finished:
+                if (cb.chr < min_chr_f
+                        or (cb.chr == min_chr_f and cb.start < min_start_f)):
+                    min_chr_f, min_start_f, cb_f = cb.chr, cb.start, cb
+            if cb_f is None:
+                return
+            if cb_f.chr > min_chr_p:
+                return
+            if cb_f.chr == min_chr_p and cb_f.end > min_start_p:
+                return
+            if self.p.output == 0:
+                self._print_poly_best(cb_f, only_poly=True)
+            elif self.p.output == 1:
+                self._print_poly_best(cb_f, only_poly=False)
+            else:
+                self._print_all(cb_f)
+            self.finished.remove(cb_f)
+
+    def _print_poly_best(self, cb_f: CallBlock, only_poly: bool):
+        """src/gassembler.c:394-463."""
+        for pos in range(cb_f.start, cb_f.end):
+            if cb_f.chr == self.last_chr and pos <= self.last_pos:
+                continue
+            best_cb = cb_f
+            best_p = 0.0
+            has_poly = 0
+            for ccb in self.finished:
+                local_poly = 0
+                if ccb.chr > cb_f.chr:
+                    continue
+                if ccb.start > pos:
+                    continue
+                for call in ccb.calls:
+                    if call.pos > pos:
+                        break
+                    if call.pos != pos:
+                        continue
+                    if call.poly:
+                        local_poly = 1
+                    if call.p < best_p:
+                        continue
+                    best_cb = ccb
+                    best_p = call.p
+                if best_cb is ccb:
+                    has_poly = local_poly
+            if only_poly:
+                if has_poly:
+                    for call in best_cb.calls:
+                        if call.pos > pos:
+                            break
+                        if call.pos != pos:
+                            continue
+                        if call.q >= self.p.min_p:
+                            if call.poly:
+                                print_call(self.out, best_cb, call, self.p)
+                                self.out.write("\n")
+                        else:
+                            print_call(self.out, best_cb, call, self.p)
+                            self.out.write("\n")
+                            break
+                else:
+                    for call in best_cb.calls:
+                        if call.pos > pos:
+                            break
+                        if call.pos != pos:
+                            continue
+                        if call.p_det < self.p.min_pmut:
+                            print_call(self.out, best_cb, call, self.p)
+                            self.out.write("\n")
+            else:
+                for call in best_cb.calls:
+                    if call.pos > pos:
+                        break
+                    if call.pos != pos:
+                        continue
+                    print_call(self.out, best_cb, call, self.p)
+                    self.out.write("\n")
+            self.last_chr = cb_f.chr
+            self.last_pos = pos
+
+    def _print_all(self, cb_f: CallBlock):
+        for pos in range(cb_f.start, cb_f.end):
+            if cb_f.chr == self.last_chr and pos <= self.last_pos:
+                continue
+            for ccb in self.finished:
+                if ccb.chr != cb_f.chr:
+                    continue
+                for call in ccb.calls:
+                    if call.pos > pos:
+                        break
+                    if call.pos != pos:
+                        continue
+                    print_call(self.out, ccb, call, self.p)
+                    self.out.write("\n")
+            self.last_chr = cb_f.chr
+            self.last_pos = pos
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    p = Params()
+    db_name = None
+    input_name = None
+    seq_dir = None
+    max_regions = 1000000000
+    region_args = None
+    kmers_cli = []
+    i = 0
+    try:
+        while i < len(argv):
+            a = argv[i]
+            if a in ("-v", "--version"):
+                print(f"gassembler version {REF_VERSION_3} (stable)")
+                return 0
+            elif a in ("-h", "--help", "--advanced"):
+                sys.stdout.write("gassembler version %s (stable)\n"
+                                 "Usage: gassembler --dbi FILENAME "
+                                 "--region_file FILENAME [ARGUMENTS]\n"
+                                 % REF_VERSION_3)
+                return 0
+            elif a in ("-dbi", "-dbb", "-db", "--dbi"):
+                i += 1
+                db_name = argv[i]
+            elif a in ("--reference", "--region"):
+                region_args = (argv[i + 1], int(argv[i + 2]),
+                               int(argv[i + 3]), argv[i + 4])
+                i += 4
+            elif a in ("--region_file", "--file"):
+                i += 1
+                input_name = argv[i]
+            elif a == "--max_regions":
+                i += 1
+                max_regions = int(argv[i])
+            elif a == "--min_coverage":
+                i += 1
+                p.min_coverage = int(argv[i])
+            elif a == "--sex":
+                i += 1
+                p.sex = {"male": 1, "female": 2, "auto": 0}.get(argv[i])
+                if p.sex is None:
+                    return 1
+            elif a == "--error_prob":
+                i += 1
+                p.error_prob = float(argv[i])
+            elif a == "--min_confirming":
+                i += 1
+                p.min_confirming = int(argv[i])
+            elif a == "--min_group_coverage":
+                i += 1
+                p.min_group_coverage = int(argv[i])
+            elif a == "--max_divergent":
+                i += 1
+                p.max_divergent = int(argv[i])
+            elif a == "--min_align_len":
+                i += 1
+                p.min_align_len = int(argv[i])
+            elif a == "--min_group_size":
+                i += 1
+                p.min_group_size = int(argv[i])
+            elif a == "--min_group_rsize":
+                i += 1
+                p.min_group_rsize = float(argv[i])
+            elif a == "--max_group_divergence":
+                i += 1
+                p.max_group_divergence = int(argv[i])
+            elif a == "--max_group_rdivergence":
+                i += 1
+                p.max_group_rdivergence = int(argv[i])
+            elif a == "--skip_end_align":
+                i += 1
+                p.skip_end_align = int(argv[i])
+            elif a == "--skip_end_call":
+                i += 1
+                p.skip_end_call = int(argv[i])
+            elif a == "--allow_one_dir":
+                p.require_both_dirs = False
+            elif a == "--coverage":
+                i += 1
+                v = argv[i]
+                if v == "ignore":
+                    p.coverage = -2
+                elif v == "local":
+                    p.coverage = -1
+                elif v == "median":
+                    p.coverage = 0
+                else:
+                    p.coverage = float(v)
+                    if not p.coverage:
+                        sys.stderr.write(
+                            "Coverage has to be positive real value\n")
+                        return 1
+            elif a == "--min_p":
+                i += 1
+                p.min_p = float(argv[i])
+            elif a == "--min_pmut":
+                i += 1
+                p.min_pmut = float(argv[i])
+            elif a == "--exome":
+                p.exome = True
+            elif a == "--num_threads":
+                i += 1
+            elif a == "--print_reads":
+                p.print_reads = True
+            elif a == "--seq_dir":
+                i += 1
+                seq_dir = argv[i]
+            elif a == "--output":
+                i += 1
+                p.output = {"poly": 0, "best": 1, "all": 2}.get(argv[i])
+                if p.output is None:
+                    return 1
+            elif a == "--counts":
+                p.print_extra = 1
+            elif a == "--extra":
+                p.print_extra = 2
+            elif a == "--alternatives":
+                p.alternative_calls = True
+            elif a == "--max_read_length":
+                i += 1
+                p.max_read_length = int(argv[i])
+            elif a == "--max_reference_length":
+                i += 1
+                p.max_reference_length = int(argv[i])
+            elif a in ("--prefetch_seq", "--dont_prefetch_db"):
+                pass
+            elif a == "-D":
+                p.debug += 1
+            elif a == "-DG":
+                pass
+            elif a == "-ta":
+                _test_alignment(argv[i + 1], argv[i + 2])
+                return 0
+            else:
+                if not a[:1].isalpha():
+                    sys.stderr.write(f"Invalid argument {a}\n")
+                    return 1
+                if len(kmers_cli) < MAX_KMERS:
+                    kmers_cli.append(a)
+            i += 1
+    except (IndexError, ValueError):
+        return 1
+
+    if not db_name or (not input_name and not region_args):
+        sys.stderr.write("gassembler: --dbi and --region_file/"
+                         "--region are mandatory\n")
+        return 1
+
+    from genometester4_tpu.formats.gmerdb_binary import load_binary_db
+    from genometester4_tpu.models.fastgt_native import srand
+
+    srand(1)
+    db = load_binary_db(db_name)
+    if db is None:
+        sys.stderr.write("cannot read (wrong file format?)\n")
+        return 1
+    if db.index is None:
+        sys.stderr.write("no index\n")
+        return 1
+
+    coverage = p.coverage
+    if coverage == 0:
+        coverage = find_coverage(db.index)
+
+    files = SeqFiles(db.index.files, seq_dir)
+    sex = p.sex
+    if sex == 0:
+        sex = auto_sex(db)
+
+    asm = Assembler(db, files, p, sex, coverage)
+    out = sys.stdout
+
+    if input_name:
+        with open(input_name, "rb") as f:
+            data = f.read()
+        out.write("#KATK version: %s\n" % REF_VERSION_3)
+        out.write("#KMer Database: %s\n" % db_name)
+        if coverage >= 0:
+            out.write("#Coverage: %.2f\n" % coverage)
+        else:
+            out.write("#Coverage: local\n")
+        print_header(out, p)
+        out.write("\n")
+
+        oq = OutputQueue(out, p)
+        pos = 0
+        line_no = 0
+        n = len(data)
+        while pos < n and line_no < max_regions:
+            toks = _split_line(data, pos, MAX_KMERS + 4)
+            while pos < n and data[pos] != 0x0A:
+                pos += 1
+            while pos < n and data[pos] <= 0x20:
+                pos += 1
+            line_no += 1
+            if len(toks) < 5:
+                sys.stderr.write("process: Too few tokens at line %u\n"
+                                 % line_no)
+                continue
+            chrs = data[toks[0][0]:toks[0][1]][:31].decode("latin1")
+            chr_ = chr_from_string(chrs)
+            start = int(data[toks[1][0]:toks[1][1]])
+            end = int(data[toks[2][0]:toks[2][1]])
+            ref = data[toks[3][0]:toks[3][1]].decode("latin1")
+            kmers = [data[s:e].decode("latin1") for s, e in toks[4:]]
+            region = Region(chr_, start, end, ref, kmers)
+            cb = CallBlock(chr_, start, end, haploid=(
+                (sex == 1 and chr_ in (23, 24)) or chr_ == CHR_MT))
+            oq.start_block(cb)
+            oq.flush()
+            asm.assemble(region, cb)
+            oq.finish_block(cb)
+        oq.flush()
+    else:
+        chr_ = chr_from_string(region_args[0])
+        start, end = region_args[1], region_args[2]
+        ref = region_args[3]
+        _assemble_recursive(asm, out, p, sex, chr_, start, end, ref,
+                            kmers_cli)
+    return 0
+
+
+def _assemble_recursive(asm, out, p, sex, chr_, start, end, ref, kmers):
+    """src/gassembler.c:1092-1128 + printing via recalculate_and_call."""
+    region = Region(chr_, start, end, ref[:end - start], kmers)
+    cb = CallBlock(chr_, start, end, haploid=(
+        (sex == 1 and chr_ in (23, 24)) or chr_ == CHR_MT))
+    res, state = asm._align_phase(region)
+    if res > 0:
+        res = asm._group_phase(region, cb, state)
+        if res > 0:
+            print_header(out, p)
+            out.write("\n")
+            for call in cb.calls:
+                print_call(out, cb, call, p)
+                out.write("\n")
+    elif res == 0:
+        mid = (start + end) // 2
+        r = _assemble_recursive(asm, out, p, sex, chr_, start, mid, ref,
+                                kmers)
+        r += _assemble_recursive(asm, out, p, sex, chr_, mid, end,
+                                 ref[mid - start:], kmers)
+        return r
+    return res
+
+
+def _test_alignment(a: str, b: str):
+    """-ta debug flag (src/gassembler.c:1898-1911)."""
+    from genometester4_tpu.ops import swalign
+    from genometester4_tpu.pipelines.gassemble import _C2N
+    ac = _C2N[np.frombuffer(a.encode(), np.uint8)].astype(np.int8)
+    bc = _C2N[np.frombuffer(b.encode(), np.uint8)].astype(np.int8)
+    score, sx, sy = swalign.sw_matrices_batch(ac, bc[None, :])
+    a_p, b_p = swalign.sw_traceback(score[0], sx[0], sy[0], len(bc))
+    sys.stdout.write("align_len %d\n" % len(a_p))
+    for i in range(len(a_p)):
+        sys.stdout.write("%d %d\n" % (a_p[i], b_p[i]))
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

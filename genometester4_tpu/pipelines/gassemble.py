@@ -1,0 +1,1224 @@
+"""gassembler equivalent: KATK local-reassembly variant caller.
+
+Reference pipeline (src/gassembler.c, SURVEY.md §3.5): per region
+(chr, start, end, ref, k-mers) pull reads from the read index, align
+them to the reference (affine SW), build a gapped multi-alignment,
+greedily merge reads into haplotype groups by their divergent-position
+tags, and call each aligned column with logistic quality models.
+
+Layout here:
+  * batched wavefront SW (ops.swalign) — the compute-heavy kernel;
+  * everything else is numpy/python — grouping and calling are small,
+    data-dependent, and inherently sequential (SURVEY.md §7);
+  * glibc rand() (via the native library) reproduces the reference's
+    coverage sampling and read subsampling streams (srand(1));
+  * output is byte-identical versus a single-threaded reference run
+    (multi-threaded reference output depends on thread scheduling).
+
+All constants mirror src/gassembler.c:56-67 and the advanced-flag
+defaults at src/gassembler.c:646-696.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from genometester4_tpu.ops import swalign
+
+# nucleotide codes (src/matrix.h:8-20)
+A, C, G, T, N, GAP, NONE = 0, 1, 2, 3, 4, 5, 6
+N2C = "ACGTN- "
+BEFORE, AFTER, UNKNOWN = -1, -2, -3
+
+CHR_NAMES = ["INVALID"] + [str(i) for i in range(1, 23)] + ["X", "Y", "MT"]
+CHR_NONE, CHR_X, CHR_Y, CHR_MT = 0, 23, 24, 25
+
+WORDLEN = 25
+MAX_KMERS = 1024
+MAX_READS_PER_KMER = 200
+MAX_READS = 4096
+MIN_READS = 10
+MAX_ALIGNED_READS = 1024
+MAX_READS_PER_REGION = 200
+MAX_ENDGAP = 1
+MAX_GAPS = 10
+
+_C2N = np.full(256, N, np.int8)
+for _c, _v in (("A", A), ("C", C), ("G", G), ("T", T), ("U", T)):
+    _C2N[ord(_c)] = _v
+    _C2N[ord(_c.lower())] = _v
+_C2N[ord("-")] = GAP
+
+
+def chr_from_string(s: str) -> int:
+    if s == "X":
+        return CHR_X
+    if s == "Y":
+        return CHR_Y
+    if s == "MT":
+        return CHR_MT
+    try:
+        i = 0
+        while i < len(s) and (s[i].isdigit() or (i == 0 and s[i] in "+-")):
+            i += 1
+        if i != len(s) or not s:
+            return CHR_NONE
+        val = int(s)
+    except ValueError:
+        return CHR_NONE
+    return val if 0 < val <= 22 else CHR_NONE
+
+
+@dataclass
+class Params:
+    """Tuning flags (defaults: src/gassembler.c:28-67,646-670)."""
+    min_coverage: int = 4
+    min_p: float = 0.95
+    min_pmut: float = 0.5
+    sex: int = 0  # 0 auto, 1 male, 2 female
+    output: int = 0  # 0 poly, 1 best, 2 all
+    print_extra: int = 0
+    error_prob: float = 0.001
+    exome: bool = False
+    coverage: float = 0.0  # 0 median, -1 local, -2 ignore, >0 value
+    single_cutoff: int = 10
+    min_confirming: int = 2
+    min_group_coverage: int = 1
+    max_divergent: int = 4
+    min_align_len: int = 25
+    min_group_size: int = 3
+    min_group_rsize: float = 0.0
+    max_group_divergence: int = 3
+    max_group_rdivergence: int = 3
+    skip_end_align: int = 10
+    skip_end_call: int = 10
+    require_both_dirs: bool = True
+    alternative_calls: bool = False
+    max_read_length: int = 200
+    max_reference_length: int = 200
+    print_reads: bool = False
+    debug: int = 0
+
+
+@dataclass
+class Call:
+    pos: int = 0
+    sub: int = 0
+    ref: int = 0
+    cov: int = 0
+    counts: np.ndarray = None
+    nucl: tuple = (NONE, NONE)
+    poly: int = 0
+    prev_ref: str = "\0"
+    p: float = 0.0
+    q: float = 0.0
+    p_det: float = 0.0
+    extra: dict = field(default_factory=dict)
+
+
+@dataclass
+class CallBlock:
+    chr: int
+    start: int
+    end: int
+    haploid: bool
+    calls: list = field(default_factory=list)
+
+
+def _rand():
+    from genometester4_tpu.models.fastgt_native import get_lib
+    return get_lib().fgx_rand()
+
+
+RAND_MAX = 2147483647
+
+
+def find_coverage(index) -> float:
+    """Median read count of 10000 random index k-mers
+    (src/gassembler.c:2725-2779); consumes glibc rand()."""
+    MEDIAN_KMERS = 10000
+    n_kmers = len(index.read_blocks)
+    counts = np.zeros(MEDIAN_KMERS, np.int64)
+    blocks = index.read_blocks.astype(np.int64)
+    n_reads = index.n_reads
+    ci = 0
+    while ci < MEDIAN_KMERS:
+        kmer_idx = _rand() % n_kmers
+        start = blocks[kmer_idx]
+        end = blocks[kmer_idx + 1] if kmer_idx < n_kmers - 1 else n_reads
+        c = int(end - start)
+        counts[ci] = c
+        if not c:
+            continue
+        ci += 1
+    mn = int(counts.min())
+    mx = int(counts.max())
+    med = (mn + mx) // 2
+    while mx > mn:
+        med = (mn + mx) // 2
+        below = int((counts < med).sum())
+        above = int((counts > med).sum())
+        equal = MEDIAN_KMERS - above - below
+        if mx == mn + 1:
+            if above > below + equal:
+                med = mx
+            break
+        if above > below:
+            if above - below < equal:
+                break
+            mn = med
+        elif below > above:
+            if below - above < equal:
+                break
+            mx = med
+        else:
+            break
+    return float(med)
+
+
+def auto_sex(db) -> int:
+    """Average index read count per A/X/Y k-mer class
+    (src/gassembler.c:954-993). Returns 1 male / 2 female."""
+    blocks = db.index.read_blocks.astype(np.int64)
+    n_reads = db.index.n_reads
+    nxt = np.concatenate([blocks[1:], [n_reads]])
+    kmer_counts = nxt - blocks
+    sums = [0, 0, 0]
+    counts = [0, 0, 0]
+    for i in range(db.n_nodes):
+        name = db.names[i]
+        klass = 1 if name[:1] == b"X" else 2 if name[:1] == b"Y" else 0
+        s = int(db.node_kmers_start[i])
+        nk = int(db.node_nkmers[i])
+        sums[klass] += int(kmer_counts[s:s + nk].sum())
+        counts[klass] += nk
+    if not counts[1]:
+        sys.stderr.write("No X kmers found, cannot determine sex (use --sex)\n")
+        raise SystemExit(1)
+    # C double division: 0/0 is NaN, x/0 is inf — with no Y k-mers the
+    # comparison below sees NaN and the reference calls the sample MALE
+    with np.errstate(divide="ignore", invalid="ignore"):
+        avg = [float(np.float64(sums[k]) / np.float64(counts[k]))
+               for k in range(3)]
+    for k in range(3):
+        sys.stderr.write("Klass %d kmers %d sum %d avg %.3f\n"
+                         % (k, counts[k], sums[k], avg[k]))
+    with np.errstate(invalid="ignore"):
+        is_female = bool(np.float64(100) * avg[2] / avg[1]
+                         < np.float64(avg[1]) / avg[0])
+    sex = 2 if is_female else 1
+    sys.stderr.write("Sex: %s\n" % ("Male" if sex == 1 else "Female"))
+    return sex
+
+
+# ---------------------------------------------------------------------------
+# read extraction
+# ---------------------------------------------------------------------------
+
+class SeqFiles:
+    """mmap'd FASTQ/FASTA sources named by the read index."""
+
+    def __init__(self, names: list, seq_dir: str | None = None):
+        import os
+        self.data = []
+        self.names = []
+        for nm in names:
+            nm = nm.decode() if isinstance(nm, bytes) else nm
+            if seq_dir:
+                nm = os.path.join(seq_dir, os.path.basename(nm))
+            self.names.append(nm)
+            with open(nm, "rb") as f:
+                self.data.append(f.read())
+
+
+def _revcomp_str(s: str) -> str:
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    return "".join(comp.get(c, c) for c in reversed(s))
+
+
+@dataclass
+class GASMRead:
+    name: str
+    seq: str
+    nucl: np.ndarray  # int8 codes
+    dir: int  # bitmask 1<<dir like the reference
+    tag: int = 0
+    mask: int = 0
+    unknown: int = 0
+    group: int = 0
+
+
+def get_unique_reads(db, files: SeqFiles, kmers: list, params: Params,
+                     max_reads_per_kmer: int):
+    """src/gassembler.c:2556-2628: trie lookup per k-mer, dedupe by
+    (file, name_pos), cap reads/kmer, rand()-subsample past 200."""
+    from genometester4_tpu.ops.encode import (reverse_complement_u64,
+                                              string_to_word)
+
+    index = db.index
+    blocks = index.read_blocks.astype(np.int64)
+    n_reads_total = index.n_reads
+    seen = {}
+    infos = []  # (name_pos, file_idx, dir)
+    for km in kmers:
+        word = string_to_word(km, strict=False)
+        rword = int(reverse_complement_u64(np.array([word], np.uint64),
+                                           len(km))[0])
+        cword = min(word, rword)
+        idx = np.searchsorted(db.sorted_words, np.uint64(cword))
+        if idx >= len(db.sorted_words) or db.sorted_words[idx] != cword:
+            sys.stderr.write(f"No such kmer: {km}\n")
+            raise SystemExit(0)
+        code = int(db.sorted_codes[idx])
+        kmer_dir = 1 if (code & 0x80000000) else 0
+        code &= 0x7FFFFFFF
+        node_idx = (code >> db.kmer_bits) - 1
+        node_kmer = code & ((1 << db.kmer_bits) - 1)
+        kmer_idx = int(db.node_kmers_start[node_idx]) + node_kmer
+        first = int(blocks[kmer_idx])
+        end = int(blocks[kmer_idx + 1]) if kmer_idx < len(blocks) - 1 \
+            else n_reads_total
+        n_reads = end - first
+        if n_reads > max_reads_per_kmer:
+            continue
+        codes = index.reads[first:end]
+        kmer_pos, name_pos, file_idx, dirs = index.decode_reads(codes)
+        for j in range(n_reads):
+            key = (int(file_idx[j]), int(name_pos[j]))
+            if key in seen:
+                continue
+            seen[key] = True
+            infos.append((int(name_pos[j]), int(file_idx[j]),
+                          1 if int(dirs[j]) != kmer_dir else 0))
+            if len(infos) >= MAX_READS:
+                sys.stderr.write(
+                    "get_unique_reads: Maximum number of reads (%u) reached,"
+                    " ignoring the rest\n" % MAX_READS)
+                break
+        if len(infos) >= MAX_READS:
+            break
+    if len(infos) > MAX_READS_PER_REGION:
+        # reference "shuffle" (src/gassembler.c:2619-2626):
+        # p = (unsigned)(rand() / (1.0 + RAND_MAX)) is ALWAYS 0, so it
+        # swaps reads[0] <-> reads[i] for i = 0..199 (still consuming
+        # one rand() per swap); reproduce the bug exactly
+        infos2 = list(infos)
+        for i in range(MAX_READS_PER_REGION):
+            _ = _rand()
+            infos2[0], infos2[i] = infos2[i], infos2[0]
+        infos = infos2[:MAX_READS_PER_REGION]
+    return infos
+
+
+def get_read_sequences(infos, files: SeqFiles, params: Params):
+    """src/gassembler.c:2630-2665: fetch name + sequence at name_pos."""
+    reads = []
+    for name_pos, file_idx, rdir in infos:
+        data = files.data[file_idx]
+        e = data.index(b"\n", name_pos)
+        name = data[name_pos:e].decode("latin1")
+        p = e + 1
+        q = p
+        while q < len(data) and data[q] >= ord("A"):
+            q += 1
+        seq = data[p:q].decode("latin1")
+        if len(seq) > params.max_read_length:
+            sys.stderr.write(
+                "WARNING: Read is longer than maximum allowed length "
+                "(%u, max %u), truncating\n" % (len(seq),
+                                                params.max_read_length))
+            seq = seq[:params.max_read_length]
+        if rdir:
+            seq = _revcomp_str(seq)
+        codes = _C2N[np.frombuffer(seq.encode("latin1"), np.uint8)]
+        reads.append(GASMRead(name, seq, codes, 1 << rdir))
+    return reads
+
+
+# ---------------------------------------------------------------------------
+# alignment
+# ---------------------------------------------------------------------------
+
+def count_divergent(ref_codes, read_codes, a_p, b_p):
+    """src/gassembler.c:1162-1196."""
+    n_gaps = 0
+    gaps_total = 0
+    s_gap = e_gap = 0
+    al = len(a_p)
+    if a_p[0] > 0 and b_p[0] > 0:
+        mn = min(int(a_p[0]), int(b_p[0]))
+        n_gaps += 1
+        s_gap = mn
+        gaps_total += mn
+    if (a_p[al - 1] < len(ref_codes) - 1
+            and b_p[al - 1] < len(read_codes) - 1):
+        gap_a = len(ref_codes) - 1 - int(a_p[al - 1])
+        gap_b = len(read_codes) - 1 - int(b_p[al - 1])
+        mn = min(gap_a, gap_b)
+        n_gaps += 1
+        e_gap = mn
+        gaps_total += mn
+    n_div = n_gaps + int((ref_codes[a_p] != read_codes[b_p]).sum())
+    return n_div, n_gaps, s_gap, e_gap, gaps_total
+
+
+def align_reads(ref_codes: np.ndarray, reads: list, params: Params):
+    """SW every read against the reference, filter, and build the
+    per-reference-position read-position table
+    (src/gassembler.c:1925-2006). Returns (aligned_reads, a int32[na, n])."""
+    n = len(ref_codes)
+    if not reads:
+        return [], np.zeros((0, n), np.int32)
+    m_cap = max(len(r.nucl) for r in reads)
+    batch = np.full((len(reads), m_cap), NONE, np.int8)
+    for i, r in enumerate(reads):
+        batch[i, :len(r.nucl)] = r.nucl
+    score, sx, sy = swalign.sw_matrices_batch(
+        ref_codes.astype(np.int8), batch)
+    a_rows = []
+    a_reads = []
+    for i, r in enumerate(reads):
+        a_p, b_p = swalign.sw_traceback(score[i], sx[i], sy[i], len(r.nucl))
+        if len(a_p) == 0:
+            # zero-length alignment: min_align_len rejects it
+            continue
+        n_div, n_gaps, s_gap, e_gap, gaps_total = count_divergent(
+            ref_codes, r.nucl, a_p, b_p)
+        if n_div > params.max_divergent:
+            continue
+        if len(a_p) < params.min_align_len:
+            continue
+        if s_gap > MAX_ENDGAP or e_gap > MAX_ENDGAP:
+            continue
+        if gaps_total > MAX_GAPS:
+            continue
+        row = np.full(n, -1000, np.int32)
+        al = len(a_p)
+        # initial part
+        for j in range(int(a_p[0])):
+            d = j - int(a_p[0])
+            r_p = int(b_p[0]) + d
+            row[j] = BEFORE if r_p < 0 else UNKNOWN
+        row[a_p[0]] = b_p[0]
+        last = int(a_p[0])
+        for j in range(1, al):
+            for k in range(last + 1, int(a_p[j])):
+                row[k] = row[last]
+            if a_p[j] > a_p[j - 1]:
+                row[a_p[j]] = b_p[j]
+            last = int(a_p[j])
+        for j in range(int(a_p[al - 1]) + 1, n):
+            d = j - int(a_p[al - 1])
+            r_p = int(b_p[al - 1]) + d
+            row[j] = AFTER if r_p >= len(r.nucl) else UNKNOWN
+        a_reads.append(r)
+        a_rows.append(row)
+        if len(a_reads) >= MAX_ALIGNED_READS:
+            sys.stderr.write(
+                "align_reads_to_reference: maximum number of aligned reads "
+                "(%u) achieved\n" % MAX_ALIGNED_READS)
+            break
+    return a_reads, (np.stack(a_rows) if a_rows
+                     else np.zeros((0, n), np.int32))
+
+
+def create_gapped_alignment(ref_codes, ref_start, a_reads, a, params: Params):
+    """src/gassembler.c:2008-2077 — insert reference gaps where reads
+    have insertions. Returns (p_len, aligned_ref, ref_pos, ga[na, p])."""
+    skip = params.skip_end_align
+    n = len(ref_codes)
+    na = len(a_reads)
+    max_p = 2 * params.max_reference_length
+    aligned_ref = np.zeros(max_p, np.int32)
+    ref_pos = np.zeros(max_p, np.int32)
+    ga = np.full((na, max_p), NONE, np.int16)
+    read_p = [int(a[i, skip]) for i in range(na)]
+    last_read_p = [UNKNOWN] * na
+    ref_p = skip
+    last_ref_p = UNKNOWN
+    p_len = 0
+    while ref_p < n - skip:
+        if last_ref_p < 0 or ref_p > last_ref_p:
+            aligned_ref[p_len] = ref_codes[ref_p]
+            ref_pos[p_len] = ref_start + ref_p
+            last_ref_p = ref_p
+        else:
+            aligned_ref[p_len] = GAP
+            ref_pos[p_len] = ref_start + ref_p
+        for i in range(na):
+            if read_p[i] >= 0 and (last_read_p[i] < 0
+                                   or read_p[i] > last_read_p[i]):
+                ga[i, p_len] = a_reads[i].nucl[read_p[i]]
+                last_read_p[i] = read_p[i]
+            elif read_p[i] >= 0:
+                ga[i, p_len] = GAP
+            else:
+                ga[i, p_len] = NONE
+        rgap = 1
+        if ref_p < n - skip - 1:
+            nref = ref_p + 1
+            for i in range(na):
+                nrp = int(a[i, nref])
+                if read_p[i] >= 0 and nrp >= 0:
+                    gap = nrp - read_p[i]
+                    if gap > rgap:
+                        rgap = gap
+            for i in range(na):
+                nrp = int(a[i, nref])
+                if nrp >= 0:
+                    if read_p[i] < 0:
+                        if rgap == 1:
+                            read_p[i] = nrp
+                    elif read_p[i] < nrp:
+                        if nrp - read_p[i] == rgap:
+                            read_p[i] += 1
+                else:
+                    read_p[i] = nrp
+        if rgap == 1:
+            ref_p += 1
+        p_len += 1
+    return p_len, aligned_ref[:p_len], ref_pos[:p_len], ga[:, :p_len]
+
+
+# ---------------------------------------------------------------------------
+# region assembly
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Region:
+    chr: int
+    start: int
+    end: int
+    ref: str
+    kmers: list
+
+
+class Assembler:
+    def __init__(self, db, files: SeqFiles, params: Params, sex: int,
+                 coverage: float, snvs=None, fps=None):
+        self.db = db
+        self.files = files
+        self.p = params
+        self.sex = sex
+        self.coverage = coverage
+        self.snvs = snvs
+        self.fps = fps
+
+    def assemble(self, region: Region, cb: CallBlock):
+        """src/gassembler.c:1856-1897: align + group, NC-fill on failure."""
+        res, state = self._align_phase(region)
+        if res > 0:
+            res = self._group_phase(region, cb, state)
+        if res <= 0:
+            p = self.p
+            n_calls = (region.end - region.start - 2 * p.skip_end_align
+                       - 2 * p.skip_end_call)
+            ref_codes = _C2N[np.frombuffer(
+                region.ref[:region.end - region.start].encode("latin1"),
+                np.uint8)]
+            for i in range(max(0, n_calls)):
+                off = p.skip_end_align + p.skip_end_call + i
+                cb.calls.append(Call(
+                    pos=region.start + off,
+                    ref=int(ref_codes[off]) if off < len(ref_codes) else N,
+                    counts=np.zeros(GAP + 1, np.int64),
+                    nucl=(NONE, NONE), prev_ref="."))
+        return res
+
+    # -- align phase (src/gassembler.c:1209-1325) -------------------------
+    def _align_phase(self, region: Region):
+        p = self.p
+        rlen = region.end - region.start
+        if rlen > p.max_reference_length:
+            sys.stderr.write(
+                "align: reference length (%u) too big (max %u)\n"
+                % (rlen, p.max_reference_length))
+            return 0, None
+        ref_codes = _C2N[np.frombuffer(
+            region.ref[:rlen].encode("latin1"), np.uint8)].astype(np.int8)
+        max_rpk = 2000 if region.chr == CHR_MT else MAX_READS_PER_KMER
+        infos = get_unique_reads(self.db, self.files, region.kmers, p,
+                                 max_rpk)
+        reads = get_read_sequences(infos, self.files, p)
+        if p.print_reads:
+            for i, r in enumerate(reads):
+                sys.stdout.write(f">Read_{i}\n{r.seq}\n")
+                sys.stdout.write(f">Read_{i}\n{r.seq}\n")
+        if p.debug == 1:
+            sys.stderr.write("Block: %s %u %u Reads: %u\n" % (
+                CHR_NAMES[region.chr], region.start, region.end, len(reads)))
+        if len(reads) < MIN_READS:
+            return -1, None
+        a_reads, a = align_reads(ref_codes, reads, p)
+        p_len, aligned_ref, ref_pos, ga = create_gapped_alignment(
+            ref_codes, region.start, a_reads, a, p)
+        na = len(a_reads)
+        # totals
+        nucl_counts = np.zeros((p_len, GAP + 1), np.int64)
+        for j in range(GAP + 1):
+            nucl_counts[:, j] = (ga[:na] == j).sum(axis=0)
+        coverage = nucl_counts.sum(axis=1)
+        # tag reads by divergent positions (src/gassembler.c:1267-1321)
+        n_divergent = 0
+        for i in range(p_len):
+            cutoff = 2 if coverage[i] >= p.single_cutoff else 1
+            diverges = False
+            for j in range(GAP + 1):
+                if j == aligned_ref[i] or j == N:
+                    continue
+                if nucl_counts[i, j] >= cutoff:
+                    diverges = True
+            if not diverges:
+                continue
+            if n_divergent >= 21:
+                sys.stderr.write("assemble: Too many divergent positions "
+                                 "(max 21), ignoring the rest\n")
+                break
+            known = False
+            ref_allele = alt_allele = 0
+            if self.snvs is not None:
+                snv = lookup_snv(self.snvs, region.chr, region.start + i)
+                if (snv < len(self.snvs)
+                        and self.snvs[snv][0] == region.chr
+                        and self.snvs[snv][1] == region.start + i):
+                    known = True
+                    ref_allele = self.snvs[snv][2]
+                    alt_allele = self.snvs[snv][3]
+            ref_n = int(aligned_ref[i])
+            for j in range(na):
+                nucl = int(ga[j, i])
+                mask = 7
+                if nucl <= GAP and nucl_counts[i, nucl] < cutoff:
+                    mask = 0
+                if nucl == N:
+                    nucl = ref_n
+                if nucl > GAP:
+                    nucl = ref_n
+                    mask = 0
+                rd = a_reads[j]
+                rd.unknown = (rd.unknown << 3) & 0xFFFFFFFFFFFFFFFF
+                if not known or (nucl != ref_allele and nucl != alt_allele):
+                    rd.unknown |= 7
+                nucl = nucl ^ ref_n
+                rd.tag = ((rd.tag << 3) | nucl) & 0xFFFFFFFFFFFFFFFF
+                rd.mask = ((rd.mask << 3) | mask) & 0xFFFFFFFFFFFFFFFF
+            n_divergent += 1
+        state = dict(ref_codes=ref_codes, a_reads=a_reads, ga=ga,
+                     p_len=p_len, aligned_ref=aligned_ref, ref_pos=ref_pos)
+        return len(reads), state
+
+    # -- group phase (src/gassembler.c:1327-1591) --------------------------
+    def _group_phase(self, region: Region, cb: CallBlock, state):
+        p = self.p
+        a_reads = state["a_reads"]
+        ga = state["ga"]
+        p_len = state["p_len"]
+        aligned_ref = state["aligned_ref"]
+        na = len(a_reads)
+        nucl_counts = np.zeros((p_len, GAP + 1), np.int64)
+        for j in range(GAP + 1):
+            nucl_counts[:, j] = (ga[:na] == j).sum(axis=0)
+
+        tags = np.array([r.tag & r.mask for r in a_reads], np.uint64)
+        masks = np.array([r.mask for r in a_reads], np.uint64)
+        sizes = np.ones(na, np.int64)
+        dirs = np.array([r.dir for r in a_reads], np.int64)
+        group_of = np.arange(na)
+        n_groups = na
+
+        def popcount3(x):
+            cnt = np.zeros_like(x, np.int64)
+            x = x.copy()
+            for _ in range(21):
+                cnt += (x & np.uint64(7)) != 0
+                x >>= np.uint64(3)
+            return cnt
+
+        while n_groups > 1:
+            t = tags[:n_groups]
+            mk = masks[:n_groups]
+            common = mk[:, None] & mk[None, :]
+            compat = (t[:, None] & common) == (t[None, :] & common)
+            np.fill_diagonal(compat, False)
+            n_common = popcount3(common)
+            np.fill_diagonal(n_common, 0)
+            iu, ju = np.triu_indices(n_groups, k=1)
+            cand = compat[iu, ju]
+            if not cand.any():
+                break
+            # reference scan order: first compat pair, then strictly
+            # greater n_common, ties by strictly greater size sum
+            ci = iu[cand]
+            cj = ju[cand]
+            ncs = n_common[ci, cj]
+            ssum = sizes[ci] + sizes[cj]
+            best = 0
+            for k in range(1, len(ci)):
+                if ncs[k] > ncs[best] or (ncs[k] == ncs[best]
+                                          and ssum[k] > ssum[best]):
+                    best = k
+            max_i, max_j = int(ci[best]), int(cj[best])
+            tags[max_i] = ((tags[max_i] & masks[max_i])
+                           | (tags[max_j] & masks[max_j]))
+            masks[max_i] = masks[max_i] | masks[max_j]
+            sizes[max_i] += sizes[max_j]
+            dirs[max_i] |= dirs[max_j]
+            group_of[group_of == max_j] = max_i
+            n_groups -= 1
+            tags[max_j] = tags[n_groups]
+            masks[max_j] = masks[n_groups]
+            sizes[max_j] = sizes[n_groups]
+            dirs[max_j] = dirs[n_groups]
+            group_of[group_of == n_groups] = max_j
+
+        # per-group min/max coverage + compat count
+        covered = ga[:na] <= GAP  # bool (na, p_len)
+        min_cov = np.zeros(n_groups, np.int64)
+        max_cov = np.zeros(n_groups, np.int64)
+        compat_n = np.zeros(n_groups, np.int64)
+        read_tags = np.array([r.tag for r in a_reads], np.uint64)
+        read_masks = np.array([r.mask for r in a_reads], np.uint64)
+        for gi in range(n_groups):
+            members = group_of == gi
+            cov = covered[members].sum(axis=0)
+            min_cov[gi] = cov.min() if p_len else na
+            max_cov[gi] = cov.max() if p_len else 0
+            common = masks[gi] & read_masks
+            compat_n[gi] = int(((tags[gi] & common)
+                                == (read_tags & common)).sum())
+
+        # group consensus + divergence counting
+        consensus = np.zeros((n_groups, p_len), np.int64)
+        divergent = np.zeros(n_groups, np.int64)
+        last_aligned_ref = N
+        last_consensus = N
+        for gj in range(n_groups):
+            members = group_of == gj
+            sub = ga[:na][members]
+            for i in range(p_len):
+                c = np.bincount(sub[:, i], minlength=10)
+                best = int(aligned_ref[i])
+                for k in range(GAP + 1):
+                    if k == N:
+                        continue
+                    if nucl_counts[i, k] > 1 and c[k] > c[best]:
+                        best = k
+                consensus[gj, i] = best
+                if best != aligned_ref[i]:
+                    known = False
+                    if self.snvs is not None:
+                        snv = lookup_snv(self.snvs, region.chr,
+                                         region.start + i)
+                        known = (snv < len(self.snvs)
+                                 and self.snvs[snv][0] == region.chr
+                                 and self.snvs[snv][1] == region.start + i)
+                    if not known:
+                        if ((last_aligned_ref != GAP
+                             or aligned_ref[i] != GAP)
+                                and (last_consensus != GAP or best != GAP)):
+                            divergent[gj] += 1
+                last_aligned_ref = int(aligned_ref[i])
+                last_consensus = best
+
+        # sort groups by (divergence asc, size desc) with the reference's
+        # pairwise swap loop (relabels reads on every swap)
+        order = list(range(n_groups))
+        for i in range(n_groups):
+            for j in range(i + 1, n_groups):
+                if (divergent[j] < divergent[i]
+                        or (divergent[j] == divergent[i]
+                            and sizes[j] > sizes[i])):
+                    for arr in (divergent, sizes, min_cov, max_cov,
+                                compat_n, dirs, tags, masks):
+                        arr[i], arr[j] = arr[j].copy(), arr[i].copy()
+                    consensus[[i, j]] = consensus[[j, i]]
+                    swap_i = group_of == i
+                    swap_j = group_of == j
+                    group_of[swap_i] = j
+                    group_of[swap_j] = i
+
+        max_groups = 2
+        if self.sex == 1 and region.chr in (CHR_X, CHR_Y):
+            max_groups = 1
+        if region.chr == CHR_MT:
+            max_groups = 1
+
+        min_div = int(divergent[:n_groups].min()) if n_groups else 0
+        good_groups = []
+        included = np.zeros(n_groups, bool)
+        for i in range(n_groups):
+            inc = len(good_groups) < max_groups
+            if p.require_both_dirs and dirs[i] != 3:
+                inc = False
+            if min_cov[i] < p.min_group_coverage:
+                inc = False
+            if sizes[i] < p.min_group_size:
+                inc = False
+            if divergent[i] > p.max_group_divergence:
+                inc = False
+            if divergent[i] > min_div + p.max_group_rdivergence:
+                inc = False
+            if float(sizes[i]) < sizes[0] * p.min_group_rsize:
+                inc = False
+            included[i] = inc
+            if inc:
+                good_groups.append(i)
+
+        if not good_groups:
+            return 0
+
+        self._recalculate_and_call(
+            region, cb, state, group_of, included, good_groups,
+            n_groups, sizes, divergent, min_cov, max_cov, compat_n,
+            consensus, tags, masks, read_tags, read_masks,
+            haploid=(max_groups == 1))
+        return p_len
+
+    # -- call phase (src/gassembler.c:1593-1855) ---------------------------
+    def _recalculate_and_call(self, region, cb, state, group_of, included,
+                              good_groups, n_groups, sizes, divergent,
+                              min_cov, max_cov, compat_n, consensus,
+                              tags, masks, read_tags, read_masks, haploid):
+        p = self.p
+        ga = state["ga"]
+        p_len = state["p_len"]
+        aligned_ref = state["aligned_ref"]
+        ref_pos = state["ref_pos"]
+        na = ga.shape[0]
+
+        g0 = good_groups[0]
+        extra_base = dict(
+            n_groups_total=n_groups, n_groups=len(good_groups),
+            div_0=int(divergent[g0]), div_1=0,
+            max_cov_0=int(max_cov[g0]), max_cov_1=0,
+            compat_0=int(compat_n[g0]), compat_1=0, compat_both=0)
+        if len(good_groups) > 1:
+            g1 = good_groups[1]
+            extra_base["max_cov_1"] = int(max_cov[g1])
+            extra_base["div_1"] = int(divergent[g1])
+            extra_base["compat_1"] = int(compat_n[g1])
+            common0 = masks[g0] & read_masks
+            ok0 = (tags[g0] & common0) == (read_tags & common0)
+            common1 = masks[g1] & read_masks
+            ok1 = (tags[g1] & common1) == (read_tags & common1)
+            extra_base["compat_both"] = int((ok0 & ok1).sum())
+
+        # recalculated counts: only included groups, only consensus-
+        # matching nucleotides
+        nucl_counts = np.zeros((p_len, GAP + 1), np.int64)
+        coverage = np.zeros(p_len, np.int64)
+        inc_read = included[group_of]
+        for i in range(p_len):
+            col = ga[:, i]
+            cons = consensus[group_of, i]
+            ok = inc_read & (col <= GAP) & (col == cons)
+            if ok.any():
+                cnt = np.bincount(col[ok], minlength=GAP + 1)
+                nucl_counts[i] = cnt[:GAP + 1]
+                coverage[i] = cnt.sum()
+        max_coverage = int(coverage.max()) if p_len else 0
+        chr_coverage = max_coverage
+        if self.coverage > 0 and region.chr != CHR_MT:
+            chr_coverage = int(self.coverage)
+            if self.sex == 1 and region.chr in (CHR_X, CHR_Y):
+                chr_coverage //= 2
+
+        last_call_pos = 0
+        sub = 0
+        for i in range(p.skip_end_call, p_len - p.skip_end_call):
+            if int(ref_pos[i]) == last_call_pos:
+                sub += 1
+            else:
+                sub = 0
+            last_call_pos = int(ref_pos[i])
+            extra = dict(extra_base)
+            extra["end_dist"] = min(i, p_len - 1 - i)
+            call = self._call_one(region, i, sub, extra, aligned_ref,
+                                  ref_pos, nucl_counts, coverage,
+                                  chr_coverage, haploid, cb.haploid,
+                                  force_homozygote=False)
+            cb.calls.append(call)
+            hz = call.nucl[0] != call.nucl[1]
+            if p.alternative_calls and hz:
+                call2 = self._call_one(region, i, sub, dict(extra),
+                                       aligned_ref, ref_pos, nucl_counts,
+                                       coverage, chr_coverage, haploid,
+                                       cb.haploid, force_homozygote=True)
+                cb.calls.append(call2)
+
+    def _call_one(self, region, a_pos, sub, extra, aligned_ref, ref_pos,
+                  nucl_counts, coverage, chr_cov, haploid_region,
+                  cb_haploid, force_homozygote):
+        p = self.p
+        call = Call(counts=np.zeros(GAP + 1, np.int64))
+        call.nucl = (NONE, NONE)
+        call.pos = int(ref_pos[a_pos])
+        call.sub = sub
+        call.ref = int(aligned_ref[a_pos])
+        if call.ref == GAP:
+            call.prev_ref = region.ref[call.pos - region.start]
+        else:
+            if call.pos > region.start:
+                call.prev_ref = region.ref[call.pos - region.start - 1]
+            else:
+                call.prev_ref = "!"
+        call.cov = int(coverage[a_pos])
+        call.counts = nucl_counts[a_pos].copy()
+        call.extra = extra
+
+        if self.fps is not None:
+            fp = lookup_snv(self.fps, region.chr, region.start + a_pos)
+            if (fp < len(self.fps) and self.fps[fp][0] == region.chr
+                    and self.fps[fp][1] == call.pos):
+                return call
+
+        best0 = best1 = 0
+        best_n0 = best_n1 = A
+        for n in range(A, GAP + 1):
+            if n == N:
+                continue
+            cnt = int(call.counts[n])
+            if cnt > best0:
+                best1, best_n1 = best0, best_n0
+                best0, best_n0 = cnt, n
+            elif cnt > best1:
+                best1, best_n1 = cnt, n
+        if best0 < p.min_confirming:
+            return call
+
+        local_cov = chr_cov
+        if not p.exome:
+            p_hom = calc_p_select_diploid(call, extra, local_cov, best_n0,
+                                          best_n0, p)
+            p_het = calc_p_select_diploid(call, extra, local_cov, best_n0,
+                                          best_n1, p)
+        else:
+            p_hom = gt1_prob(call.counts, best_n0,
+                             call.cov - int(call.counts[N]), p)
+            p_het = (gt2_prob(call.counts, best_n0, best_n1,
+                              call.cov - int(call.counts[N]), p)
+                     if best1 >= p.min_confirming else 0.0)
+        sum_probs = p_hom + p_het
+        if not sum_probs:
+            sum_probs = 1.0
+        p_hom /= sum_probs
+        p_het /= sum_probs
+        if self.coverage == -2:
+            local_cov = call.cov
+        if cb_haploid:
+            call.nucl = (best_n0, best_n0)
+            if not p.exome:
+                call.p = calc_p_select_haploid(call, extra, local_cov, p)
+                call.q = calc_p_qual_haploid(call, extra, local_cov, p)
+            else:
+                call.p = call.q = p_hom
+        elif not best1 or force_homozygote:
+            call.nucl = (best_n0, best_n0)
+            if not p.exome:
+                call.p = calc_p_select_diploid(call, extra, local_cov,
+                                               best_n0, best_n0, p)
+                call.q = calc_p_qual_diploid(call, extra, local_cov, p)
+            else:
+                call.p = call.q = p_hom
+        else:
+            if p_het >= p_hom:
+                call.nucl = (min(best_n0, best_n1), max(best_n0, best_n1))
+                call.p = p_het
+            else:
+                call.nucl = (best_n0, best_n0)
+                call.p = p_hom
+            if not p.exome:
+                call.q = calc_p_qual_diploid(call, extra, local_cov, p)
+            else:
+                call.q = call.p
+        call.p_det = calc_p_mdetect(call, extra, local_cov, p)
+        call.poly = int(call.nucl[0] != aligned_ref[a_pos]
+                        or call.nucl[1] != aligned_ref[a_pos])
+        # Call.p/q/p_det are float32 fields in the reference struct — the
+        # stored (and printed, and compared) values are float-rounded
+        call.p = float(np.float32(call.p))
+        call.q = float(np.float32(call.q))
+        call.p_det = float(np.float32(call.p_det))
+        extra["prob"] = 1.0
+        extra["rprob"] = float(np.float32(call.q / sum_probs))
+        extra["hzprob"] = 1.0
+        return call
+
+
+def lookup_snv(snvs, chr_, pos):
+    """src/gassembler.c:2440-2467 bisection (snvs: sorted tuples)."""
+    mn, mx = 0, len(snvs)
+    mid = (mn + mx) // 2
+    while mid != mn and mid != mx:
+        if mid >= len(snvs):
+            break
+        schr, spos = snvs[mid][0], snvs[mid][1]
+        if schr < chr_:
+            mn = mid
+        elif schr > chr_:
+            mx = mid
+        elif spos < pos:
+            mn = mid
+        elif spos > pos:
+            mx = mid
+        else:
+            break
+        mid = (mn + mx) // 2
+    return mid
+
+
+# ---------------------------------------------------------------------------
+# call quality models (src/gassembler.c:2803-3027) — double precision
+# ---------------------------------------------------------------------------
+
+def _lgamma(x: float) -> float:
+    """libm lgamma via the native library (CPython's math.lgamma is its
+    own implementation and can differ in the last ulp)."""
+    from genometester4_tpu.models.fastgt_native import get_lib
+    import ctypes
+    lib = get_lib()
+    if not hasattr(lib, "_lgamma_setup"):
+        lib.fgx_lgamma.restype = ctypes.c_double
+        lib.fgx_lgamma.argtypes = [ctypes.c_double]
+        lib._lgamma_setup = True
+    return lib.fgx_lgamma(x)
+
+
+def gt1_prob(counts, n0, coverage, p: Params):
+    log_p = _lgamma(float(coverage))
+    for i in range(A, GAP + 1):
+        log_p -= _lgamma(float(counts[i] + 1))
+        if i == n0:
+            log_p += math.log(1 - p.error_prob) * counts[i]
+        else:
+            log_p += math.log(p.error_prob / 4) * counts[i]
+    return math.exp(log_p)
+
+
+def gt2_prob(counts, n0, n1, coverage, p: Params):
+    log_p = _lgamma(float(coverage))
+    for i in range(A, GAP + 1):
+        log_p -= _lgamma(float(counts[i] + 1))
+        if i == n0 or i == n1:
+            log_p += math.log(0.5 - p.error_prob / 2) * counts[i]
+        else:
+            log_p += math.log(p.error_prob / 3) * counts[i]
+    # reference returns float via exp(log_p) assigned through float
+    return float(np.float32(math.exp(log_p)))
+
+
+def _sigmoid_or_1(p):
+    p = math.exp(p)
+    return p / (1 + p) if math.isfinite(p) else 1.0
+
+
+def calc_p_select_diploid(call, extra, kmer_cov, n0, n1, prm: Params):
+    if prm.exome:
+        return call.cov / (call.cov + 0.25)
+    COMP_2 = float(extra["compat_both"])
+    G0_COMP = float(extra["compat_0"])
+    katvus = float(kmer_cov)
+    EDIST = float(extra["end_dist"])
+    EDIST0 = float(extra["end_dist"] == 0)
+    EDIST1 = float(extra["end_dist"] == 1)
+    EDIST2 = float(extra["end_dist"] == 2)
+    alternatiiv = float(extra["n_groups_total"] > 1)
+    ignoreeri = float(extra["n_groups_total"] != extra["n_groups"])
+    mx = float(max(call.counts[n0], call.counts[n1]))
+    allc = float(call.counts[A] + call.counts[C] + call.counts[G]
+                 + call.counts[T] + call.counts[GAP])
+    kaugus1 = (call.cov - katvus) / math.sqrt(katvus)
+    kaugus2 = ((mx - 0.5 * allc) / math.sqrt(call.cov)) \
+        * (extra["n_groups"] >= 2)
+    suhe = mx / allc * (extra["n_groups"] != 1)
+    deletsioon2 = float(n0 == GAP and n1 == GAP)
+    deletsioon1 = float((n0 != GAP and n1 == GAP)
+                        or (n0 == GAP and n1 != GAP))
+    HET = float(n0 == n1 and n0 != GAP)
+    p = (1.549817e+01
+         + COMP_2 / G0_COMP * 3.214268e+00
+         + HET * -1.603723e+01
+         + deletsioon1 * 4.057173e+00
+         + deletsioon2 * -1.295838e+01
+         + katvus * 3.327203e-01
+         + EDIST0 * -2.055305e+00
+         + EDIST1 * -1.914959e+00
+         + EDIST2 * -5.105844e-01
+         + EDIST * 5.987854e-02
+         + alternatiiv * -7.634908e-01
+         + kaugus1 * 1.563516e+00
+         + kaugus2 * -1.233070e+01
+         + (kaugus1 + 0.5) * (kaugus1 > -0.5) * -3.456876e-01
+         + (kaugus1 - 2) * (kaugus1 > 2) * -1.089758e-01
+         + (kaugus1 - 3) * (kaugus1 > 3) * -8.686674e-01
+         + kaugus2 * kaugus2 * -6.547970e-01
+         + G0_COMP / katvus * -1.655326e+00
+         + G0_COMP * G0_COMP / (katvus * katvus) * 2.113226e-01
+         + (EDIST - 40) * (EDIST - 40) * (EDIST - 40) * (EDIST > 40)
+         * 2.992796e-03
+         + (EDIST - 45) * (EDIST - 45) * (EDIST - 45) * (EDIST > 45)
+         * -6.197973e-03
+         + ignoreeri * -2.224370e-01
+         + suhe * -1.255600e+02
+         + suhe * suhe * 3.233437e+02
+         + suhe * suhe * suhe * -2.755079e+02
+         + suhe * suhe * suhe * suhe * 7.897496e+01
+         + EDIST * EDIST * -8.887499e-04
+         + HET * (EDIST <= 5) * -2.998684e-01
+         + COMP_2 / G0_COMP * katvus * -1.062955e-01
+         + HET * katvus * -2.855130e-01
+         + deletsioon1 * katvus * -9.098014e-02
+         + deletsioon2 * katvus * -2.018754e-01
+         + deletsioon2 * EDIST * 7.388170e-02
+         + deletsioon2 * alternatiiv * -4.950726e+00
+         + deletsioon2 * kaugus1 * -6.573440e-01
+         + deletsioon2 * kaugus2 * 1.337017e+01
+         + HET * kaugus2 * kaugus2 * 2.234410e+00
+         + HET * G0_COMP / katvus * 2.994476e+00
+         + HET * G0_COMP * G0_COMP / (katvus * katvus) * -4.286640e-01
+         + HET * kaugus1 * -8.026551e-01
+         + HET * kaugus2 * 9.614824e+00
+         + deletsioon1 * EDIST * -1.301157e-01
+         + EDIST * kaugus1 * -1.017782e-02
+         + kaugus1 * EDIST * EDIST * 1.413317e-04
+         + deletsioon1 * EDIST * EDIST * 2.472375e-03)
+    return _sigmoid_or_1(p)
+
+
+def calc_p_select_haploid(call, extra, kmer_cov, prm: Params):
+    if prm.exome:
+        return call.cov / (call.cov + 0.25)
+    katvus = float(kmer_cov)
+    EDIST = float(extra["end_dist"])
+    EDIST0 = float(extra["end_dist"] == 0)
+    kaugus1 = (call.cov - katvus) / math.sqrt(katvus)
+    p = (2.734031375
+         + EDIST0 * -8.395304525
+         + ((EDIST == 1) or (EDIST == 2)) * -2.292773866
+         + (EDIST - 45) * (EDIST > 45) * 1.502826728
+         + kaugus1 * 0.617528244
+         + EDIST * kaugus1 * -0.009752782)
+    return _sigmoid_or_1(p)
+
+
+def calc_p_qual_diploid(call, extra, kmer_cov, prm: Params):
+    if prm.exome:
+        return 1.0 + call.cov / (call.cov + 0.25)
+    SUB = 0.0  # USE_SUB is not defined in the reference build
+    COMP_2 = float(extra["compat_both"])
+    G0_COMP = float(extra["compat_0"])
+    katvus = float(kmer_cov)
+    EDIST = float(extra["end_dist"])
+    EDIST0 = float(extra["end_dist"] == 0)
+    EDIST1 = float(extra["end_dist"] == 1)
+    EDIST2 = float(extra["end_dist"] == 2)
+    alternatiiv = float(extra["n_groups_total"] > 1)
+    mitualternatiivi = float(extra["n_groups_total"] > 2)
+    ignoreeri = float(extra["n_groups_total"] != extra["n_groups"])
+    mx = float(max(call.counts[call.nucl[0]], call.counts[call.nucl[1]]))
+    allc = float(call.counts[A] + call.counts[C] + call.counts[G]
+                 + call.counts[T] + call.counts[GAP])
+    kaugus1 = (call.cov - katvus) / math.sqrt(katvus)
+    kaugus2 = ((mx - 0.5 * allc) / math.sqrt(call.cov)) \
+        * (extra["n_groups"] >= 2)
+    suhe = mx / allc * (extra["n_groups"] != 1)
+    deletsioon2 = float(call.nucl[0] == GAP and call.nucl[1] == GAP)
+    deletsioon1 = float((call.nucl[0] != GAP and call.nucl[1] == GAP)
+                        or (call.nucl[0] == GAP and call.nucl[1] != GAP))
+    HET = float(call.nucl[0] == call.nucl[1] and call.nucl[0] != GAP)
+    p = (5.625990e+00
+         + HET * -1.926639e+00
+         + deletsioon2 * -4.149465e+00
+         + kaugus1 * 1.976799e+00
+         + deletsioon1 * -3.674773e-01
+         + katvus * 2.505259e-01
+         + COMP_2 / G0_COMP * 3.530792e+00
+         + mitualternatiivi * 2.384205e-01
+         + alternatiiv * -1.893987e+00
+         + EDIST0 * 2.488365e+00
+         + EDIST1 * 3.614451e+00
+         + EDIST2 * -8.343540e-01
+         + (kaugus1 + 2) * (kaugus1 > -2) * -3.608020e-01
+         + (kaugus1 - 2) * (kaugus1 > 2) * -1.369033e+00
+         + kaugus2 * -8.717219e-01
+         + (kaugus1 + 1) * (kaugus1 > -1) * -5.990449e-01
+         + G0_COMP / katvus * -5.090870e-01
+         + (EDIST - 35) * (EDIST > 35) * 7.200000e-02
+         + (EDIST - 30) * (EDIST > 30) * -6.277709e-02
+         + (EDIST - 45) * (EDIST > 45) * 1.407460e-01
+         + katvus * katvus * -3.807892e-03
+         + ignoreeri * -5.524936e-01
+         + 1.0 * (SUB > 0) * -1.085515e+00
+         + HET * (EDIST < 5) * 1.155368e+00
+         + suhe * -1.489082e+02
+         + suhe * suhe * 6.542650e+02
+         + suhe * suhe * suhe * -9.392902e+02
+         + suhe * suhe * suhe * suhe * 4.360459e+02
+         + kaugus1 * deletsioon1 * -2.069432e-01
+         + HET * katvus * 1.598539e-01
+         + deletsioon2 * katvus * 2.304383e-01
+         + kaugus1 * katvus * -1.981619e-02
+         + deletsioon1 * katvus * 5.554233e-02
+         + deletsioon2 * alternatiiv * -5.609686e-01
+         + deletsioon2 * kaugus1 * 7.001617e-01
+         + deletsioon1 * kaugus1 * kaugus1 * 1.859963e-01
+         + HET * kaugus1 * 6.971654e-01
+         + HET * kaugus2 * -1.003972e-01
+         + HET * G0_COMP / katvus * -6.196470e-01
+         + HET * G0_COMP * G0_COMP / (katvus * katvus) * 1.267673e-01
+         + katvus * 1.0 * (SUB > 0) * -1.475575e-01
+         + kaugus1 * 1.0 * (SUB > 0) * -7.022790e-01
+         + HET * kaugus2 * kaugus2 * 2.281341e-01
+         + kaugus1 * deletsioon1 * katvus * 1.536606e-02
+         + HET * kaugus2 * 1.0 * (SUB > 0) * -5.997786e-01)
+    return _sigmoid_or_1(p)
+
+
+def calc_p_qual_haploid(call, extra, kmer_cov, prm: Params):
+    if prm.exome:
+        return 1.0 + call.cov / (call.cov + 0.25)
+    SUB = 0.0
+    EDIST = float(extra["end_dist"])
+    HET = float(call.nucl[0] == call.nucl[1] and call.nucl[0] != GAP)
+    p = (7.7911387
+         + (EDIST - 45) * (EDIST > 45) * 0.7390936
+         + (SUB > 0) * -5.7026205
+         + HET * (EDIST < 5) * -0.9447409)
+    return _sigmoid_or_1(p)
+
+
+def calc_p_mdetect(call, extra, kmer_cov, prm: Params):
+    if prm.exome:
+        return call.cov / (call.cov + 8.0)
+    katvus = float(kmer_cov)
+    EDIST = float(extra["end_dist"])
+    EDIST2 = float(extra["end_dist"] == 2)
+    COV = float(call.cov)
+    kaugus1 = (call.cov - katvus) / math.sqrt(katvus)
+    p = (-7.339851e+00
+         + kaugus1 * 2.457963e+00
+         + kaugus1 * kaugus1 * -2.092731e-01
+         + kaugus1 * kaugus1 * kaugus1 * 1.757365e-02
+         + EDIST * 1.174253e+00
+         + COV * 2.189787e-01
+         + katvus * 7.489705e-01
+         + COV * COV * -1.873808e-02
+         + COV * COV * COV * 2.716039e-04
+         + (kaugus1 + 0.5) * (kaugus1 > -0.5) * -5.814003e-01
+         + (kaugus1 - 3) * (kaugus1 > 3) * -8.967198e-02
+         + EDIST2 * 1.881940e+00
+         + EDIST * EDIST * -1.146688e-01
+         + EDIST * EDIST * EDIST * 4.807719e-03
+         + EDIST * EDIST * EDIST * EDIST * -9.036972e-05
+         + EDIST * EDIST * EDIST * EDIST * EDIST * 6.263128e-07
+         + kaugus1 * EDIST * -4.384856e-03
+         + COV * katvus * -3.309976e-02
+         + katvus * COV * COV * 9.086561e-04
+         + katvus * COV * COV * COV * -9.727565e-06
+         + EDIST * katvus * -9.141201e-05)
+    return _sigmoid_or_1(p)

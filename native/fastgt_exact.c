@@ -514,6 +514,12 @@ float fgx_downhill_simplex (int ndim, float mx[], float mdx[], float emax,
 
 void fgx_srand (unsigned int seed) { srand (seed); }
 
+/* expose the glibc rand stream and libm lgamma for host-side callers
+ * that must consume them in reference order (gassembler coverage
+ * sampling / read subsampling, exome-model likelihoods) */
+int fgx_rand (void) { return rand (); }
+double fgx_lgamma (double x) { return lgamma (x); }
+
 static unsigned long long rand_ull (unsigned long long min_v,
                                     unsigned long long max_v)
 {

@@ -1,0 +1,175 @@
+"""Differential tests: our gassembler vs the compiled reference binary.
+
+Scenario: synthetic diploid sample with SNVs and indels on chr 1/2/X,
+reads indexed through gmer_counter --compile_index, overlapping call
+regions. Reference runs single-threaded (its multi-threaded output is
+schedule-dependent). Everything — SW alignment, grouping, logistic call
+models, rand-driven coverage sampling, auto sex (including the 0/0 NaN
+male default), ordered block output — must be byte-identical.
+"""
+
+import io
+import sys
+
+import numpy as np
+import pytest
+
+from tests.conftest import run_reference
+
+B = "ACGT"
+
+
+def _rc(s):
+    return s[::-1].translate(str.maketrans("ACGT", "TGCA"))
+
+
+@pytest.fixture(scope="module")
+def katk_fixture(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("katk")
+    rng = np.random.default_rng(77)
+    L = 600
+    genome = {c: "".join(B[i] for i in rng.integers(0, 4, L))
+              for c in ("1", "2", "X")}
+    hap = {}
+    g = genome["1"]
+    hap[("1", 0)] = g
+    hap[("1", 1)] = (g[:100] + ("G" if g[100] != "G" else "T")
+                     + g[101:300] + g[302:])  # het SNV + het 2bp deletion
+    g = genome["2"]
+    g2 = g[:150] + ("C" if g[150] != "C" else "A") + g[151:]  # hom SNV
+    hap[("2", 0)] = g2
+    hap[("2", 1)] = g2[:400] + "TT" + g2[400:]  # het insertion
+    g = genome["X"]
+    hap[("X", 0)] = g[:200] + ("T" if g[200] != "T" else "G") + g[201:]
+    hap[("X", 1)] = hap[("X", 0)]
+    reads = []
+    for (chrom, h), seq in hap.items():
+        for i in range(120):
+            start = int(rng.integers(0, len(seq) - 100 + 1))
+            r = list(seq[start:start + 100])
+            for _ in range(rng.poisson(0.4)):
+                p = int(rng.integers(len(r)))
+                r[p] = B[int(rng.integers(4))]
+            r = "".join(r)
+            if rng.random() < 0.5:
+                r = _rc(r)
+            reads.append(r)
+    with open(tmp / "reads.fq", "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@rd{i}\n{r}\n+\n{'J' * len(r)}\n")
+    dblines, regions = [], []
+    for chrom in ("1", "2", "X"):
+        g = genome[chrom]
+        for rs in range(0, L - 150 + 1, 100):
+            re_ = rs + 150
+            kms = [g[p:p + 25] for p in range(rs + 5, re_ - 30, 35)]
+            for km in kms:
+                dblines.append(f"{chrom}_{rs}_{len(dblines)}\t1\t{km}")
+            regions.append(f"{chrom}\t{1000 + rs}\t{1000 + re_}\t"
+                           f"{g[rs:re_]}\t" + "\t".join(kms))
+    (tmp / "db.txt").write_text("\n".join(dblines) + "\n")
+    (tmp / "regions.txt").write_text("\n".join(regions) + "\n")
+    r = run_reference(["gmer_counter", "-db", "db.txt", "--compile_index",
+                       "db.idx", "--num_threads", "1", "reads.fq"], cwd=tmp)
+    assert r.returncode == 0, r.stderr
+    return tmp
+
+
+def run_ours(args):
+    from genometester4_tpu.cli.gassembler import main
+    old = sys.stdout
+    sys.stdout = io.StringIO()
+    try:
+        rc = main(args)
+        out = sys.stdout.getvalue()
+    finally:
+        sys.stdout = old
+    return rc, out
+
+
+@pytest.mark.parametrize("flags", [
+    ["--coverage", "40", "--sex", "female"],
+    ["--coverage", "40", "--sex", "male"],
+    ["--coverage", "median", "--sex", "auto"],
+    ["--coverage", "40", "--sex", "female", "--output", "all", "--counts"],
+    ["--coverage", "40", "--sex", "female", "--output", "best", "--extra"],
+    ["--coverage", "40", "--sex", "male", "--exome"],
+    ["--coverage", "ignore", "--sex", "female"],
+    ["--coverage", "40", "--sex", "female", "--alternatives"],
+    ["--coverage", "40", "--sex", "female", "--min_group_size", "2",
+     "--min_p", "0.5"],
+])
+def test_gassembler_byte_identical(katk_fixture, flags):
+    tmp = katk_fixture
+    args = ["--dbi", "db.idx", "--region_file", "regions.txt",
+            "--num_threads", "1"] + flags
+    ref = run_reference(["gassembler"] + args, cwd=tmp, timeout=600)
+    assert ref.returncode == 0, ref.stderr
+    import os
+    old = os.getcwd()
+    os.chdir(tmp)
+    try:
+        rc, out = run_ours(args)
+    finally:
+        os.chdir(old)
+    assert rc == 0
+    assert out == ref.stdout.decode()
+
+
+def test_sw_traceback_vs_reference_scores(rng):
+    """Self-consistency: batched wavefront SW equals a direct per-pair
+    numpy DP (row order) on random sequence pairs."""
+    from genometester4_tpu.ops.swalign import (sw_matrices_batch,
+                                               sw_traceback)
+
+    def sw_rowmajor(a, b):
+        n, m = len(a), len(b)
+        NEG = -1000
+        sc = np.zeros((n + 1, m + 1), np.int32)
+        lg = np.full((n + 1, m + 1), NEG, np.int32)
+        lgl = np.zeros((n + 1, m + 1), np.int32)
+        tg = np.full((n + 1, m + 1), NEG, np.int32)
+        tgl = np.zeros((n + 1, m + 1), np.int32)
+        sx = np.zeros((n + 1, m + 1), np.int32)
+        sy = np.zeros((n + 1, m + 1), np.int32)
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                sub = 0 if (a[i - 1] >= 4 or b[j - 1] >= 4) else (
+                    2 if a[i - 1] == b[j - 1] else -3)
+                cell = 0
+                cx = cy = 0
+                if sc[i - 1, j - 1] + sub > 0:
+                    cell = sc[i - 1, j - 1] + sub
+                    cx = cy = -1
+                ls, ll = cell - 4, 0
+                if lg[i, j - 1] - 2 > ls:
+                    ls, ll = lg[i, j - 1] - 2, lgl[i, j - 1] + 1
+                if ls >= cell:
+                    cell, cx, cy = ls, -np.int8(ll), 0
+                ts, tl = cell - 4, 0
+                if tg[i - 1, j] - 2 > ts:
+                    ts, tl = tg[i - 1, j] - 2, tgl[i - 1, j] + 1
+                if ts >= cell:
+                    cell, cx, cy = ts, 0, -np.int8(tl)
+                sc[i, j] = cell
+                lg[i, j], lgl[i, j] = ls, ll
+                tg[i, j], tgl[i, j] = ts, tl
+                sx[i, j], sy[i, j] = cx, cy
+        return sc, sx, sy
+
+    for trial in range(10):
+        n = int(rng.integers(20, 120))
+        m = int(rng.integers(20, 120))
+        a = rng.integers(0, 4, n).astype(np.int8)
+        b = a.copy()[:m] if m <= n else np.concatenate(
+            [a, rng.integers(0, 4, m - n).astype(np.int8)])
+        # mutate b a bit
+        for _ in range(int(rng.integers(0, 6))):
+            p = int(rng.integers(len(b)))
+            b[p] = int(rng.integers(4))
+        score_b, sx_b, sy_b = sw_matrices_batch(a, b[None, :])
+        score_r, sx_r, sy_r = sw_rowmajor(a, b)
+        np.testing.assert_array_equal(score_b[0], score_r.astype(np.int16))
+        np.testing.assert_array_equal(sx_b[0], sx_r.astype(np.int8))
+        np.testing.assert_array_equal(sy_b[0], sy_r.astype(np.int8))
+        sw_traceback(score_b[0], sx_b[0], sy_b[0], m)
