@@ -34,6 +34,7 @@ def main(argv=None) -> int:
     cutoff = 1
     maxfreq = 0xFFFFFFFF
     outputname = "out"
+    create_index = False
     debug = 0
     i = 0
     try:
@@ -59,7 +60,9 @@ def main(argv=None) -> int:
                 maxfreq = int(argv[i])
             elif a in ("--num_threads", "--max_tables", "--table_size", "--tmpdir"):
                 i += 1  # accepted for compatibility; scheduling is XLA's job
-            elif a in ("--stream", "--index"):
+            elif a == "--index":
+                create_index = True
+            elif a == "--stream":
                 pass
             elif a == "-D":
                 debug += 1
@@ -94,6 +97,13 @@ def main(argv=None) -> int:
         if p != "-" and not os.path.exists(p):
             sys.stderr.write(f"main: No such file (cannot stat): {p}\n")
             return 1
+
+    if create_index:
+        from genometester4_tpu.pipelines.listmaker import make_index
+        out_path = f"{outputname}_{wordlength}.index"
+        make_index(inputs, wordlength, out_path, min_count=cutoff,
+                   max_count=maxfreq)
+        return 0
 
     out_path = f"{outputname}_{wordlength}.list"
     hdr = make_list(inputs, wordlength, out_path, min_count=cutoff,

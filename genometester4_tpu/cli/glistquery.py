@@ -155,10 +155,12 @@ def main(argv=None) -> int:
 
     from genometester4_tpu.pipelines import listquery as lq
     from genometester4_tpu.formats.list_format import GT4_LIST_CODE
+    from genometester4_tpu.formats.index_format import GT4_INDEX_CODE
 
     maps = []
     wlen = 0
     invalid = False
+    has_lists = False
     for p in lists:
         try:
             with open(p, "rb") as f:
@@ -169,6 +171,10 @@ def main(argv=None) -> int:
             return 1
         if code == GT4_LIST_CODE:
             m = lq.ListQuery(p)
+            has_lists = True
+        elif code == GT4_INDEX_CODE:
+            m = lq.IndexQuery(p)
+            m.print_locations = locations
         else:
             sys.stderr.write(f"Error: {p} is not a valid GenomeTester4 "
                              "list/index file\n")
@@ -201,9 +207,16 @@ def main(argv=None) -> int:
             lq.print_gc(m)
         return 0
     if command in ("files", "sequences"):
-        sys.stderr.write(f"Error: {command.capitalize()} can only be queried "
-                         "from single index\n")
-        return 1
+        if has_lists or len(maps) > 1:
+            sys.stderr.write(
+                f"Error: {command.capitalize()} can only be queried "
+                "from single index\n")
+            return 1
+        if command == "files":
+            lq.print_files(maps[0].index_map)
+        else:
+            lq.print_sequences(maps[0].index_map)
+        return 0
 
     if not (seqfilename or querylistfilename or queryfilename or querystring):
         if len(maps) > 1:

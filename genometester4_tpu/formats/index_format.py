@@ -1,0 +1,175 @@
+"""GenomeTester4 ``.index`` file format — byte-compatible reader/writer.
+
+Layout (reference: src/index-map.h:60-83, writer src/glistmaker.c:366-782):
+
+* 72-byte header: u32 code 'GT4I' (bytes "I4TG"), u32 version major(4)
+  minor(2), u32 word_length, u64 num_words, u64 num_locations,
+  u32 n_file_bits, u32 n_subseq_bits, u32 n_pos_bits, u32 filler,
+  u64 files_start, u64 kmers_start, u64 locations_start.
+* file block: "F4TG", u32 major, u32 minor, u32 n_files; per file:
+  u64 size, u64 n_subseqs, u16 name_len (incl NUL), name bytes, then
+  per subsequence 28 bytes (u64 name_pos, u32 name_len, u64 seq_pos,
+  u64 seq_len); block zero-padded to 8 bytes.
+* k-mer block: num_words records of (u64 word, u64 first_location).
+* locations: u64 codes
+  ``file << (sb+pb+1) | subseq << (pb+1) | pos << 1 | dir``, sorted
+  ascending within each word's block.
+
+Cutoff bug-compat (src/glistmaker.c:425-495 vs 499-576): words outside
+[min,max] are dropped from the k-mer block and their locations are NOT
+counted in the offsets, but their location blocks ARE still written —
+so cutoff indices contain orphaned location data and the per-word
+offsets point at the wrong blocks. We reproduce this for byte identity.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+GT4_INDEX_CODE = (ord("G") << 24) | (ord("T") << 16) | (ord("4") << 8) | ord("I")
+_HEADER = struct.Struct("<IIIIQQIIIIQQQ")
+assert _HEADER.size == 72
+
+
+def get_bitsize(max_value: int) -> int:
+    """src/glistmaker.c:116-125."""
+    size = 1
+    max_value >>= 1
+    while max_value:
+        size += 1
+        max_value >>= 1
+    return size
+
+
+@dataclass
+class IndexFile:
+    name: bytes
+    size: int
+    # (n_subseqs, 4): name_pos, name_len, seq_pos, seq_len
+    subseqs: np.ndarray
+
+
+@dataclass
+class IndexMap:
+    word_length: int
+    n_file_bits: int
+    n_subseq_bits: int
+    n_pos_bits: int
+    files: list  # list[IndexFile]
+    words: np.ndarray       # u64[num_words]
+    loc_start: np.ndarray   # u64[num_words]
+    locations: np.ndarray   # u64[num_locations_written]
+    num_locations: int = 0  # header value (post-cutoff count)
+    path: str = ""
+
+    @property
+    def counts(self) -> np.ndarray:
+        """Per-word location counts from offset differences
+        (src/index-map.c:128-139)."""
+        if not len(self.words):
+            return np.zeros(0, np.uint32)
+        nxt = np.concatenate([self.loc_start[1:],
+                              [np.uint64(self.num_locations)]])
+        return (nxt - self.loc_start).astype(np.uint32)
+
+    def word_locations(self, idx: int) -> np.ndarray:
+        s = int(self.loc_start[idx])
+        n = int(self.counts[idx])
+        return self.locations[s:s + n]
+
+    def decode_locations(self, codes: np.ndarray):
+        pb, sb, fb = self.n_pos_bits, self.n_subseq_bits, self.n_file_bits
+        c = codes.astype(np.uint64)
+        dirs = c & np.uint64(1)
+        pos = (c >> np.uint64(1)) & np.uint64((1 << pb) - 1)
+        seq = (c >> np.uint64(pb + 1)) & np.uint64((1 << sb) - 1)
+        fil = (c >> np.uint64(sb + pb + 1)) & np.uint64((1 << fb) - 1)
+        return fil, seq, pos, dirs
+
+
+def read_index_map(path: str | os.PathLike) -> IndexMap:
+    with open(path, "rb") as f:
+        data = f.read()
+    (code, vmaj, vmin, wlen, n_words, n_locs, fb, sb, pb, _fill,
+     files_start, kmers_start, locations_start) = _HEADER.unpack_from(data, 0)
+    if code != GT4_INDEX_CODE:
+        raise ValueError(f"not a GT4 .index file (magic {code:#x})")
+    files = []
+    p = files_start
+    assert data[p:p + 4] == b"F4TG"
+    p += 12
+    (n_files,) = struct.unpack_from("<I", data, p)
+    p += 4
+    for _ in range(n_files):
+        size, n_ss = struct.unpack_from("<QQ", data, p)
+        p += 16
+        (nlen,) = struct.unpack_from("<H", data, p)
+        p += 2
+        name = data[p:p + nlen].split(b"\0")[0]
+        p += nlen
+        ss = np.zeros((n_ss, 4), np.int64)
+        for j in range(n_ss):
+            np_, nl = struct.unpack_from("<QI", data, p)
+            sp, sl = struct.unpack_from("<QQ", data, p + 12)
+            ss[j] = (np_, nl, sp, sl)
+            p += 28
+        files.append(IndexFile(name, size, ss))
+    recs = np.frombuffer(data, np.uint64, n_words * 2, kmers_start)
+    words = recs[0::2].copy()
+    loc_start = recs[1::2].copy()
+    n_loc_written = (len(data) - locations_start) // 8
+    locations = np.frombuffer(data, np.uint64, n_loc_written,
+                              locations_start)
+    return IndexMap(wlen, fb, sb, pb, files, words, loc_start, locations,
+                    num_locations=n_locs, path=os.fspath(path))
+
+
+def write_index_file(path: str | os.PathLike, word_length: int,
+                     files: list, words: np.ndarray, loc_start: np.ndarray,
+                     num_locations: int, locations: np.ndarray,
+                     n_file_bits: int, n_subseq_bits: int, n_pos_bits: int,
+                     atomic: bool = True):
+    """Write byte-identically to write_index (src/glistmaker.c:631-782)."""
+    tmp = f"{os.fspath(path)}.tmp" if atomic else os.fspath(path)
+    with open(tmp, "wb") as f:
+        f.write(b"I4TG")
+        f.write(struct.pack("<II", 4, 2))
+        f.write(struct.pack("<I", word_length))
+        f.write(struct.pack("<QQ", len(words), num_locations))
+        f.write(struct.pack("<IIII", n_file_bits, n_subseq_bits,
+                            n_pos_bits, 0))
+        starts_at = f.tell()
+        f.write(b"\0" * 24)
+        files_start = f.tell()
+        f.write(b"F4TG")
+        f.write(struct.pack("<II", 4, 2))
+        f.write(struct.pack("<I", len(files)))
+        blen = 16
+        for fi in files:
+            name = fi.name if isinstance(fi.name, bytes) else fi.name.encode()
+            f.write(struct.pack("<QQ", fi.size, len(fi.subseqs)))
+            f.write(struct.pack("<H", len(name) + 1))
+            f.write(name + b"\0")
+            blen += 18 + len(name) + 1
+            for (np_, nl, sp, sl) in fi.subseqs:
+                f.write(struct.pack("<QIQQ", int(np_), int(nl), int(sp),
+                                    int(sl)))
+            blen += 28 * len(fi.subseqs)
+        if blen & 7:
+            f.write(b"\0" * (8 - (blen & 7)))
+        kmers_start = f.tell()
+        recs = np.empty(len(words) * 2, np.uint64)
+        recs[0::2] = words
+        recs[1::2] = loc_start
+        f.write(recs.tobytes())
+        locations_start = f.tell()
+        f.write(np.ascontiguousarray(locations, np.uint64).tobytes())
+        f.seek(starts_at)
+        f.write(struct.pack("<QQQ", files_start, kmers_start,
+                            locations_start))
+    if atomic:
+        os.replace(tmp, path)

@@ -15,7 +15,32 @@ import math
 import numpy as np
 import jax.numpy as jnp
 
-from genometester4_tpu.formats.list_format import ListWriter, read_list
+from genometester4_tpu.formats.list_format import (GT4_LIST_CODE,
+                                                    ListWriter, read_list)
+
+
+def read_word_source(path):
+    """Load a .list OR .index as (header-like, words, counts) — the
+    reference's set operations accept either through the GT4WordSList
+    interface, with index counts being location counts
+    (src/glistcompare.c:250-286)."""
+    import struct
+    from types import SimpleNamespace
+    with open(path, "rb") as f:
+        code = struct.unpack("<I", f.read(4))[0]
+    if code == GT4_LIST_CODE:
+        return read_list(path)
+    from genometester4_tpu.formats.index_format import (GT4_INDEX_CODE,
+                                                        read_index_map)
+    if code == GT4_INDEX_CODE:
+        im = read_index_map(path)
+        counts = im.counts
+        hdr = SimpleNamespace(word_length=im.word_length,
+                              n_words=len(im.words),
+                              total_count=int(im.num_locations))
+        return hdr, im.words, counts
+    raise ValueError(
+        f"Error: {path} is not a valid GenomeTester4 list/index file")
 from genometester4_tpu.ops.encode import split_u64, join_u64
 from genometester4_tpu.ops import setops
 from genometester4_tpu.utils.rand48 import Rand48
@@ -91,8 +116,8 @@ def compare_pair(list1: str, list2: str, ops: list[str], outputname: str = "out"
 
     Returns {op: (n_words, total_count)}; writes files unless count_only.
     """
-    h1, w1, c1 = read_list(list1)
-    h2, w2, c2 = read_list(list2)
+    h1, w1, c1 = read_word_source(list1)
+    h2, w2, c2 = read_word_source(list2)
     wlen = h1.word_length
     sinks = {op: _OpSink(op, _op_filename(outputname, wlen, op), wlen,
                          count_only) for op in ops}
@@ -135,7 +160,7 @@ def compare_multi(paths: list[str], op: str, outputname: str = "out",
                   count_override: int = 1, count_only: bool = False,
                   bucket_target: int = DEFAULT_BUCKET):
     """N-list union/intersection (N > 2)."""
-    data = [read_list(p) for p in paths]
+    data = [read_word_source(p) for p in paths]
     wlen = data[0][0].word_length
     n_lists = len(data)
     # reference validates rules per op (src/glistcompare.c:518-523,617-623)
@@ -203,8 +228,8 @@ def compare_pair_mm(list1: str, list2: str, ops: list[str],
                                                 lookup_counts)
     from genometester4_tpu.ops.encode import canonical_u64
 
-    h1, w1, c1 = read_list(list1)
-    h2, w2, c2 = read_list(list2)
+    h1, w1, c1 = read_word_source(list1)
+    h2, w2, c2 = read_word_source(list2)
     k = h1.word_length
     w1 = np.asarray(w1)
     w2 = np.asarray(w2)
@@ -267,7 +292,7 @@ def make_subset(list_path: str, method: str, size: int, outputname: str,
                 seed: int):
     """Random subsetting (-ss): exact drand48 stream parity with the
     reference (src/glistcompare.c:719-787)."""
-    h, words, counts = read_list(list_path)
+    h, words, counts = read_word_source(list_path)
     rng = Rand48(seed)
     out_path = f"{outputname}_subset_{h.word_length}.list"
     sel_words, sel_counts = [], []

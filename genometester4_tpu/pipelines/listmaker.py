@@ -169,6 +169,144 @@ def merge_sorted_shards(shards, target_bucket: int = DEFAULT_MERGE_BUCKET):
             ucounts[:m], dtype=np.uint32)
 
 
+def _make_index_chunk_fn(k: int):
+    """Extract (canonical word, window position, direction) for every
+    valid window, compacted to the front (scatter-free)."""
+    from genometester4_tpu.ops.encode import canonical_pair
+    from genometester4_tpu.ops.sortcount import sort_compact
+
+    @jax.jit
+    def run(codes):
+        fhi, flo, valid = extract_kmers(codes, k, canonical=False)
+        chi, clo = canonical_pair(fhi, flo, k)
+        is_rc = ~((chi == fhi) & (clo == flo))
+        n = chi.shape[0]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(n)
+        return sort_compact(valid, chi, clo, pos, is_rc.astype(jnp.uint8))
+
+    return run
+
+
+def make_index(input_files, word_length: int, output_path: str,
+               min_count: int = 1, max_count: int = 0xFFFFFFFF,
+               chunk_bases: int = DEFAULT_CHUNK_BASES):
+    """glistmaker --index: FASTA/FASTQ -> .index location file
+    (reference writer: src/glistmaker.c:366-782).
+
+    Location semantics (src/glistmaker.c:1052-1068): pos counts printable
+    sequence characters (seq_npos), subseq is the record index within the
+    file, dir means the canonical word is the reverse complement.
+    """
+    from genometester4_tpu.formats.index_format import (IndexFile,
+                                                        get_bitsize,
+                                                        write_index_file)
+    from genometester4_tpu.io.fasta import load_file, open_source
+
+    k = word_length
+    run = _make_index_chunk_fn(k)
+    all_words, all_codes_parts = [], []
+    files_meta = []
+    per_file = []  # (words, file_idx, subseq, pos, dir)
+    max_lpos = 0
+    max_subseq = 0
+    for file_idx, path in enumerate(input_files):
+        raw = open_source(path)
+        parsed = load_file(path)
+        # byte-level subsequence registry (src/glistmaker.c:1030-1050):
+        # name_pos/name_len from the record header, seq span in BYTES up
+        # to the next record start (FASTA) or the sequence line (FASTQ)
+        ns = parsed._name_spans
+        n_rec = parsed.n_records
+        subseqs = np.zeros((n_rec, 4), np.int64)
+        subseqs[:, 0] = ns[:, 0]
+        subseqs[:, 1] = ns[:, 1] - ns[:, 0]
+        seq_pos = ns[:, 1] + 1
+        subseqs[:, 2] = seq_pos
+        first = raw.lstrip(b" \t\r\n")[:1]
+        if first == b">":
+            nxt = np.concatenate([ns[1:, 0] - 1, [len(raw)]])
+            subseqs[:, 3] = nxt - seq_pos
+        else:
+            # FASTQ: sequence line length (no newline)
+            data = np.frombuffer(raw, np.uint8)
+            for j in range(n_rec):
+                e = seq_pos[j]
+                while e < len(data) and data[e] != 0x0A:
+                    e += 1
+                subseqs[j, 3] = e - seq_pos[j]
+        files_meta.append(IndexFile(path.encode(), len(raw), subseqs))
+        if n_rec:
+            max_subseq = max(max_subseq, n_rec - 1)
+        # windows
+        codes = parsed.codes
+        n = len(codes)
+        if n < k:
+            per_file.append(None)
+            continue
+        w_l, p_l, d_l = [], [], []
+        step = chunk_bases - (k - 1)
+        for start in range(0, max(n - (k - 1), 1), step):
+            chunk = pad_pow2_chunk(codes[start:start + chunk_bases],
+                                   chunk_bases)
+            n_v, hi, lo, pos, dirs = run(jnp.asarray(chunk))
+            m = int(n_v)
+            w_l.append(join_u64(np.asarray(hi[:m]), np.asarray(lo[:m])))
+            p_l.append(np.asarray(pos[:m]).astype(np.int64) + start)
+            d_l.append(np.asarray(dirs[:m]))
+        words = np.concatenate(w_l)
+        gpos = np.concatenate(p_l)
+        dirs = np.concatenate(d_l)
+        rec = np.searchsorted(parsed.rec_starts, gpos, side="right") - 1
+        lpos = gpos - parsed.rec_starts[rec]
+        if len(lpos):
+            max_lpos = max(max_lpos, int(lpos.max()))
+        per_file.append((words, rec, lpos, dirs))
+
+    n_file_bits = get_bitsize(len(input_files) - 1)
+    n_subseq_bits = get_bitsize(max_subseq)
+    n_pos_bits = get_bitsize(max_lpos)
+
+    words_parts, code_parts = [], []
+    for file_idx, pf in enumerate(per_file):
+        if pf is None:
+            continue
+        words, rec, lpos, dirs = pf
+        code = ((np.uint64(file_idx)
+                 << np.uint64(n_subseq_bits + n_pos_bits + 1))
+                | (rec.astype(np.uint64) << np.uint64(n_pos_bits + 1))
+                | (lpos.astype(np.uint64) << np.uint64(1))
+                | dirs.astype(np.uint64))
+        words_parts.append(words)
+        code_parts.append(code)
+    if words_parts:
+        aw = np.concatenate(words_parts)
+        ac = np.concatenate(code_parts)
+        order = np.lexsort((ac, aw))
+        aw, ac = aw[order], ac[order]
+        head = np.concatenate([[True], aw[1:] != aw[:-1]])
+        uw = aw[head]
+        starts = np.flatnonzero(head)
+        cnt = np.diff(np.concatenate([starts, [len(aw)]]))
+        keep = (cnt >= min_count) & (cnt <= max_count)
+        # offsets accumulate over KEPT words only, but every word's
+        # locations are written (reference cutoff bug, see format doc)
+        kept_cnt = np.where(keep, cnt, 0)
+        loc_start = (np.cumsum(kept_cnt) - kept_cnt).astype(np.uint64)
+        num_locations = int(kept_cnt.sum())
+        words_out = uw[keep]
+        loc_start_out = loc_start[keep]
+        locations = ac
+    else:
+        words_out = np.empty(0, np.uint64)
+        loc_start_out = np.empty(0, np.uint64)
+        num_locations = 0
+        locations = np.empty(0, np.uint64)
+
+    write_index_file(output_path, k, files_meta, words_out, loc_start_out,
+                     num_locations, locations, n_file_bits, n_subseq_bits,
+                     n_pos_bits)
+
+
 def make_list(input_files, word_length: int, output_path: str,
               min_count: int = 1, max_count: int = 0xFFFFFFFF,
               chunk_bases: int = DEFAULT_CHUNK_BASES,

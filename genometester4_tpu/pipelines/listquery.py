@@ -38,6 +38,10 @@ from genometester4_tpu.ops.mismatch import preorder_masks
 class ListQuery:
     """A loaded .list with host and device lookup paths."""
 
+    # set on .index sources (GT4IndexMap equivalent)
+    index_map = None
+    print_locations = False
+
     def __init__(self, path: str):
         self.path = path
         self.header, self.words, self.counts = read_list(path)
@@ -86,6 +90,68 @@ class ListQuery:
         return self.lookup_host(queries)
 
 
+class IndexQuery(ListQuery):
+    """A loaded .index behaving as a word source (count = n locations),
+    the GT4IndexMap interface stack (src/index-map.c:140-208)."""
+
+    def __init__(self, path: str):
+        from genometester4_tpu.formats.index_format import read_index_map
+        self.path = path
+        self.index_map = read_index_map(path)
+        self.words = self.index_map.words
+        self.counts = self.index_map.counts
+        self.k = self.index_map.word_length
+        self.header = None
+        self._dev = None
+
+    @property
+    def total_count(self) -> int:
+        return int(self.index_map.num_locations)
+
+
+def _word_index(lst, word: int) -> int:
+    idx = int(np.searchsorted(lst.words, np.uint64(word)))
+    if idx < len(lst.words) and lst.words[idx] == np.uint64(word):
+        return idx
+    return -1
+
+
+def _location_lines(im, word_idx: int, reverse: int, out: list):
+    """print_index_info (src/glistquery.c:469-478): one line per
+    location, dir xor'ed with the query's reverse flag."""
+    codes = im.word_locations(word_idx)
+    fil, seq, pos, dirs = im.decode_locations(codes)
+    for j in range(len(codes)):
+        d = int(bool(dirs[j]) != bool(reverse))
+        out.append("%u\t%u\t%llu\t%u\n".replace("%llu", "%d").replace(
+            "%u", "%d") % (int(fil[j]), int(seq[j]), int(pos[j]), d))
+
+
+def print_files(im):
+    """glistquery --files (src/glistquery.c:439-449)."""
+    out = []
+    for i, fi in enumerate(im.files):
+        out.append("%d\t%s\t%d\t%d\n" % (i, fi.name.decode("latin1"),
+                                         fi.size, len(fi.subseqs)))
+    _emit(out)
+
+
+def print_sequences(im):
+    """glistquery --sequences (src/glistquery.c:451-467): the name bytes
+    are read from the SOURCE file at name_pos."""
+    out = []
+    for i, fi in enumerate(im.files):
+        try:
+            with open(fi.name.decode("latin1"), "rb") as f:
+                src = f.read()
+        except OSError:
+            src = b""
+        for j, (np_, nl, sp, sl) in enumerate(fi.subseqs):
+            name = src[np_:np_ + min(nl, 1023)].decode("latin1")
+            out.append("%d\t%d\t%s\t%d\t%d\t%d\n" % (i, j, name, np_, sp, sl))
+    _emit(out)
+
+
 def _emit(lines):
     sys.stdout.write("".join(lines))
 
@@ -105,30 +171,45 @@ def search_one_word(lst: ListQuery, word: int, nmm: int, pm3: int,
                     min_freq: int, max_freq: int, print_all: bool,
                     out: list):
     """src/glistquery.c:543-567 semantics for one query word."""
-    word = int(canonical_u64(np.array([word], np.uint64), lst.k)[0])
+    cword = int(canonical_u64(np.array([word], np.uint64), lst.k)[0])
+    reverse = 1 if cword != word else 0
+    word = cword
     ws = word_to_string(word, lst.k)
+    with_locs = lst.index_map is not None and lst.print_locations
+    if with_locs or print_all:
+        # callback path (src/glistquery.c:552-556): every found word is
+        # printed, min/max filter skipped; locations follow for indexes
+        if nmm == 0:
+            neigh = np.array([word], np.uint64)
+        else:
+            masks = preorder_masks(lst.k, nmm, pm3)
+            neigh = canonical_u64(np.uint64(word) ^ masks, lst.k)
+        counts = lst.lookup_host(neigh)
+        hit = counts > 0
+        for w, c in zip(neigh[hit], counts[hit]):
+            if with_locs:
+                out.append(f"{word_to_string(int(w), lst.k)}\t{c}\t{reverse}\n")
+                _location_lines(lst.index_map, _word_index(lst, int(w)),
+                                reverse, out)
+            else:
+                out.append(f"{word_to_string(int(w), lst.k)}\t{c}\n")
+        if not hit.any() and not min_freq:
+            out.append(f"{ws}\t0\n")
+        return
     if nmm == 0:
         cnt = int(lst.lookup_host(np.array([word], np.uint64))[0])
         if cnt:
-            # --all routes through the print callback, which skips the
-            # min/max filter (src/glistquery.c:552-556, cb_print)
-            if print_all or min_freq <= cnt <= max_freq:
+            if min_freq <= cnt <= max_freq:
                 out.append(f"{ws}\t{cnt}\n")
         elif not min_freq:
             out.append(f"{ws}\t0\n")
         return
     total, fw, fc = mm_lookup_sum(lst, word, nmm, pm3)
-    if print_all:
-        for w, c in zip(fw, fc):
-            out.append(f"{word_to_string(int(w), lst.k)}\t{c}\n")
-        if total == 0 and not min_freq:
-            out.append(f"{ws}\t0\n")
-    else:
-        if total:
-            if min_freq <= total <= max_freq:
-                out.append(f"{ws}\t{total}\n")
-        elif not min_freq:
-            out.append(f"{ws}\t0\n")
+    if total:
+        if min_freq <= total <= max_freq:
+            out.append(f"{ws}\t{total}\n")
+    elif not min_freq:
+        out.append(f"{ws}\t0\n")
 
 
 def query_words_bulk(lst: ListQuery, words: np.ndarray, min_freq: int,
@@ -274,6 +355,19 @@ def search_lists_multi(query_path: str, lists: list[ListQuery]):
 
 
 def print_full_map(lst: ListQuery, chunk: int = 1 << 20):
+    if lst.index_map is not None and lst.print_locations:
+        # src/glistquery.c:495-510: per word also dump its locations
+        im = lst.index_map
+        out = []
+        strs = words_to_strings(np.asarray(lst.words), lst.k)
+        for i, (s, c) in enumerate(zip(strs, np.asarray(lst.counts).tolist())):
+            out.append(f"{s}\t{c}\n")
+            _location_lines(im, i, 0, out)
+            if len(out) > 8192:
+                _emit(out)
+                out = []
+        _emit(out)
+        return
     for s in range(0, len(lst.words), chunk):
         strs = words_to_strings(np.asarray(lst.words[s:s + chunk]), lst.k)
         _emit(f"{w}\t{c}\n" for w, c in
@@ -318,13 +412,20 @@ def dump_lists(lists: list[ListQuery], is_union: bool, header_names=None):
     _emit(out)
 
 
-def get_statistics(lst: ListQuery):
+def _stats_header_lines(lst: ListQuery) -> str:
+    if lst.index_map is not None:
+        return (f"Index {lst.path}: built with glistmaker version 4.2\n"
+                f"Wordlength\t{lst.k}\nNUnique\t{len(lst.words)}\n"
+                f"NTotal\t{lst.index_map.num_locations}\n")
     h = lst.header
-    sys.stdout.write(
-        f"List {lst.path}: built with glistmaker version "
-        f"{h.version_major}.{h.version_minor}\n"
-        f"Wordlength\t{h.word_length}\nNUnique\t{h.n_words}\n"
-        f"NTotal\t{h.total_count}\n")
+    return (f"List {lst.path}: built with glistmaker version "
+            f"{h.version_major}.{h.version_minor}\n"
+            f"Wordlength\t{h.word_length}\nNUnique\t{h.n_words}\n"
+            f"NTotal\t{h.total_count}\n")
+
+
+def get_statistics(lst: ListQuery):
+    sys.stdout.write(_stats_header_lines(lst))
 
 
 def print_median(lst: ListQuery):
@@ -356,12 +457,12 @@ def print_median(lst: ListQuery):
         else:
             break
         med = (mn + mx) // 2
-    sys.stdout.write(
-        f"List {lst.path}: built with glistmaker version "
-        f"{h.version_major}.{h.version_minor}\n"
-        f"Wordlength\t{h.word_length}\nNUnique\t{h.n_words}\n"
-        f"NTotal\t{h.total_count}\n")
-    avg = h.total_count / h.n_words if h.n_words else float("nan")
+    sys.stdout.write(_stats_header_lines(lst))
+    if lst.index_map is not None:
+        total, nuniq = lst.index_map.num_locations, len(lst.words)
+    else:
+        total, nuniq = h.total_count, h.n_words
+    avg = total / nuniq if nuniq else float("nan")
     sys.stdout.write(f"Min {gmin} Max {gmax} Median {med} Average {avg:.2f}\n")
 
 

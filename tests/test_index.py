@@ -1,0 +1,125 @@
+"""Differential tests for the .index format: glistmaker --index output
+byte-identity, glistquery index queries, glistcompare index inputs."""
+
+import io
+import sys
+
+import numpy as np
+import pytest
+
+from tests.conftest import run_reference, random_fasta, random_fastq
+
+
+def run_cli(module_main, args):
+    old = sys.stdout
+    sys.stdout = io.StringIO()
+    try:
+        rc = module_main(args)
+        out = sys.stdout.getvalue()
+    finally:
+        sys.stdout = old
+    return rc, out
+
+
+@pytest.fixture
+def index_pair(tmp_path, rng):
+    fa = tmp_path / "in.fa"
+    fa.write_text(random_fasta(rng, n_records=6, min_len=150, max_len=900,
+                               n_prob=0.01))
+    fq = tmp_path / "in.fq"
+    fq.write_text(random_fastq(rng, 80, 70, n_prob=0.01))
+    return tmp_path, ["in.fa", "in.fq"]
+
+
+@pytest.mark.parametrize("w", [8, 16, 25])
+def test_index_byte_identical(index_pair, w):
+    tmp, inputs = index_pair
+    r = run_reference(["glistmaker"] + inputs + ["-w", str(w), "-o", "ref",
+                                                 "--index"], cwd=tmp)
+    assert r.returncode == 0, r.stderr
+    import os
+    from genometester4_tpu.cli.glistmaker import main
+    old = os.getcwd()
+    os.chdir(tmp)
+    try:
+        rc, _ = run_cli(main, inputs + ["-w", str(w), "-o", "tpu", "--index"])
+    finally:
+        os.chdir(old)
+    assert rc == 0
+    assert (tmp / f"tpu_{w}.index").read_bytes() == (
+        tmp / f"ref_{w}.index").read_bytes()
+
+
+def test_index_with_cutoff_byte_identical(index_pair):
+    tmp, inputs = index_pair
+    args = inputs + ["-w", "8", "-c", "2", "--max", "30", "--index"]
+    r = run_reference(["glistmaker"] + args + ["-o", "ref"], cwd=tmp)
+    assert r.returncode == 0, r.stderr
+    import os
+    from genometester4_tpu.cli.glistmaker import main
+    old = os.getcwd()
+    os.chdir(tmp)
+    try:
+        rc, _ = run_cli(main, args + ["-o", "tpu"])
+    finally:
+        os.chdir(old)
+    assert rc == 0
+    assert (tmp / "tpu_8.index").read_bytes() == (
+        tmp / "ref_8.index").read_bytes()
+
+
+QUERY_ARGSETS = [
+    ["--files"],
+    ["--sequences"],
+    ["--locations"],
+    [],
+    ["--stat"],
+    ["--median"],
+    ["-q", "ACGTACGT", "--locations"],
+    ["-q", "ACGTACGT", "-mm", "1", "--locations"],
+    ["-q", "TTTTACGT"],
+]
+
+
+def test_glistquery_index_features(index_pair):
+    tmp, inputs = index_pair
+    r = run_reference(["glistmaker"] + inputs + ["-w", "8", "-o", "ref",
+                                                 "--index"], cwd=tmp)
+    assert r.returncode == 0
+    import os
+    from genometester4_tpu.cli.glistquery import main
+    for extra in QUERY_ARGSETS:
+        ref = run_reference(["glistquery", "ref_8.index"] + extra, cwd=tmp)
+        assert ref.returncode == 0, (extra, ref.stderr)
+        old = os.getcwd()
+        os.chdir(tmp)
+        try:
+            rc, out = run_cli(main, ["ref_8.index"] + extra)
+        finally:
+            os.chdir(old)
+        assert rc == 0, extra
+        assert out == ref.stdout.decode(), extra
+
+
+def test_glistcompare_index_inputs(index_pair):
+    tmp, inputs = index_pair
+    for i, f in enumerate(inputs):
+        r = run_reference(["glistmaker", f, "-w", "8", "-o", f"r{i}",
+                           "--index"], cwd=tmp)
+        assert r.returncode == 0
+    ref = run_reference(["glistcompare", "r0_8.index", "r1_8.index", "-u",
+                         "-i", "-d", "-o", "refc"], cwd=tmp)
+    assert ref.returncode == 0, ref.stderr
+    import os
+    from genometester4_tpu.cli.glistcompare import main
+    old = os.getcwd()
+    os.chdir(tmp)
+    try:
+        rc, _ = run_cli(main, ["r0_8.index", "r1_8.index", "-u", "-i", "-d",
+                               "-o", "tpuc"])
+    finally:
+        os.chdir(old)
+    assert rc == 0
+    for suffix in ("_8_union.list", "_8_intrsec.list", "_8_0_diff1.list"):
+        assert (tmp / f"tpuc{suffix}").read_bytes() == (
+            tmp / f"refc{suffix}").read_bytes(), suffix
