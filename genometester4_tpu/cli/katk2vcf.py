@@ -1,0 +1,240 @@
+"""katk2vcf — KATK gassembler calls to VCF
+(reference: scripts/katk2vcf.pl).
+
+Behavior-compatible translation: indel runs are merged into single VCF
+records, insertions/deletions are left-shifted against the reference by
+the script's 50 bp window scan, NC positions are tracked. The chromosome
+FASTA directory (hard-coded in the Perl script) is the --chr_dir
+argument here; chromosome files are ``<chr>.fa``.
+
+Usage: katk2vcf --chr_dir DIR CALLS_FILE
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+CHRS = ["MT", "X", "Y"] + [str(i) for i in range(1, 23)]
+
+
+def load_chr_seqs(chr_dir: str) -> dict:
+    seqs = {}
+    for c in CHRS:
+        path = os.path.join(chr_dir, f"{c}.fa")
+        if not os.path.exists(path):
+            continue
+        parts = []
+        with open(path) as f:
+            for ln in f:
+                ln = ln.strip()
+                if not ln or ln.startswith(">"):
+                    continue
+                parts.append(ln)
+        seqs[c] = "".join(parts)
+    return seqs
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    chr_dir = None
+    calls_fn = None
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--chr_dir":
+            i += 1
+            chr_dir = argv[i]
+        else:
+            calls_fn = argv[i]
+        i += 1
+    if not chr_dir or not calls_fn:
+        sys.stderr.write("Usage: katk2vcf --chr_dir DIR CALLS_FILE\n")
+        return 1
+    hg = load_chr_seqs(chr_dir)
+    out = sys.stdout
+
+    REF_COL, CALL_COL, TYPE_COL = 3, 5, 6
+    callid = []
+    call = {}
+    tyyp = {}
+    nc = {}
+    pikk = 0
+    het = 0
+    taht = ""
+    voti = ""
+    mutat_1 = mutat_2 = ""
+    prev_pos = None
+
+    def flush_indel(cur_tokens):
+        """End-of-run indel normalization (50 bp left-shift scan)."""
+        nonlocal voti, mutat_1, mutat_2, pikk, taht, het
+        lahti = voti.split(":")
+        p0 = int(lahti[1]) - 1
+        seq = hg.get(lahti[0], "")
+        if taht == "I":
+            mut_pikk_2 = len(mutat_2)
+            if len(mutat_2) > 1 and seq:
+                ref_i2 = seq[p0 - 50:p0 + 50]
+                true_i2 = seq[p0 - 50:p0 + 1] + mutat_2[1:] \
+                    + seq[p0 + 1:p0 + 50]
+                for r in range(50):
+                    ajut = true_i2[:50 - r] + true_i2[-50 - r:]
+                    if ajut == ref_i2:
+                        ajut_pos = p0 - r
+                        if het == 1:
+                            mutat_1 = true_i2[49 - r]
+                        mutat_2 = true_i2[49 - r:49 - r + mut_pikk_2]
+                        if het == 0:
+                            mutat_1 = mutat_2
+                        voti = f"{lahti[0]}:{ajut_pos}"
+        if taht == "D":
+            if len(mutat_1) > 1 and seq:
+                ref_d1 = seq[p0 - 50:p0] \
+                    + seq[p0 + len(mutat_1) - 1:p0 + len(mutat_1) - 1 + 50]
+                for r in range(50):
+                    ajut = seq[p0 - 50:p0 - r] \
+                        + seq[p0 + len(mutat_1) - 1 - r:
+                              p0 + len(mutat_1) - 1 + 50]
+                    if ajut == ref_d1:
+                        ajut_pos = p0 - r
+                        if het == 1:
+                            mutat_2 = seq[p0 - r - 1].lower()
+                        mutat_1 = seq[p0 - r - 1:
+                                      p0 - r - 1 + len(mutat_1)].lower()
+                        if het == 0:
+                            mutat_2 = mutat_1
+                        voti = f"{lahti[0]}:{ajut_pos}"
+            mutat_1 = mutat_1[:1].upper() + mutat_1[1:]
+            mutat_2 = mutat_2[:1].upper() + mutat_2[1:]
+        callid.append(voti)
+        call[voti] = f"{mutat_1}/{mutat_2}"
+        tyyp[voti] = taht
+        pikk = 0
+        taht = ""
+        het = 0
+
+    with open(calls_fn) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            t = line.split("\t")
+            if len(t) <= TYPE_COL:
+                continue
+            try:
+                pos = int(t[1])
+            except ValueError:
+                continue
+            key0 = f"{t[0]}:{t[1]}"
+            if t[5] == "NC":
+                nc[key0] = "NC"
+                prev_pos = pos
+                continue
+            if pikk == 1 and prev_pos is not None and pos - prev_pos > 1:
+                flush_indel(t)
+            prev_pos = pos
+            c0, c1 = t[CALL_COL][:1], t[CALL_COL][1:2]
+            if t[TYPE_COL] == "I":
+                if pikk == 0:
+                    voti = key0
+                    base = hg.get(t[0], "")[pos - 1:pos]
+                    mutat_1 = mutat_2 = base
+                    if c0 != c1:
+                        if c0 == "-":
+                            mutat_2 += c1
+                        if c1 == "-":
+                            mutat_2 += c0
+                        het = 1
+                    else:
+                        mutat_1 += c0
+                        mutat_2 += c1
+                    pikk = 1
+                    taht = "I"
+                else:
+                    if c0 != c1:
+                        if c0 == "-":
+                            mutat_2 += c1
+                        if c1 == "-":
+                            mutat_2 += c0
+                    else:
+                        mutat_1 += c0
+                        mutat_2 += c0
+                continue
+            if t[TYPE_COL] == "D":
+                if pikk == 0:
+                    voti = key0
+                    base = hg.get(t[0], "")[pos - 1:pos]
+                    mutat_1 = mutat_2 = base
+                    if c0 != c1:
+                        if c0 == "-":
+                            mutat_2 += c1.lower()
+                        if c1 == "-":
+                            mutat_1 += c0.lower()
+                        het = 1
+                    else:
+                        mutat_1 += c0.lower()
+                        mutat_2 += c0.lower()
+                    pikk = 1
+                    taht = "D"
+                else:
+                    if c0 != c1:
+                        if c0 == "-":
+                            mutat_2 += c1.lower()
+                        if c1 == "-":
+                            mutat_1 += c0.lower()
+                    else:
+                        mutat_1 += c0.lower()
+                        mutat_2 += c0.lower()
+                continue
+            if t[TYPE_COL] == "S":
+                if c0 != c1:
+                    mutat_1 = t[REF_COL]
+                    if c1 == t[REF_COL]:
+                        mutat_2 = c0
+                    if c0 == t[REF_COL]:
+                        mutat_2 = c1
+                else:
+                    mutat_1, mutat_2 = c0, c1
+                callid.append(key0)
+                call[key0] = f"{mutat_1}/{mutat_2}"
+                tyyp[key0] = "S"
+                continue
+
+    out.write("##fileformat=VCFv4.0\n")
+    out.write("##fileDate=\n")
+    out.write("##source=KATKtools\n")
+    out.write("##reference=GRCh38\n")
+    out.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\n")
+    # the Perl loop stops BEFORE the last accumulated call (l < jrk where
+    # jrk is the last index) — reproduced
+    for li in range(max(0, len(callid) - 1)):
+        muutus = callid[li]
+        asukoht = muutus.split(":")
+        call[muutus] = call[muutus].upper()
+        genot = call[muutus].split("/")
+        seq = hg.get(asukoht[0], "")
+        p = int(asukoht[1])
+        nuc = seq[p - 1:p]
+        if muutus in nc:
+            call[muutus] = nc[muutus]
+        if tyyp[muutus] in ("I", "S"):
+            out.write("%s\t%s\t.\t%s\t%s\t.\tPASS\t%s\tGT\t"
+                      % (asukoht[0], asukoht[1], nuc, genot[1],
+                         tyyp[muutus]))
+            if genot[0] == nuc:
+                out.write("0")
+            if genot[0] == genot[1]:
+                out.write("1")
+            out.write("/")
+            out.write("1\n")
+        elif tyyp[muutus] == "D":
+            out.write("%s\t%s\t.\t%s\t%s\t.\tPASS\tD\tGT\t"
+                      % (asukoht[0], asukoht[1], genot[0], nuc))
+            out.write("0/")
+            if genot[0] == genot[1]:
+                out.write("0\n")
+            else:
+                out.write("1\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

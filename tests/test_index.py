@@ -123,3 +123,51 @@ def test_glistcompare_index_inputs(index_pair):
     for suffix in ("_8_union.list", "_8_intrsec.list", "_8_0_diff1.list"):
         assert (tmp / f"tpuc{suffix}").read_bytes() == (
             tmp / f"refc{suffix}").read_bytes(), suffix
+
+
+def test_kmer_predictor_self_consistency(tmp_path, rng):
+    """No differential oracle (the reference program is bit-rotted and
+    does not compile); check the model recovers a planted linear signal
+    and the coefficients file has the documented shape."""
+    from genometester4_tpu.cli.kmer_predictor import main as kp_main
+    from genometester4_tpu.cli.glistmaker import main as lm_main
+    import os
+    B = "ACGT"
+    base = "".join(B[i] for i in rng.integers(0, 4, 3000))
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        (tmp_path / "panel.fa").write_text(">p\n" + base[:800] + "\n")
+        assert lm_main(["panel.fa", "-w", "10", "-o", "panel"]) == 0
+        lines = []
+        traits = []
+        for s in range(30):
+            frac = float(rng.random())
+            seq = base[:int(200 + 600 * frac)] + "".join(
+                B[i] for i in rng.integers(0, 4, 300))
+            (tmp_path / f"s{s}.fa").write_text(f">s{s}\n{seq}\n")
+            assert lm_main([f"s{s}.fa", "-w", "10", "-o", f"s{s}"]) == 0
+            t = 10 + 20 * frac
+            traits.append(t)
+            lines.append(f"sample{s}\ts{s}_10.list\t{t:.2f}")
+        (tmp_path / "lists.txt").write_text("\n".join(lines) + "\n")
+        import io, sys
+        err = io.StringIO()
+        old_err = sys.stderr
+        sys.stderr = err
+        try:
+            rc = kp_main(["--kmers", "panel_10.list", "--lists", "lists.txt",
+                          "--write_coefficients", "coef.txt"])
+        finally:
+            sys.stderr = old_err
+        assert rc == 0
+        rows = [ln.split("\t") for ln in err.getvalue().strip().split("\n")]
+        assert len(rows) == 30
+        true = np.array([float(r[1]) for r in rows])
+        pred = np.array([float(r[2]) for r in rows])
+        assert np.corrcoef(true, pred)[0, 1] > 0.9
+        coef = (tmp_path / "coef.txt").read_text().splitlines()
+        assert coef[0].startswith("AVG_FF\t")
+        assert coef[1].startswith("SCALE\t")
+    finally:
+        os.chdir(old)

@@ -1,0 +1,121 @@
+"""Differential tests for the post-processing script equivalents:
+generate_vcf / katk2vcf (vs the reference Perl scripts, which are
+available in this environment) and MakeUnion/MakeIntersection (staging
+trees + final lists vs the Perl drivers shelling out to the reference
+glistcompare)."""
+
+import io
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.conftest import REF_BIN, run_reference
+
+SCRIPTS = REF_BIN.parent.parent.parent / "reference" / "scripts"
+import pathlib
+SCRIPTS = pathlib.Path("/root/reference/scripts")
+
+perl = shutil.which("perl")
+
+
+def run_cli(fn, args, capture="stdout"):
+    buf = io.StringIO()
+    old = getattr(sys, capture)
+    setattr(sys, capture, buf)
+    try:
+        rc = fn(args)
+    finally:
+        setattr(sys, capture, old)
+    return rc, buf.getvalue()
+
+
+@pytest.mark.skipif(perl is None, reason="perl not available")
+def test_generate_vcf_identical(tmp_path):
+    calls = tmp_path / "calls.txt"
+    calls.write_text(
+        "#gmer_counter version 4.2.16 (stable)\n#Sex\tM\n"
+        "1:12345:rs111:A/G\tAB\t0.99\t10\t12\n"
+        "2:777:rs222:C/T\tAA\t1.00\t20\t0\n"
+        "X:5555:rs333:G/C\tB\t0.98\t1\t15\n"
+        "Y:123:rs444:T/A\tA\t0.97\t9\t0\n")
+    ref = subprocess.run([perl, str(SCRIPTS / "generate_vcf.pl"),
+                          str(calls)], capture_output=True, text=True)
+    from genometester4_tpu.cli.generate_vcf import main
+    rc, out = run_cli(main, [str(calls)])
+    assert rc == 0
+    assert out == ref.stdout
+
+
+@pytest.mark.skipif(perl is None, reason="perl not available")
+def test_katk2vcf_identical(tmp_path, rng):
+    B = "ACGT"
+    seq = "".join(B[i] for i in rng.integers(0, 4, 2000))
+    chrdir = tmp_path / "chrdir"
+    chrdir.mkdir()
+    (chrdir / "1.fa").write_text(
+        ">1\n" + "\n".join(seq[i:i + 60]
+                           for i in range(0, len(seq), 60)) + "\n")
+    alt = "G" if seq[149] != "G" else "T"
+    lines = ["#KATK version: 4.2.16",
+             "CHR\tPOS\tSUB\tREF\tCOV\tCALL\tCLASS\tP\tPMUT",
+             f"1\t100\t0\t{seq[99]}\t30\tNC\t0\t0.5\t0.4",
+             f"1\t150\t0\t{seq[149]}\t30\t{seq[149]}{alt}\tS\t0.99\t0.97",
+             "1\t200\t1\t-\t28\t-A\tI\t0.98\t0.9",
+             "1\t200\t2\t-\t28\t-A\tI\t0.98\t0.9",
+             f"1\t300\t0\t{seq[299]}\t30\t{seq[299]}-\tD\t0.97\t0.9",
+             f"1\t400\t0\t{seq[399]}\t25\t{seq[399]}{seq[399]}\t0\t0.99"
+             "\t0.99"]
+    calls = tmp_path / "katk_calls.txt"
+    calls.write_text("\n".join(lines) + "\n")
+    patched = tmp_path / "katk2vcf_local.pl"
+    src = (SCRIPTS / "katk2vcf.pl").read_text()
+    src = src.replace('my $chr_dir = "/storage9/db/human_GRCh38/data/chr/";',
+                      f'my $chr_dir = "{chrdir}/";')
+    patched.write_text(src)
+    ref = subprocess.run([perl, str(patched), str(calls)],
+                         capture_output=True, text=True)
+    from genometester4_tpu.cli.katk2vcf import main
+    rc, out = run_cli(main, ["--chr_dir", str(chrdir), str(calls)])
+    assert rc == 0
+    assert out == ref.stdout
+
+
+def test_make_union_intersection_tree(tmp_path, rng):
+    from tests.conftest import has_reference
+    if not has_reference():
+        pytest.skip("reference not built")
+    B = "ACGT"
+    ref_dir = tmp_path / "mu_ref"
+    tpu_dir = tmp_path / "mu_tpu"
+    ref_dir.mkdir()
+    tpu_dir.mkdir()
+    names = []
+    for i in range(5):
+        seq = "".join(B[j] for j in rng.integers(0, 4, 800))
+        fa = ref_dir / f"l{i}.fa"
+        fa.write_text(f">s\n{seq}\n")
+        r = run_reference(["glistmaker", str(fa), "-w", "10", "-o",
+                           str(ref_dir / f"l{i}")])
+        assert r.returncode == 0
+        shutil.copy(ref_dir / f"l{i}_10.list", tpu_dir / f"l{i}_10.list")
+        names.append(f"l{i}_10.list")
+    if perl:
+        shutil.copy(REF_BIN / "glistcompare", ref_dir / "glistcompare")
+        subprocess.run([perl, str(SCRIPTS / "MakeUnion.pl")] + names,
+                       cwd=ref_dir, capture_output=True)
+    from genometester4_tpu.cli.make_union import main_union
+    old = os.getcwd()
+    os.chdir(tpu_dir)
+    try:
+        rc, _ = run_cli(main_union, names, capture="stderr")
+    finally:
+        os.chdir(old)
+    assert rc == 0
+    assert (tpu_dir / "union_10_union.list").exists()
+    if perl and (ref_dir / "union_10_union.list").exists():
+        assert (tpu_dir / "union_10_union.list").read_bytes() == (
+            ref_dir / "union_10_union.list").read_bytes()
