@@ -64,7 +64,9 @@ def main():
     def pipeline(c):
         hi, lo, valid = extract_kmers(c, K, canonical=True)
         ones = jnp.ones(hi.shape, jnp.uint32)
-        uhi, ulo, counts, n = count_unique(hi, lo, ones, valid)
+        uhi, ulo, counts, n = count_unique(hi, lo, ones, valid,
+                                           hi_bits=2 * K - 32,
+                                           unit_weights=True)
         # scalars only: totals + order-sensitive checksum of the result
         total = jnp.sum(counts)
         checksum = jnp.sum((ulo ^ uhi) * counts)

@@ -107,7 +107,7 @@ def main(argv=None) -> int:
 
     out_path = f"{outputname}_{wordlength}.list"
     hdr = make_list(inputs, wordlength, out_path, min_count=cutoff,
-                    max_count=maxfreq)
+                    max_count=maxfreq, debug=debug)
     if debug:
         sys.stderr.write(f"Wrote {hdr.n_words} words (total count "
                          f"{hdr.total_count}) to {out_path}\n")

@@ -37,16 +37,21 @@ def _iota32(n):
 def sort_compact(mask, *arrays):
     """Scatter-free stream compaction: entries where ``mask`` move to the
     front, preserving order. Returns (n_kept, compacted arrays...).
-    Tail slots hold the (arbitrary) non-kept entries."""
+    Tail slots hold the (arbitrary) non-kept entries.
+
+    The (keep, position) pair packs into ONE uint32 key (positions are
+    int32 so bit 31 is free) — a single-key sort is measurably faster on
+    TPU than a two-key sort."""
     n = mask.shape[0]
-    nh = (~mask).astype(jnp.uint32)
-    pos = _iota32(n)
-    out = jax.lax.sort((nh, pos) + tuple(arrays), num_keys=2)
-    return (jnp.sum(mask.astype(jnp.int32)),) + out[2:]
+    key = jnp.where(mask, jnp.uint32(0), jnp.uint32(1 << 31)) \
+        | _iota32(n).astype(jnp.uint32)
+    out = jax.lax.sort((key,) + tuple(arrays), num_keys=1)
+    return (jnp.sum(mask.astype(jnp.int32)),) + out[1:]
 
 
-@jax.jit
-def count_unique(hi, lo, weights, valid):
+@partial(jax.jit, static_argnames=("hi_bits", "unit_weights"))
+def count_unique(hi, lo, weights, valid, hi_bits: int = 32,
+                 unit_weights: bool = False):
     """Dedupe-and-sum over arbitrary (unsorted) word pairs.
 
     Parameters
@@ -55,6 +60,14 @@ def count_unique(hi, lo, weights, valid):
     weights : uint32[N] — per-entry count contribution (1 for raw k-mers,
         existing counts when merging shards)
     valid : bool[N] — entries to include
+    hi_bits : static — number of significant bits in ``hi`` (2k-32 for
+        k-mers of length k). When <= 30 the invalid flag packs into the
+        hi key, dropping the TPU sort from 3 keys to 2 (and k <= 16
+        collapses hi entirely).
+    unit_weights : static — promise that every valid weight is 1 (raw
+        k-mer extraction). Counts are then head-position differences:
+        the big sort carries no weight payload and the prefix sum
+        disappears.
 
     Returns
     -------
@@ -63,23 +76,50 @@ def count_unique(hi, lo, weights, valid):
     counts, and the scalar count of uniques. Tail counts are zero.
     """
     n = hi.shape[0]
-    # invalid entries sort to the end via a leading flag key, so no word
-    # sentinel is needed (an all-ones word is a legal k=32 k-mer)
-    inv = (~valid).astype(jnp.uint32)
-    inv, shi, slo, w = jax.lax.sort((inv, hi, lo, weights), num_keys=3)
-    svalid = inv == 0
-    w = jnp.where(svalid, w, 0)
+    # invalid entries sort to the end via a leading flag bit/key, so no
+    # word sentinel is needed (an all-ones word is a legal k=32 k-mer)
+    if hi_bits <= 30:
+        inv_flag = jnp.where(valid, jnp.uint32(0),
+                             jnp.uint32(1 << max(hi_bits, 0)))
+        packed = inv_flag | hi
+        if unit_weights:
+            packed, slo = jax.lax.sort((packed, lo), num_keys=2)
+            w = None
+        else:
+            packed, slo, w = jax.lax.sort((packed, lo, weights), num_keys=2)
+        svalid = (packed >> max(hi_bits, 0)) == 0
+        shi = packed & jnp.uint32((1 << max(hi_bits, 0)) - 1) \
+            if hi_bits > 0 else jnp.zeros_like(packed)
+    else:
+        inv = (~valid).astype(jnp.uint32)
+        if unit_weights:
+            inv, shi, slo = jax.lax.sort((inv, hi, lo), num_keys=3)
+            w = None
+        else:
+            inv, shi, slo, w = jax.lax.sort((inv, hi, lo, weights),
+                                            num_keys=3)
+        svalid = inv == 0
 
     first = jnp.concatenate([jnp.ones((1,), jnp.bool_),
                              (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])])
     head = first & svalid
 
-    total = jnp.sum(w)
-    excl = jnp.cumsum(w) - w  # exclusive weight prefix (u32 wrap is exact)
+    if unit_weights:
+        # valid entries sort to the front, so the exclusive count prefix
+        # of all-ones weights is just the position index
+        total = jnp.sum(valid.astype(jnp.uint32))
+        excl = _iota32(n).astype(jnp.uint32)
+    else:
+        w = jnp.where(svalid, w, 0)
+        total = jnp.sum(w)
+        excl = jnp.cumsum(w) - w  # exclusive prefix (u32 wrap is exact)
     # head rows carry their segment's start prefix; everything else carries
     # the grand total so compacted-tail differences vanish
     e_head = jnp.where(head, excl, total)
 
+    # single-key compaction with payloads: (head-flag, position) pack into
+    # one uint32 key. Payload sorting beats gather-by-permutation on TPU
+    # by ~6x — large random gathers are slow, sorted data movement is fast.
     n_unique, uhi, ulo, ce = sort_compact(head, shi, slo, e_head)
     ce_next = jnp.concatenate([ce[1:], total[None]])
     counts = (ce_next - ce).astype(jnp.uint32)

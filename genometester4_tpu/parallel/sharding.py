@@ -136,7 +136,9 @@ def sharded_count_step(mesh: Mesh, k: int, chunk_bases: int,
         codes = codes_block.reshape(-1)
         hi, lo, valid = extract_kmers(codes, k, canonical=True)
         ones = jnp.ones(hi.shape, jnp.uint32)
-        uhi, ulo, ucnt, _ = count_unique(hi, lo, ones, valid)
+        uhi, ulo, ucnt, _ = count_unique(hi, lo, ones, valid,
+                                         hi_bits=max(0, 2 * k - 32),
+                                         unit_weights=True)
         uvalid = ucnt > 0
         bh, bl, bc, bv, ovf = _route_by_prefix(uhi, ulo, ucnt, uvalid, k, kp, cap)
         # exchange buckets so column j holds every device's bucket j
@@ -150,7 +152,8 @@ def sharded_count_step(mesh: Mesh, k: int, chunk_bases: int,
         bc = jax.lax.all_gather(bc, "dp", tiled=True)
         bv = jax.lax.all_gather(bv, "dp", tiled=True)
         mhi, mlo, mcnt, n_uniq = count_unique(
-            bh.reshape(-1), bl.reshape(-1), bc.reshape(-1), bv.reshape(-1))
+            bh.reshape(-1), bl.reshape(-1), bc.reshape(-1), bv.reshape(-1),
+            hi_bits=max(0, 2 * k - 32))
         ovf = jax.lax.pmax(jax.lax.pmax(ovf.astype(jnp.int32), "kp"), "dp")
         return (mhi[None], mlo[None], mcnt[None], n_uniq[None], ovf)
 

@@ -80,7 +80,8 @@ def _make_count_fn(k: int, steps: int):
         hit = found & valid
         ones = jnp.ones(code.shape, jnp.uint32)
         uhi, ucode, ccount, n_uniq = count_unique(
-            jnp.zeros_like(code), code, ones, hit)
+            jnp.zeros_like(code), code, ones, hit, hi_bits=0,
+            unit_weights=True)
         return (ucode, ccount, n_uniq,
                 jnp.sum(valid.astype(jnp.int32)),
                 jnp.sum(hit.astype(jnp.int32)))

@@ -43,12 +43,14 @@ DEFAULT_MERGE_BUCKET = 1 << 25
 
 def _make_chunk_fn(k: int, canonical: bool = True):
     """Fused extract→count for one padded chunk."""
+    hi_bits = max(0, 2 * k - 32)
 
     @jax.jit
     def run(codes):
         hi, lo, valid = extract_kmers(codes, k, canonical=canonical)
         ones = jnp.ones(hi.shape, jnp.uint32)
-        return count_unique(hi, lo, ones, valid)
+        return count_unique(hi, lo, ones, valid, hi_bits=hi_bits,
+                            unit_weights=True)
 
     return run
 
@@ -103,21 +105,23 @@ def _pad_pow2(x: np.ndarray, size: int, fill=0):
 class _MergeKernelCache:
     fns: dict = None
 
-    def get(self, capacity: int):
+    def get(self, capacity: int, hi_bits: int = 32):
         if self.fns is None:
             self.fns = {}
-        if capacity not in self.fns:
+        key = (capacity, hi_bits)
+        if key not in self.fns:
             @jax.jit
             def merge(hi, lo, counts, valid):
-                return count_unique(hi, lo, counts, valid)
-            self.fns[capacity] = merge
-        return self.fns[capacity]
+                return count_unique(hi, lo, counts, valid, hi_bits=hi_bits)
+            self.fns[key] = merge
+        return self.fns[key]
 
 
 _merge_cache = _MergeKernelCache()
 
 
-def merge_sorted_shards(shards, target_bucket: int = DEFAULT_MERGE_BUCKET):
+def merge_sorted_shards(shards, target_bucket: int = DEFAULT_MERGE_BUCKET,
+                        word_length: int | None = None):
     """Merge sorted (words, counts) shards into one global sorted stream.
 
     Splits the u64 key space into equal prefix buckets sized so each
@@ -160,7 +164,8 @@ def merge_sorted_shards(shards, target_bucket: int = DEFAULT_MERGE_BUCKET):
         counts = _pad_pow2(cat_c, cap)
         valid = np.zeros(cap, bool)
         valid[: len(cat_w)] = True
-        merge = _merge_cache.get(cap)
+        hb = 32 if word_length is None else max(0, 2 * word_length - 32)
+        merge = _merge_cache.get(cap, hb)
         uhi, ulo, ucounts, n_uniq = merge(
             jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(counts),
             jnp.asarray(valid))
@@ -310,15 +315,32 @@ def make_index(input_files, word_length: int, output_path: str,
 def make_list(input_files, word_length: int, output_path: str,
               min_count: int = 1, max_count: int = 0xFFFFFFFF,
               chunk_bases: int = DEFAULT_CHUNK_BASES,
-              canonical: bool = True) -> ListHeader:
-    """Full glistmaker run: files → .list at ``output_path``."""
+              canonical: bool = True, debug: int = 0) -> ListHeader:
+    """Full glistmaker run: files → .list at ``output_path``.
+
+    ``debug`` > 0 prints per-phase throughput counters to stderr like the
+    reference's -D accounting (src/glistmaker.c:355-359), with phases
+    renamed to this pipeline's stages (parse / device count / merge+write).
+    """
+    import sys
+    import time
+    t_parse = t_count = 0.0
+    n_words_in = 0
     shards = []
     for path in input_files:
+        t0 = time.time()
         parsed = load_file(path)
+        t_parse += time.time() - t0
+        t0 = time.time()
         shards.extend(count_chunks(parsed.codes, word_length, chunk_bases,
                                    canonical=canonical))
+        t_count += time.time() - t0
+        n_words_in += max(0, parsed.total_bases - (word_length - 1)
+                          * parsed.n_records)
+    t_merge0 = time.time()
     with ListWriter(output_path, word_length) as w:
-        for words, counts in merge_sorted_shards(shards):
+        for words, counts in merge_sorted_shards(shards,
+                                                 word_length=word_length):
             if min_count > 1 or max_count != 0xFFFFFFFF:
                 keep = counts >= np.uint32(min_count)
                 if max_count != 0xFFFFFFFF:
@@ -326,4 +348,13 @@ def make_list(input_files, word_length: int, output_path: str,
                 words, counts = words[keep], counts[keep]
             w.append(words, counts)
     hdr = ListHeader(word_length, w.n_words, w.total_count)
+    if debug:
+        t_merge = time.time() - t_merge0
+        for phase, nw, dt in (("Parse", n_words_in, t_parse),
+                              ("Count", hdr.total_count, t_count),
+                              ("Merge+write", hdr.n_words, t_merge)):
+            rate = int(nw / dt) if dt > 0 else 0
+            sys.stderr.write("%s %llu words at %.2f (%u words/s)\n"
+                             .replace("%llu", "%d").replace("%u", "%d")
+                             % (phase, nw, dt, rate))
     return hdr
