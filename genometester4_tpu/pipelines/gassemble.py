@@ -429,7 +429,11 @@ def align_reads(ref_codes: np.ndarray, reads: list, params: Params):
 
 def create_gapped_alignment(ref_codes, ref_start, a_reads, a, params: Params):
     """src/gassembler.c:2008-2077 — insert reference gaps where reads
-    have insertions. Returns (p_len, aligned_ref, ref_pos, ga[na, p])."""
+    have insertions. Returns (p_len, aligned_ref, ref_pos, ga[na, p]).
+
+    The per-read inner loops of the reference run vectorized over the
+    read axis; only the reference-position walk stays sequential (it
+    carries the gap state)."""
     skip = params.skip_end_align
     n = len(ref_codes)
     na = len(a_reads)
@@ -437,48 +441,51 @@ def create_gapped_alignment(ref_codes, ref_start, a_reads, a, params: Params):
     aligned_ref = np.zeros(max_p, np.int32)
     ref_pos = np.zeros(max_p, np.int32)
     ga = np.full((na, max_p), NONE, np.int16)
-    read_p = [int(a[i, skip]) for i in range(na)]
-    last_read_p = [UNKNOWN] * na
+    if na:
+        max_rl = max(len(r.nucl) for r in a_reads)
+        seq_mat = np.full((na, max_rl), NONE, np.int16)
+        for i, r in enumerate(a_reads):
+            seq_mat[i, :len(r.nucl)] = r.nucl
+        read_p = a[:, skip].astype(np.int64).copy()
+    else:
+        seq_mat = np.zeros((0, 1), np.int16)
+        read_p = np.zeros(0, np.int64)
+    rows = np.arange(na)
+    last_read_p = np.full(na, UNKNOWN, np.int64)
     ref_p = skip
     last_ref_p = UNKNOWN
     p_len = 0
     while ref_p < n - skip:
         if last_ref_p < 0 or ref_p > last_ref_p:
             aligned_ref[p_len] = ref_codes[ref_p]
-            ref_pos[p_len] = ref_start + ref_p
             last_ref_p = ref_p
         else:
             aligned_ref[p_len] = GAP
-            ref_pos[p_len] = ref_start + ref_p
-        for i in range(na):
-            if read_p[i] >= 0 and (last_read_p[i] < 0
-                                   or read_p[i] > last_read_p[i]):
-                ga[i, p_len] = a_reads[i].nucl[read_p[i]]
-                last_read_p[i] = read_p[i]
-            elif read_p[i] >= 0:
-                ga[i, p_len] = GAP
-            else:
-                ga[i, p_len] = NONE
+        ref_pos[p_len] = ref_start + ref_p
+        if na:
+            emit = (read_p >= 0) & ((last_read_p < 0)
+                                    | (read_p > last_read_p))
+            col = np.where(read_p >= 0, np.int16(GAP), np.int16(NONE))
+            col = np.where(emit,
+                           seq_mat[rows, np.clip(read_p, 0, None)],
+                           col)
+            ga[:, p_len] = col
+            last_read_p = np.where(emit, read_p, last_read_p)
         rgap = 1
-        if ref_p < n - skip - 1:
-            nref = ref_p + 1
-            for i in range(na):
-                nrp = int(a[i, nref])
-                if read_p[i] >= 0 and nrp >= 0:
-                    gap = nrp - read_p[i]
-                    if gap > rgap:
-                        rgap = gap
-            for i in range(na):
-                nrp = int(a[i, nref])
-                if nrp >= 0:
-                    if read_p[i] < 0:
-                        if rgap == 1:
-                            read_p[i] = nrp
-                    elif read_p[i] < nrp:
-                        if nrp - read_p[i] == rgap:
-                            read_p[i] += 1
-                else:
-                    read_p[i] = nrp
+        if ref_p < n - skip - 1 and na:
+            nrp = a[:, ref_p + 1].astype(np.int64)
+            both = (read_p >= 0) & (nrp >= 0)
+            if both.any():
+                rgap = max(1, int((nrp - read_p)[both].max()))
+            adv = np.where(
+                nrp >= 0,
+                np.where(read_p < 0,
+                         np.where(rgap == 1, nrp, read_p),
+                         np.where((read_p < nrp)
+                                  & (nrp - read_p == rgap),
+                                  read_p + 1, read_p)),
+                nrp)
+            read_p = adv
         if rgap == 1:
             ref_p += 1
         p_len += 1
@@ -676,54 +683,62 @@ class Assembler:
             dirs[max_j] = dirs[n_groups]
             group_of[group_of == n_groups] = max_j
 
-        # per-group min/max coverage + compat count
+        # per-group min/max coverage + compat count (vectorized: one
+        # add.at over the (group, position) grid)
         covered = ga[:na] <= GAP  # bool (na, p_len)
-        min_cov = np.zeros(n_groups, np.int64)
-        max_cov = np.zeros(n_groups, np.int64)
-        compat_n = np.zeros(n_groups, np.int64)
+        cov_gp = np.zeros((n_groups, p_len), np.int64)
+        np.add.at(cov_gp, group_of, covered.astype(np.int64))
+        if p_len:
+            min_cov = cov_gp.min(axis=1)
+            max_cov = cov_gp.max(axis=1)
+        else:
+            min_cov = np.full(n_groups, na, np.int64)
+            max_cov = np.zeros(n_groups, np.int64)
         read_tags = np.array([r.tag for r in a_reads], np.uint64)
         read_masks = np.array([r.mask for r in a_reads], np.uint64)
-        for gi in range(n_groups):
-            members = group_of == gi
-            cov = covered[members].sum(axis=0)
-            min_cov[gi] = cov.min() if p_len else na
-            max_cov[gi] = cov.max() if p_len else 0
-            common = masks[gi] & read_masks
-            compat_n[gi] = int(((tags[gi] & common)
-                                == (read_tags & common)).sum())
+        common_gr = masks[:n_groups, None] & read_masks[None, :]
+        compat_n = ((tags[:n_groups, None] & common_gr)
+                    == (read_tags[None, :] & common_gr)).sum(axis=1)
 
-        # group consensus + divergence counting
-        consensus = np.zeros((n_groups, p_len), np.int64)
-        divergent = np.zeros(n_groups, np.int64)
-        last_aligned_ref = N
-        last_consensus = N
-        for gj in range(n_groups):
-            members = group_of == gj
-            sub = ga[:na][members]
+        # group consensus: per (group, position, nucl) counts via one
+        # add.at, then the reference's sequential best-selection over
+        # nucleotide codes (gated on GLOBAL counts > 1)
+        cnt_gpn = np.zeros((n_groups, p_len, 7), np.int64)
+        pos_idx = np.broadcast_to(np.arange(p_len), (na, p_len))
+        np.add.at(cnt_gpn, (group_of[:, None], pos_idx,
+                            ga[:na].astype(np.int64)), 1)
+        consensus = np.broadcast_to(aligned_ref[None, :p_len].astype(
+            np.int64), (n_groups, p_len)).copy()
+        rows_g = np.arange(n_groups)[:, None]
+        cols_p = np.arange(p_len)[None, :]
+        for k in range(GAP + 1):
+            if k == N:
+                continue
+            better = ((nucl_counts[None, :, k] > 1)
+                      & (cnt_gpn[:, :, k]
+                         > cnt_gpn[rows_g, cols_p, consensus]))
+            consensus = np.where(better, k, consensus)
+        # divergence counting with the reference's carry across (group,
+        # position) in row-major order — flattened shifted arrays
+        ar_tile = np.broadcast_to(aligned_ref[None, :p_len].astype(
+            np.int64), (n_groups, p_len))
+        diff = consensus != ar_tile
+        if self.snvs is not None:
+            known = np.zeros(p_len, bool)
             for i in range(p_len):
-                c = np.bincount(sub[:, i], minlength=10)
-                best = int(aligned_ref[i])
-                for k in range(GAP + 1):
-                    if k == N:
-                        continue
-                    if nucl_counts[i, k] > 1 and c[k] > c[best]:
-                        best = k
-                consensus[gj, i] = best
-                if best != aligned_ref[i]:
-                    known = False
-                    if self.snvs is not None:
-                        snv = lookup_snv(self.snvs, region.chr,
-                                         region.start + i)
-                        known = (snv < len(self.snvs)
-                                 and self.snvs[snv][0] == region.chr
-                                 and self.snvs[snv][1] == region.start + i)
-                    if not known:
-                        if ((last_aligned_ref != GAP
-                             or aligned_ref[i] != GAP)
-                                and (last_consensus != GAP or best != GAP)):
-                            divergent[gj] += 1
-                last_aligned_ref = int(aligned_ref[i])
-                last_consensus = best
+                snv = lookup_snv(self.snvs, region.chr, region.start + i)
+                known[i] = (snv < len(self.snvs)
+                            and self.snvs[snv][0] == region.chr
+                            and self.snvs[snv][1] == region.start + i)
+            diff = diff & ~known[None, :]
+        flat_ar = ar_tile.reshape(-1)
+        flat_cons = consensus.reshape(-1)
+        last_ar = np.concatenate([[N], flat_ar[:-1]])
+        last_cons = np.concatenate([[N], flat_cons[:-1]])
+        countable = ((last_ar != GAP) | (flat_ar != GAP)) \
+            & ((last_cons != GAP) | (flat_cons != GAP))
+        divergent = (diff.reshape(-1) & countable).reshape(
+            n_groups, p_len).sum(axis=1)
 
         # sort groups by (divergence asc, size desc) with the reference's
         # pairwise swap loop (relabels reads on every swap)
@@ -809,18 +824,14 @@ class Assembler:
             extra_base["compat_both"] = int((ok0 & ok1).sum())
 
         # recalculated counts: only included groups, only consensus-
-        # matching nucleotides
-        nucl_counts = np.zeros((p_len, GAP + 1), np.int64)
-        coverage = np.zeros(p_len, np.int64)
+        # matching nucleotides (vectorized over the whole grid)
         inc_read = included[group_of]
-        for i in range(p_len):
-            col = ga[:, i]
-            cons = consensus[group_of, i]
-            ok = inc_read & (col <= GAP) & (col == cons)
-            if ok.any():
-                cnt = np.bincount(col[ok], minlength=GAP + 1)
-                nucl_counts[i] = cnt[:GAP + 1]
-                coverage[i] = cnt.sum()
+        cons_mat = consensus[group_of]  # (na, p_len)
+        ok = inc_read[:, None] & (ga <= GAP) & (ga == cons_mat)
+        nucl_counts = np.zeros((p_len, GAP + 1), np.int64)
+        for v in range(GAP + 1):
+            nucl_counts[:, v] = (ok & (ga == v)).sum(axis=0)
+        coverage = nucl_counts.sum(axis=1)
         max_coverage = int(coverage.max()) if p_len else 0
         chr_coverage = max_coverage
         if self.coverage > 0 and region.chr != CHR_MT:

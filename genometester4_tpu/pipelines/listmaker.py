@@ -315,25 +315,57 @@ def make_index(input_files, word_length: int, output_path: str,
 def make_list(input_files, word_length: int, output_path: str,
               min_count: int = 1, max_count: int = 0xFFFFFFFF,
               chunk_bases: int = DEFAULT_CHUNK_BASES,
-              canonical: bool = True, debug: int = 0) -> ListHeader:
+              canonical: bool = True, debug: int = 0,
+              spill_bytes: int = 6 << 30) -> ListHeader:
     """Full glistmaker run: files → .list at ``output_path``.
 
     ``debug`` > 0 prints per-phase throughput counters to stderr like the
     reference's -D accounting (src/glistmaker.c:355-359), with phases
     renamed to this pipeline's stages (parse / device count / merge+write).
     """
+    import os
     import sys
+    import tempfile
     import time
     t_parse = t_count = 0.0
     n_words_in = 0
     shards = []
+    ram_bytes = 0
+    tmp_files = []
+
+    def spill(shards):
+        # RAM shards -> tmp .list files, reloaded as mmaps: the merge
+        # then streams pages on demand, the TPU analogue of the
+        # reference's tmp-list collation (src/glistmaker.c:788-835)
+        nonlocal ram_bytes
+        from genometester4_tpu.formats.list_format import (read_list,
+                                                           write_list)
+        out = []
+        for w, c in shards:
+            if isinstance(w, np.memmap) or len(w) == 0:
+                out.append((w, c))
+                continue
+            fd, tmp = tempfile.mkstemp(suffix=".list", dir=tmpdir)
+            os.close(fd)
+            write_list(tmp, word_length, w, c)
+            tmp_files.append(tmp)
+            _, mw, mc = read_list(tmp, mmap=True)
+            out.append((mw, mc))
+        ram_bytes = 0
+        return out
+
+    tmpdir = os.environ.get("GT4_TPU_TMPDIR") or None
     for path in input_files:
         t0 = time.time()
         parsed = load_file(path)
         t_parse += time.time() - t0
         t0 = time.time()
-        shards.extend(count_chunks(parsed.codes, word_length, chunk_bases,
-                                   canonical=canonical))
+        for w, c in count_chunks(parsed.codes, word_length, chunk_bases,
+                                 canonical=canonical):
+            shards.append((w, c))
+            ram_bytes += w.nbytes + c.nbytes
+            if ram_bytes > spill_bytes:
+                shards = spill(shards)
         t_count += time.time() - t0
         n_words_in += max(0, parsed.total_bases - (word_length - 1)
                           * parsed.n_records)
@@ -357,4 +389,9 @@ def make_list(input_files, word_length: int, output_path: str,
             sys.stderr.write("%s %llu words at %.2f (%u words/s)\n"
                              .replace("%llu", "%d").replace("%u", "%d")
                              % (phase, nw, dt, rate))
+    for tmp in tmp_files:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
     return hdr

@@ -108,3 +108,19 @@ def test_gz_input(tmp_path, rng):
     assert r.returncode == 0, r.stderr
     make_list([str(p)], 14, str(tmp_path / "tpu_14.list"))
     _assert_identical(tmp_path / "ref_14.list", tmp_path / "tpu_14.list")
+
+
+def test_spill_to_disk_byte_identical(tmp_path, rng):
+    """Tiny spill threshold forces the tmp-file shard path; output must
+    stay byte-identical to both the in-RAM path and the reference."""
+    text = random_fasta(rng, n_records=3, min_len=30000, max_len=40000,
+                        n_prob=0.005)
+    fa = tmp_path / "in.fa"
+    fa.write_text(text)
+    r = run_reference(["glistmaker", str(fa), "-w", "16", "-o",
+                       str(tmp_path / "ref")])
+    assert r.returncode == 0
+    make_list([str(fa)], 16, str(tmp_path / "spill.list"),
+              spill_bytes=1 << 14, chunk_bases=1 << 14)
+    assert (tmp_path / "spill.list").read_bytes() == (
+        tmp_path / "ref_16.list").read_bytes()
