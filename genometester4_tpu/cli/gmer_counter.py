@@ -172,6 +172,7 @@ def main(argv=None) -> int:
                 sys.stderr.write(f"Cannot open {path}\n")
                 return 1
             counter.add_file(path)
+        counter.finalize()
         counts = counter.result.clamped(db.count_bits)
 
         read_index = None

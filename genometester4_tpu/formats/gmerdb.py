@@ -206,7 +206,11 @@ def parse_text_db(data: bytes, max_kmers_per_node: int = 1000000000,
     # --- pass 2: fill tables (database.c:164-266)
     names: list[bytes] = []
     nkmers_list: list[int] = []
-    kmer_chunks: list[np.ndarray] = []
+    kmer_starts: list = []  # token start offsets (fast path)
+    kmer_chunks: list = []  # packed words (slow path), None for fast lines
+
+    shifts = np.arange(2 * (wordsize - 1), -1, -2, dtype=np.uint64) \
+        if wordsize else np.empty(0, np.uint64)
 
     for (start, end) in lines:
         toks = _split_line(data, start, end, 3)
@@ -214,8 +218,27 @@ def parse_text_db(data: bytes, max_kmers_per_node: int = 1000000000,
         nk = _strtol(data, toks[1][0], toks[1][1])
         if nk > max_kmers_per_node:
             nk = max_kmers_per_node
-        # walk kmer tokens exactly like database.c:203-243
-        cpos = toks[2][0] if len(toks) > 2 else end
+        kstart = toks[2][0] if len(toks) > 2 else end
+        # fast path: TAB-separated tokens of exactly wordsize bytes — the
+        # common shape, packed vectorized below. Anything else falls back
+        # to the reference's byte walk.
+        area = data[kstart:end]
+        parts = area.split(b"\t")
+        if (len(parts) >= nk and nk > 0
+                and all(len(parts[j]) == wordsize for j in range(nk))
+                and not any(b < 0x20 for b in area)):
+            base = kstart
+            starts_line = []
+            for j in range(nk):
+                starts_line.append(base)
+                base += wordsize + 1
+            names.append(bytes(name))
+            nkmers_list.append(nk)
+            kmer_starts.extend(starts_line)
+            kmer_chunks.append(None)
+            continue
+        # slow path: walk kmer tokens exactly like database.c:203-243
+        cpos = kstart
         kws = np.empty(nk, np.uint64)
         i = 0
         while i < nk:
@@ -243,6 +266,23 @@ def parse_text_db(data: bytes, max_kmers_per_node: int = 1000000000,
             sys.stderr.write(
                 f"Inconsisten number of kmers at node {len(names)}: {i} "
                 f"(should be {nk})\n")
+
+    # pack all fast-path k-mers in one vectorized pass
+    if kmer_starts:
+        st = np.asarray(kmer_starts, np.int64)
+        seg = buf[st[:, None] + np.arange(wordsize)]
+        bad = ~_VALID[seg]
+        if bad.any():
+            for ch in seg[bad]:
+                sys.stderr.write(f"Invalid character {chr(ch)} in string!\n")
+        vals = _ALL_BYTE_CODES[seg].astype(np.uint64)
+        fast_words = (vals << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+        fi = 0
+        for idx, ch in enumerate(kmer_chunks):
+            if ch is None:
+                nk = nkmers_list[idx]
+                kmer_chunks[idx] = fast_words[fi:fi + nk]
+                fi += nk
 
     nkmers = np.asarray(nkmers_list, np.uint32)
     starts = np.zeros(len(nkmers), np.uint64)

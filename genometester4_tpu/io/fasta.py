@@ -106,23 +106,25 @@ def _scatter_records(data: np.ndarray, seq_spans_start, seq_spans_end,
     """Compact sequence-line spans into the packed code array.
 
     Each record's bases are concatenated; a 255 sentinel follows each
-    record. Fully vectorized (no per-record Python loop).
+    record. Mask-based single-pass extraction: spans are marked with a
+    +1/-1 delta array whose prefix sum is the keep mask — no per-base
+    index arrays (building 8-byte indices per base was 10x slower than
+    the whole parse needs to be).
     """
     span_lens = (seq_spans_end - seq_spans_start).astype(np.int64)
     total = int(span_lens.sum())
-    # gather sequence bytes: expand [start, end) ranges into flat indices
-    span_offsets = span_lens.cumsum() - span_lens
-    within = np.arange(total, dtype=np.int64) - np.repeat(span_offsets, span_lens)
-    src = np.repeat(seq_spans_start, span_lens) + within
-    seq_bytes = data[src]
+    delta = np.zeros(len(data) + 1, np.int32)
+    np.add.at(delta, seq_spans_start, 1)
+    np.add.at(delta, seq_spans_end, -1)
+    mask = np.cumsum(delta[:-1], dtype=np.int32) > 0
+    seq_bytes = data[mask]
     count_n = int(((seq_bytes == ord("N")) | (seq_bytes == ord("n"))).sum())
     codes_flat = NUCL_CODES[seq_bytes]
-    # record id per base, then output position = base rank + #sentinels before
-    rec_of_base = np.repeat(rec_id_of_span, span_lens)
-    rec_lengths = np.bincount(rec_of_base, minlength=n_records).astype(np.int64)
-    out = np.full(total + n_records, 255, dtype=np.uint8)
-    out_pos = np.arange(total, dtype=np.int64) + rec_of_base
-    out[out_pos] = codes_flat
+    rec_lengths = np.zeros(n_records, np.int64)
+    np.add.at(rec_lengths, rec_id_of_span, span_lens)
+    # one 255 sentinel after each record: insert at cumulative lengths
+    sentinel_at = np.cumsum(rec_lengths)
+    out = np.insert(codes_flat, sentinel_at, np.uint8(255))
     rec_starts = np.concatenate([[0], (rec_lengths + 1).cumsum()[:-1]])
     return out, rec_starts, rec_lengths, count_n
 
