@@ -173,3 +173,23 @@ def test_sw_traceback_vs_reference_scores(rng):
         np.testing.assert_array_equal(sx_b[0], sx_r.astype(np.int8))
         np.testing.assert_array_equal(sy_b[0], sy_r.astype(np.int8))
         sw_traceback(score_b[0], sx_b[0], sy_b[0], m)
+
+
+def test_jax_sw_twin_matches_numpy(rng):
+    """The jitted wavefront SW must produce identical matrices to the
+    numpy twin (both integer-exact)."""
+    from genometester4_tpu.ops.swalign import (diag_to_matrix, make_sw_jax,
+                                               sw_matrices_batch)
+
+    n_cap, m_cap = 64, 48
+    run = make_sw_jax(n_cap, m_cap)
+    ref = rng.integers(0, 4, n_cap).astype(np.int8)
+    reads = rng.integers(0, 5, (8, m_cap)).astype(np.int8)  # incl. N
+    cells, sxs, sys_ = (np.asarray(x) for x in run(ref, reads))
+    score_j = diag_to_matrix(cells, n_cap, m_cap)
+    sx_j = diag_to_matrix(sxs, n_cap, m_cap)
+    sy_j = diag_to_matrix(sys_, n_cap, m_cap)
+    score_n, sx_n, sy_n = sw_matrices_batch(ref, reads)
+    np.testing.assert_array_equal(score_j, score_n)
+    np.testing.assert_array_equal(sx_j, sx_n)
+    np.testing.assert_array_equal(sy_j, sy_n)
