@@ -1,0 +1,195 @@
+"""Pallas TPU kernel: batched anti-diagonal Smith-Waterman.
+
+One grid program per read; the whole DP state lives in VMEM scratch
+(five diagonal vectors), each wavefront step is pure VPU work on a
+(1, M_PAD) row, and the reference base needed along a diagonal comes
+from a per-diagonal row of a precomputed (n_diag, M_PAD) base matrix —
+the per-lane gather the naive formulation needs (`ref[d-j-1]`) is
+restructured once outside the kernel (a 130 KB XLA gather), because
+Mosaic only allows lane-dimension slices at 128-aligned offsets.
+
+Integer-exact twin of ops.swalign.sw_matrices_batch (same recurrence,
+tie-breaks, and int8 gap-length wrap — see that module for the
+reference citations); output is diagonal-stacked like make_sw_jax and
+converts with ops.swalign.diag_to_matrix.
+
+Measured on v5e (128 reads x 200x150): this kernel 0.75s vs the
+lax.scan twin 0.36s — the scan twin vectorizes the whole batch inside
+each wavefront step (full 8x128 VPU tiles) while one-read-per-program
+uses 1 sublane of 8. Batching 8+ reads per program would fix that but
+the (8, n_diag, M_PAD) x3 output blocks exceed the VMEM budget; left as
+the documented next step. The scan twin remains the production device
+path; this kernel is the Pallas formulation with identical numerics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from genometester4_tpu.ops.swalign import (GAP_EXT, GAP_OPEN, M_SCORE,
+                                           MM_SCORE, N_SCORE, NEG, NUCL_N)
+
+LANE = 128
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def make_sw_pallas(n_cap: int, m_cap: int, interpret: bool = False):
+    """Build the pallas SW for fixed (reference, read) capacities.
+
+    Returns fn(ref int8[n_cap], reads int8[B, m_cap]) ->
+    (score, sx, sy) int32[n+m-1, B, M_PAD] diagonal-stacked (row d-2
+    holds cells with i+j == d); convert with diag_to_matrix using
+    m = M_PAD - 1 column capacity semantics (see sw_pallas_matrices).
+    """
+    n, m = n_cap, m_cap
+    m_pad = _round_up(m + 1, LANE)  # lanes j = 0..m (+ padding)
+    n_diag = n + m - 1
+
+    def kernel(adiag_ref, read_ref, score_out, sx_out, sy_out,
+               sc2, sc1, lgs, lgl, tgs, tgl):
+        # scratch rows are (1, m_pad) int32; index j = read position
+        jlane = jax.lax.broadcasted_iota(jnp.int32, (1, m_pad), 1)
+        b_n = read_ref[0, 0:1, :]  # (1, m_pad) int32, read base at j-1
+
+        sc2[...] = jnp.zeros((1, m_pad), jnp.int32)
+        sc1[...] = jnp.zeros((1, m_pad), jnp.int32)
+        lgs[...] = jnp.full((1, m_pad), NEG, jnp.int32)
+        lgl[...] = jnp.zeros((1, m_pad), jnp.int32)
+        tgs[...] = jnp.full((1, m_pad), NEG, jnp.int32)
+        tgl[...] = jnp.zeros((1, m_pad), jnp.int32)
+
+        def step(d, _):
+            valid = (jlane >= 1) & (jlane <= m) & (d - jlane >= 1) \
+                & (d - jlane <= n)
+            # reference base for cell (i, j) along this diagonal
+            a_n = adiag_ref[pl.ds(d - 2, 1), :]
+            sub = jnp.where((a_n >= NUCL_N) | (b_n >= NUCL_N),
+                            jnp.int32(N_SCORE),
+                            jnp.where(a_n == b_n, jnp.int32(M_SCORE),
+                                      jnp.int32(MM_SCORE)))
+            # diag (i-1, j-1): sc2 shifted right by one lane
+            diag = sc2[0:1, :]
+            diag_sh = jnp.concatenate(
+                [jnp.zeros((1, 1), jnp.int32), diag[:, :-1]], axis=1)
+            dsc = diag_sh + sub
+            take = dsc > 0
+            cell = jnp.where(take, dsc, jnp.int32(0))
+            csx = jnp.where(take, jnp.int32(-1), jnp.int32(0))
+            csy = jnp.where(take, jnp.int32(-1), jnp.int32(0))
+            # left gap from (i, j-1): previous-diag state shifted right
+            prev_lgs = jnp.concatenate(
+                [jnp.full((1, 1), NEG, jnp.int32), lgs[0:1, :-1]], axis=1)
+            prev_lgl = jnp.concatenate(
+                [jnp.zeros((1, 1), jnp.int32), lgl[0:1, :-1]], axis=1)
+            ls = cell + jnp.int32(GAP_OPEN)
+            ll = jnp.zeros_like(ls)
+            ext = (prev_lgs + jnp.int32(GAP_EXT)) > ls
+            ls = jnp.where(ext, prev_lgs + jnp.int32(GAP_EXT), ls)
+            # int8 wrap of the gap length, like the reference struct
+            ll = jnp.where(ext, ((prev_lgl + 1 + 128) % 256) - 128, ll)
+            sel = ls >= cell
+            cell = jnp.where(sel, ls, cell)
+            csx = jnp.where(sel, ((-ll + 128) % 256) - 128, csx)
+            csy = jnp.where(sel, jnp.int32(0), csy)
+            # top gap from (i-1, j): previous-diag state, same lane
+            prev_tgs = tgs[0:1, :]
+            prev_tgl = tgl[0:1, :]
+            ts = cell + jnp.int32(GAP_OPEN)
+            tl = jnp.zeros_like(ts)
+            ext = (prev_tgs + jnp.int32(GAP_EXT)) > ts
+            ts = jnp.where(ext, prev_tgs + jnp.int32(GAP_EXT), ts)
+            tl = jnp.where(ext, ((prev_tgl + 1 + 128) % 256) - 128, tl)
+            sel = ts >= cell
+            cell = jnp.where(sel, ts, cell)
+            csx = jnp.where(sel, jnp.int32(0), csx)
+            csy = jnp.where(sel, ((-tl + 128) % 256) - 128, csy)
+
+            cell = jnp.where(valid, cell, jnp.int32(0))
+            csx = jnp.where(valid, csx, jnp.int32(0))
+            csy = jnp.where(valid, csy, jnp.int32(0))
+            ls = jnp.where(valid, ls, jnp.int32(NEG))
+            ll = jnp.where(valid, ll, jnp.int32(0))
+            ts = jnp.where(valid, ts, jnp.int32(NEG))
+            tl = jnp.where(valid, tl, jnp.int32(0))
+
+            score_out[0, d - 2, :] = cell[0]
+            sx_out[0, d - 2, :] = csx[0]
+            sy_out[0, d - 2, :] = csy[0]
+            sc2[...] = sc1[0:1, :]
+            sc1[...] = cell
+            lgs[...] = ls
+            lgl[...] = ll
+            tgs[...] = ts
+            tgl[...] = tl
+            return 0
+
+        jax.lax.fori_loop(2, n + m + 1, step, 0)
+
+    @jax.jit
+    def run(ref, reads):
+        B = reads.shape[0]
+        # per-diagonal reference bases: adiag[d-2, j] = ref[d-j-1]
+        dd = jnp.arange(2, n + m + 1)[:, None]
+        jj = jnp.arange(m_pad)[None, :]
+        ii = dd - jj - 1
+        ok = (ii >= 0) & (ii < n)
+        adiag = jnp.where(
+            ok, ref.astype(jnp.int32)[jnp.clip(ii, 0, n - 1)],
+            jnp.int32(NUCL_N + 2))
+        reads_p = jnp.full((B, 1, m_pad), NUCL_N + 2, jnp.int32)
+        # read base for lane j is reads[j-1]: place at offset 1
+        reads_p = jax.lax.dynamic_update_slice(
+            reads_p, reads.astype(jnp.int32)[:, None, :], (0, 0, 1))
+        # per-program output block: one (n_diag, m_pad) slab per read
+        fn = pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((n_diag, m_pad), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, m_pad), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, n_diag, m_pad), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ] * 3,
+            out_shape=[jax.ShapeDtypeStruct((B, n_diag, m_pad),
+                                            jnp.int32)] * 3,
+            scratch_shapes=[pltpu.VMEM((1, m_pad), jnp.int32)
+                            for _ in range(6)],
+            interpret=interpret,
+        )
+        score, sx, sy = fn(adiag, reads_p)
+        # (B, n_diag, m_pad) -> diagonal-stacked (n_diag, B, m_pad)
+        return (jnp.transpose(score, (1, 0, 2)),
+                jnp.transpose(sx, (1, 0, 2)),
+                jnp.transpose(sy, (1, 0, 2)))
+
+    return run
+
+
+def sw_pallas_matrices(ref: np.ndarray, reads: np.ndarray,
+                       interpret: bool = False):
+    """Host wrapper mirroring ops.swalign.sw_matrices_batch's output
+    (score/sx/sy int16/int8 row-major matrices)."""
+    from genometester4_tpu.ops.swalign import diag_to_matrix
+
+    n = len(ref)
+    m = reads.shape[1]
+    run = make_sw_pallas(n, m, interpret=interpret)
+    score_d, sx_d, sy_d = (np.asarray(x) for x in run(
+        jnp.asarray(ref), jnp.asarray(reads)))
+    score = diag_to_matrix(score_d, n, m).astype(np.int16)
+    sx = diag_to_matrix(sx_d, n, m).astype(np.int8)
+    sy = diag_to_matrix(sy_d, n, m).astype(np.int8)
+    return score, sx, sy

@@ -186,7 +186,7 @@ def count_kmers_sharded(codes: np.ndarray, k: int, mesh: Mesh,
     if chunk_bases is None:
         chunk_bases = max(1 << 14, (len(codes) // n_dev + k) )
         chunk_bases = 1 << math.ceil(math.log2(chunk_bases))
-    fn, _ = sharded_count_step(mesh, k, chunk_bases)
+    fn, _ = sharded_count_step(mesh, k, chunk_bases, cap_factor)
 
     step = chunk_bases - (k - 1)
     starts = list(range(0, max(len(codes) - (k - 1), 1), step))
@@ -199,9 +199,12 @@ def count_kmers_sharded(codes: np.ndarray, k: int, mesh: Mesh,
             blocks[bi, : len(chunk)] = chunk
         blocks = blocks.reshape(mesh.shape["dp"], mesh.shape["kp"], chunk_bases)
         hi, lo, cnt, n_uniq, ovf = fn(blocks)
-        if int(ovf):
-            raise RuntimeError(
-                "prefix-shard bucket overflow: retry with larger cap_factor")
+        while int(ovf):
+            # canonical-word density is input-dependent: grow the bucket
+            # slack and recompile rather than losing data
+            cap_factor *= 2
+            fn, _ = sharded_count_step(mesh, k, chunk_bases, cap_factor)
+            hi, lo, cnt, n_uniq, ovf = fn(blocks)
         hi = np.asarray(hi)
         lo = np.asarray(lo)
         cnt = np.asarray(cnt)

@@ -193,3 +193,18 @@ def test_jax_sw_twin_matches_numpy(rng):
     np.testing.assert_array_equal(score_j, score_n)
     np.testing.assert_array_equal(sx_j, sx_n)
     np.testing.assert_array_equal(sy_j, sy_n)
+
+
+def test_pallas_sw_matches_numpy(rng):
+    """Pallas wavefront SW (interpret mode on CPU) must be integer-exact
+    vs the numpy twin."""
+    from genometester4_tpu.ops.swalign import sw_matrices_batch
+    from genometester4_tpu.ops.swalign_pallas import sw_pallas_matrices
+
+    ref = rng.integers(0, 4, 70).astype(np.int8)
+    reads = rng.integers(0, 5, (5, 40)).astype(np.int8)
+    s_p, sx_p, sy_p = sw_pallas_matrices(ref, reads, interpret=True)
+    s_n, sx_n, sy_n = sw_matrices_batch(ref, reads)
+    np.testing.assert_array_equal(s_p, s_n)
+    np.testing.assert_array_equal(sx_p, sx_n)
+    np.testing.assert_array_equal(sy_p, sy_n)
