@@ -105,9 +105,12 @@ def main(argv=None) -> int:
                    max_count=maxfreq)
         return 0
 
+    # bug-compat: the reference parses and validates -c/--max but never
+    # applies them to .list output — gt4_write_union is called with a
+    # hardcoded cutoff of 1 (src/glistmaker.c:333,814); min/max only
+    # reach the --index writer (src/glistmaker.c:486)
     out_path = f"{outputname}_{wordlength}.list"
-    hdr = make_list(inputs, wordlength, out_path, min_count=cutoff,
-                    max_count=maxfreq, debug=debug)
+    hdr = make_list(inputs, wordlength, out_path, debug=debug)
     if debug:
         sys.stderr.write(f"Wrote {hdr.n_words} words (total count "
                          f"{hdr.total_count}) to {out_path}\n")

@@ -32,8 +32,9 @@ def _run_both(tmp_path, fasta_text, k, cutoff=1, n_files=1, texts=None,
     kwargs = {}
     if chunk_bases:
         kwargs["chunk_bases"] = chunk_bases
-    make_list(paths, k, str(tmp_path / f"tpu_{k}.list"), min_count=cutoff,
-              **kwargs)
+    # CLI semantics: the reference IGNORES -c for .list output
+    # (gt4_write_union hardcoded cutoff, src/glistmaker.c:333)
+    make_list(paths, k, str(tmp_path / f"tpu_{k}.list"), **kwargs)
     return ref_file, tmp_path / f"tpu_{k}.list"
 
 
@@ -57,9 +58,12 @@ def test_byte_identical_small_fasta(tmp_path, rng, k):
 
 
 def test_byte_identical_with_cutoff(tmp_path, rng):
-    # low-complexity input to get counts > 1
-    text = ">r1\n" + "ACGTACGGTTACGT" * 400 + "\n>r2\n" + "ACGTACGGTTAGGT" * 300 + "\n"
-    ref_file, tpu_file = _run_both(tmp_path, text, 8, cutoff=3)
+    """-c is parsed but IGNORED by the reference's .list path (fuzz
+    finding): inputs full of count-1 words must survive -c 3."""
+    text = random_fasta(rng, n_records=3, min_len=400, max_len=900)
+    ref_file, tpu_file = _run_both(tmp_path, text, 16, cutoff=3)
+    h, w, c = read_list(ref_file)
+    assert (np.asarray(c) == 1).any()  # cutoff visibly not applied
     _assert_identical(ref_file, tpu_file)
 
 
