@@ -373,7 +373,7 @@ def main(argv=None) -> int:
     from genometester4_tpu.models.fastgt_native import srand
 
     srand(1)
-    db = load_binary_db(db_name)
+    db = load_binary_db(db_name, lazy=True)
     if db is None:
         sys.stderr.write("cannot read (wrong file format?)\n")
         return 1

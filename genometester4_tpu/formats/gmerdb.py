@@ -87,6 +87,8 @@ class GmerDB:
     # read index (KATK), populated by gmer_counter --compile_index or
     # loaded from a binary GMDB
     index: "object | None" = None
+    # lazy binary DBs keep the serialized trie and walk it on demand
+    _trie_blob: "object | None" = field(default=None, repr=False)
 
     @property
     def n_nodes(self) -> int:
@@ -121,6 +123,31 @@ class GmerDB:
         np.add.at(summed, seg, sc.astype(np.uint64))
         self.sorted_words = sw[head]
         self.sorted_codes = (summed & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+    def ensure_lookup(self):
+        """Materialize the sorted lookup table (walks the lazy trie once
+        if the DB came from a binary file loaded lazily)."""
+        if self.sorted_words is not None:
+            return
+        if self._trie_blob is not None:
+            from genometester4_tpu.formats.gmerdb_binary import (
+                ensure_lookup_from_trie)
+            ensure_lookup_from_trie(self)
+        else:
+            self.finalize_lookup()
+
+    def lookup_code(self, word: int) -> int:
+        """Point lookup of one canonical word -> stored code (0 if
+        absent). Lazy binary DBs walk the serialized trie like the
+        reference's trie_lookup — only the path's pages are touched."""
+        if self.sorted_words is not None:
+            idx = int(np.searchsorted(self.sorted_words, np.uint64(word)))
+            if (idx < len(self.sorted_words)
+                    and self.sorted_words[idx] == np.uint64(word)):
+                return int(self.sorted_codes[idx])
+            return 0
+        from genometester4_tpu.formats.gmerdb_binary import trie_lookup_one
+        return trie_lookup_one(self._trie_blob, word)
 
     def decode(self, codes: np.ndarray):
         """code -> (node i32, kmer i32, valid bool) vectorized

@@ -341,11 +341,17 @@ def _empty_index_blob() -> tuple[bytes, int, int]:
                            np.empty(0, np.uint64))
 
 
-def parse_binary_db(data: bytes) -> GmerDB | None:
+def parse_binary_db(data, lazy: bool = False) -> GmerDB | None:
     """Load a binary GMDB (src/database.c:397-525). Counts stored in the
     file (if any) are discarded — counting starts at zero, matching
-    gmer_counter -dbb semantics."""
-    if data[:4] != b"GMDB":
+    gmer_counter -dbb semantics.
+
+    ``lazy=True`` keeps the (possibly multi-GB) trie as a raw view and
+    serves point lookups by walking it per query, like the reference's
+    mmap'd trie — consumers that need the full sorted table call
+    ``db.ensure_lookup()``.  Pass a np.memmap as ``data`` for lazy
+    paging."""
+    if bytes(data[:4]) != b"GMDB":
         return None
     major, minor = struct.unpack_from("<HH", data, 4)
     version = (major << 16) | minor
@@ -374,40 +380,23 @@ def parse_binary_db(data: bytes) -> GmerDB | None:
     if names_start is None:
         names_start = pos + bs
     pos, bs = block(names_start)
-    names_blob = data[pos:pos + names_size]
+    names_blob = bytes(data[pos:pos + names_size])
     if trie_start is None:
         trie_start = pos + bs
     pos, _bs = block(trie_start)
-    words, codes = _walk_trie(np.frombuffer(data, np.uint8, len(data) - pos,
-                                            pos))
+    trie_blob = np.frombuffer(data, np.uint8, len(data) - pos, pos)
 
     names = [names_blob[o:names_blob.index(b"\0", o)]
              for o in nodes[:, 0]]
-
-    # reconstruct the flat kmer table in DB order from the trie's
-    # (word, code) pairs: slot = node_start[node] + kmer_idx
-    node_idx = ((codes & np.uint32(0x7FFFFFFF)) >> np.uint32(kmer_bits)
-                ).astype(np.int64) - 1
-    kmer_idx = (codes & np.uint32((1 << kmer_bits) - 1)).astype(np.int64)
-    dirs_arr = (codes & np.uint32(0x80000000)) != 0
-    starts = nodes[:, 1].astype(np.int64)
-    ok = (node_idx >= 0) & (node_idx < n_nodes)
-    kmer_words = np.zeros(n_kmers, np.uint64)
-    kmer_dirs = np.zeros(n_kmers, bool)
-    slots = starts[node_idx[ok]] + kmer_idx[ok]
-    kmer_words[slots] = words[ok]
-    kmer_dirs[slots] = dirs_arr[ok]
 
     db = GmerDB(wordsize=wordsize, node_bits=node_bits, kmer_bits=kmer_bits,
                 count_bits=count_bits, names=names,
                 node_kmers_start=nodes[:, 1].astype(np.uint64),
                 node_nkmers=nodes[:, 2].copy(),
-                kmer_words=kmer_words, kmer_dirs=kmer_dirs)
-    # lookup table straight from the trie pairs (duplicate codes were
-    # already summed inside the trie)
-    order = np.argsort(words, kind="stable")
-    db.sorted_words = words[order]
-    db.sorted_codes = codes[order]
+                kmer_words=None, kmer_dirs=None)
+    db._trie_blob = trie_blob
+    if not lazy:
+        db.ensure_lookup()
     if index_start is not None and version >= 3:
         pos, bs = block(index_start)
         if bs:
@@ -418,6 +407,65 @@ def parse_binary_db(data: bytes) -> GmerDB | None:
     return db
 
 
-def load_binary_db(path: str) -> GmerDB | None:
-    with open(path, "rb") as f:
-        return parse_binary_db(f.read())
+def ensure_lookup_from_trie(db: GmerDB):
+    """Walk the serialized trie once to materialize the sorted lookup
+    table and the flat kmer table (DB order)."""
+    words, codes = _walk_trie(db._trie_blob)
+    kmer_bits = db.kmer_bits
+    n_nodes = db.n_nodes
+    n_kmers = int(db.node_nkmers.astype(np.int64).sum())
+    node_idx = ((codes & np.uint32(0x7FFFFFFF)) >> np.uint32(kmer_bits)
+                ).astype(np.int64) - 1
+    kmer_idx = (codes & np.uint32((1 << kmer_bits) - 1)).astype(np.int64)
+    dirs_arr = (codes & np.uint32(0x80000000)) != 0
+    starts = db.node_kmers_start.astype(np.int64)
+    ok = (node_idx >= 0) & (node_idx < n_nodes)
+    kmer_words = np.zeros(n_kmers, np.uint64)
+    kmer_dirs = np.zeros(n_kmers, bool)
+    slots = starts[node_idx[ok]] + kmer_idx[ok]
+    kmer_words[slots] = words[ok]
+    kmer_dirs[slots] = dirs_arr[ok]
+    db.kmer_words = kmer_words
+    db.kmer_dirs = kmer_dirs
+    # lookup table straight from the trie pairs (duplicate codes were
+    # already summed inside the trie)
+    order = np.argsort(words, kind="stable")
+    db.sorted_words = words[order]
+    db.sorted_codes = codes[order]
+
+
+def trie_lookup_one(blob: np.ndarray, word: int) -> int:
+    """Point lookup in a serialized trie — the reference's trie_lookup
+    walk (src/trie.c:85-90, 398-445), touching only the pages on the
+    path. Returns the stored code or 0."""
+    nbits, nbits_root = struct.unpack_from("<II", blob, 0)
+    cbits = nbits - nbits_root
+    nroots = 1 << nbits_root
+    roots = np.frombuffer(blob, np.uint64, nroots, 16)
+    branches_off = 16 + nroots * 8
+    ref = int(roots[word >> cbits])
+    w = word % (1 << cbits)
+    nb = cbits
+    while True:
+        if ref == 0:
+            return 0
+        if ref & 1:
+            kw = (ref >> 33) & 0x3FFFFFF
+            return (ref >> 1) & 0xFFFFFFFF if kw == w else 0
+        slot = ref >> 2
+        rec = np.frombuffer(blob, np.uint64, 3, branches_off + slot * 24)
+        bits0 = int(rec[0])
+        nthis = bits0 & 0x1F
+        nchild = (bits0 >> 5) & 0x3F
+        bword = (bits0 >> 11) & 0x3FFFFFF
+        if (w >> (nb - nthis)) != bword:
+            return 0
+        cw = (w >> (nb - nthis - nchild)) % (1 << nchild)
+        w = w % (1 << (nb - nthis - nchild))
+        nb = nb - nthis - nchild
+        ref = int(rec[1 + cw])
+
+
+def load_binary_db(path: str, lazy: bool = False) -> GmerDB | None:
+    data = np.memmap(path, dtype=np.uint8, mode="r")
+    return parse_binary_db(data, lazy=lazy)

@@ -80,9 +80,11 @@ def parse_read_index(data: bytes, start: int, n_kmers: int,
     files = []
     p = start + files_start
     for _ in range(n_files):
-        e = data.index(b"\0", p)
-        files.append(data[p:e])
-        p = e + 1
+        # data may be a memmap: search within a bounded bytes window
+        window = bytes(data[p:p + 65536])
+        ln = window.index(b"\0")
+        files.append(window[:ln])
+        p += ln + 1
     nblocks = nk or n_kmers
     if nblocks and start + blocks_start + nblocks * 8 <= len(data):
         read_blocks = np.frombuffer(data, np.uint64, nblocks,

@@ -270,11 +270,10 @@ def get_unique_reads(db, files: SeqFiles, kmers: list, params: Params,
         rword = int(reverse_complement_u64(np.array([word], np.uint64),
                                            len(km))[0])
         cword = min(word, rword)
-        idx = np.searchsorted(db.sorted_words, np.uint64(cword))
-        if idx >= len(db.sorted_words) or db.sorted_words[idx] != cword:
+        code = db.lookup_code(cword)
+        if not code:
             sys.stderr.write(f"No such kmer: {km}\n")
             raise SystemExit(0)
-        code = int(db.sorted_codes[idx])
         kmer_dir = 1 if (code & 0x80000000) else 0
         code &= 0x7FFFFFFF
         node_idx = (code >> db.kmer_bits) - 1
