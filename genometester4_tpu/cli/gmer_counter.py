@@ -144,7 +144,9 @@ def main(argv=None) -> int:
             return 1
         db = load_text_db(db_name, max_kmers_per_node, 32 if big else 16)
         if db is None:
-            sys.stderr.write(f"Cannot read text database {db_name}\n")
+            # the reference prints the (NULL) -dbb pointer here, which
+            # glibc renders as "(null)" (src/gmer_counter.c:305)
+            sys.stderr.write("Cannot read text database (null)\n")
             return 1
     if dbb:
         from genometester4_tpu.formats.gmerdb_binary import load_binary_db

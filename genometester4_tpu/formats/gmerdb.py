@@ -180,46 +180,62 @@ def parse_text_db(data: bytes, max_kmers_per_node: int = 1000000000,
     csize = len(data)
 
     # --- pass 1: count lines, establish wordsize/max_kmers (database.c:21-83)
-    lines = []  # (start, end) of non-comment lines
+    # Bug-compat: the reference's end-of-line walk is
+    # `while ((cdata[cpos] < csize) && (cdata[cpos] != '\n'))` — it
+    # compares the BYTE VALUE against the file size, so files smaller
+    # than ~'~' bytes stop mid-line at any byte >= csize, splitting real
+    # lines into pseudo-lines (usually making the load fail). Large
+    # files are unaffected (bytes are < 256 <= csize).
     pos = 0
     wordsize = 0
     max_kmers = 0
     ok = True
     nl_positions = np.flatnonzero(buf == 0x0A)
-    nl_iter = 0
+    if csize < 256:
+        stop_positions = np.flatnonzero((buf == 0x0A) | (buf >= csize))
+    else:
+        stop_positions = nl_positions
 
-    def line_end(p):
-        nonlocal nl_iter
-        while nl_iter < len(nl_positions) and nl_positions[nl_iter] < p:
-            nl_iter += 1
-        return int(nl_positions[nl_iter]) if nl_iter < len(nl_positions) else csize
+    def next_of(positions, p):
+        i = int(np.searchsorted(positions, p))
+        return int(positions[i]) if i < len(positions) else csize
 
     n_lines = 0
     while pos < csize:
         if data[pos] == ord("#"):
-            pos = line_end(pos) + 1
+            pos = next_of(nl_positions, pos) + 1
             continue
-        end = line_end(pos)
+        end = next_of(nl_positions, pos)  # split_line scans to real '\n'
         toks = _split_line(data, pos, end, 3)
         if len(toks) < 2:
             sys.stderr.write(f"Line {n_lines} has <2 ({len(toks)}) tokens\n")
+            n_lines = 0
             ok = False
             break
         if not wordsize:
             if len(toks) > 2:
                 wordsize = toks[2][1] - toks[2][0]
-        try:
-            nk = int(data[toks[1][0]:toks[1][1]])
-        except ValueError:
-            nk = _strtol(data, toks[1][0], toks[1][1])
+        nk = _strtol(data, toks[1][0], toks[1][1])
         if nk > max_kmers:
             max_kmers = nk
-        lines.append((pos, end))
         n_lines += 1
-        pos = end + 1
+        pos = next_of(stop_positions, pos)
+        if pos < csize:
+            pos += 1
     if not ok or n_lines == 0:
         sys.stderr.write("File is not text-format kmer database (maybe binary?)\n")
         return None
+    # pass 2 walks REAL lines (database.c:164-266 uses a correct
+    # end-of-line loop)
+    lines = []
+    pos = 0
+    while pos < csize:
+        if data[pos] == ord("#"):
+            pos = next_of(nl_positions, pos) + 1
+            continue
+        end = next_of(nl_positions, pos)
+        lines.append((pos, end))
+        pos = end + 1
     if max_kmers > max_kmers_per_node:
         max_kmers = max_kmers_per_node
     node_bits = _get_bits(n_lines + 1)

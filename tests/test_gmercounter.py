@@ -170,7 +170,11 @@ def test_duplicate_kmer_codes_sum(rng):
     from genometester4_tpu.formats.gmerdb import parse_text_db
 
     km = "ACGTACGTACGT"
-    text = f"N0\t2\t{km}\tTTTTTTTTTTTA\nN1\t1\t{km}\n"
+    # pad past 256 bytes with a comment: the reference cannot load text
+    # DBs smaller than the largest byte value (count_lines compares
+    # bytes against csize, src/database.c:69), which we reproduce
+    text = ("#" + "x" * 300 + "\n"
+            + f"N0\t2\t{km}\tTTTTTTTTTTTA\nN1\t1\t{km}\n")
     db = parse_text_db(text.encode())
     assert db is not None
     # node0/kmer0 code + node1/kmer0 code, both forward (dir computed
