@@ -99,6 +99,12 @@ def read_index_map(path: str | os.PathLike) -> IndexMap:
     if code != GT4_INDEX_CODE:
         raise ValueError(f"not a GT4 .index file (magic {code:#x})")
     files = []
+    if files_start + 16 > len(data):
+        # header-only index (glistmaker with zero words writes just the
+        # 72-byte header, src/glistmaker.c:343-346)
+        return IndexMap(wlen, fb, sb, pb, [], np.empty(0, np.uint64),
+                        np.empty(0, np.uint64), np.empty(0, np.uint64),
+                        num_locations=n_locs, path=os.fspath(path))
     p = files_start
     assert data[p:p + 4] == b"F4TG"
     p += 12

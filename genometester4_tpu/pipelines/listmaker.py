@@ -267,6 +267,22 @@ def make_index(input_files, word_length: int, output_path: str,
             max_lpos = max(max_lpos, int(lpos.max()))
         per_file.append((words, rec, lpos, dirs))
 
+    if not any(pf is not None and len(pf[0]) for pf in per_file):
+        # zero words anywhere: the reference writes a header-only index
+        # (write_index_header, src/glistmaker.c:343-346,577-630)
+        import struct
+        tmp = f"{output_path}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(b"I4TG")
+            f.write(struct.pack("<II", 4, 2))
+            f.write(struct.pack("<I", k))
+            f.write(struct.pack("<QQ", 0, 0))
+            f.write(struct.pack("<IIII", 1, 1, 1, 0))
+            f.write(struct.pack("<QQQ", 72, 72, 72))
+        import os
+        os.replace(tmp, output_path)
+        return
+
     n_file_bits = get_bitsize(len(input_files) - 1)
     n_subseq_bits = get_bitsize(max_subseq)
     n_pos_bits = get_bitsize(max_lpos)

@@ -171,3 +171,28 @@ def test_kmer_predictor_self_consistency(tmp_path, rng):
         assert coef[1].startswith("SCALE\t")
     finally:
         os.chdir(old)
+
+
+def test_header_only_index_zero_words(tmp_path):
+    """Inputs shorter than k produce the reference's header-only .index
+    (write_index_header path, fuzz finding)."""
+    fq = tmp_path / "tiny.fq"
+    fq.write_text("@r0\nACGT\n+\nIIII\n")
+    r = run_reference(["glistmaker", "tiny.fq", "-w", "21", "--index",
+                       "-o", "ref"], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    import os
+    from genometester4_tpu.cli.glistmaker import main
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        rc, _ = run_cli(main, ["tiny.fq", "-w", "21", "--index", "-o",
+                               "tpu"])
+    finally:
+        os.chdir(old)
+    assert rc == 0
+    assert (tmp_path / "tpu_21.index").read_bytes() == (
+        tmp_path / "ref_21.index").read_bytes()
+    from genometester4_tpu.formats.index_format import read_index_map
+    im = read_index_map(tmp_path / "tpu_21.index")
+    assert len(im.words) == 0 and len(im.files) == 0
