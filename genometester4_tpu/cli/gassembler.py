@@ -226,6 +226,7 @@ def main(argv=None) -> int:
     db_name = None
     input_name = None
     seq_dir = None
+    snv_db_name = fp_db_name = None
     max_regions = 1000000000
     region_args = None
     kmers_cli = []
@@ -249,6 +250,12 @@ def main(argv=None) -> int:
                 region_args = (argv[i + 1], int(argv[i + 2]),
                                int(argv[i + 3]), argv[i + 4])
                 i += 4
+            elif a == "--snvs":
+                i += 1
+                snv_db_name = argv[i]
+            elif a == "--fp":
+                i += 1
+                fp_db_name = argv[i]
             elif a in ("--region_file", "--file"):
                 i += 1
                 input_name = argv[i]
@@ -390,7 +397,18 @@ def main(argv=None) -> int:
     if sex == 0:
         sex = auto_sex(db)
 
-    asm = Assembler(db, files, p, sex, coverage)
+    snvs = fps = None
+    if snv_db_name:
+        from genometester4_tpu.pipelines.gassemble import read_snvs
+        sys.stderr.write("Loading SNV database\n")
+        snvs = read_snvs(snv_db_name)
+        sys.stderr.write("Num SNVs %d\n" % len(snvs))
+    if fp_db_name:
+        from genometester4_tpu.pipelines.gassemble import read_fps
+        sys.stderr.write("Loading known false positives\n")
+        fps = read_fps(fp_db_name)
+        sys.stderr.write("Num false positives %d\n" % len(fps))
+    asm = Assembler(db, files, p, sex, coverage, snvs=snvs, fps=fps)
     out = sys.stdout
 
     if input_name:

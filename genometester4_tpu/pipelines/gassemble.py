@@ -960,6 +960,60 @@ class Assembler:
         return call
 
 
+def read_snvs(path: str):
+    """Known-SNV table (src/gassembler.c:2327-2390): lines of
+    "CHR:POS[:ID]:R/A<TAB>GT..."; POS is 1-based in the file, stored
+    0-based. Returns sorted (chr, pos, ref_allele, alt_allele) tuples."""
+    out = []
+    with open(path, "rb") as f:
+        for line in f:
+            if line[:1] == b"#":
+                continue
+            toks = line.split()
+            if len(toks) < 2:
+                sys.stderr.write("read_snvs: too few tokens at line %u\n"
+                                 % len(out))
+                continue
+            sub = toks[0].split(b":")
+            chr_ = chr_from_string(sub[0].decode("latin1")[:31])
+            if not chr_:
+                continue
+            try:
+                pos = int(sub[1]) - 1
+            except (ValueError, IndexError):
+                continue
+            ra = sub[3] if len(sub) > 3 else b"N/N"
+            ref_a = _C2N[ra[0]] if len(ra) > 0 else N
+            alt_a = _C2N[ra[2]] if len(ra) > 2 else N
+            out.append((chr_, pos, int(ref_a), int(alt_a)))
+    return out
+
+
+def read_fps(path: str):
+    """Known-false-positive positions (src/gassembler.c:2392-2438):
+    POS stored as-is (NOT shifted, unlike read_snvs)."""
+    out = []
+    with open(path, "rb") as f:
+        for line in f:
+            if line[:1] == b"#":
+                continue
+            toks = line.split()
+            if len(toks) < 2:
+                sys.stderr.write("read_fps: too few tokens at line %u\n"
+                                 % len(out))
+                continue
+            sub = toks[0].split(b":")
+            chr_ = chr_from_string(sub[0].decode("latin1")[:31])
+            if not chr_:
+                continue
+            try:
+                pos = int(sub[1])
+            except (ValueError, IndexError):
+                continue
+            out.append((chr_, pos, 0, 0))
+    return out
+
+
 def lookup_snv(snvs, chr_, pos):
     """src/gassembler.c:2440-2467 bisection (snvs: sorted tuples)."""
     mn, mx = 0, len(snvs)

@@ -208,3 +208,29 @@ def test_pallas_sw_matches_numpy(rng):
     np.testing.assert_array_equal(s_p, s_n)
     np.testing.assert_array_equal(sx_p, sx_n)
     np.testing.assert_array_equal(sy_p, sy_n)
+
+
+def test_snvs_and_fp_files(katk_fixture):
+    """--snvs marks known SNVs (excluded from group divergence), --fp
+    forces NC at listed positions — byte-identical."""
+    tmp = katk_fixture
+    region1 = (tmp / "regions.txt").read_text().splitlines()[0].split("\t")
+    ref_seq = region1[3]
+    ref_base = ref_seq[100]
+    alt = "G" if ref_base != "G" else "T"
+    (tmp / "snvs.txt").write_text(f"1:1101:rs1:{ref_base}/{alt}\tAB\n")
+    (tmp / "fps.txt").write_text("1:1120\n")
+    args = ["--dbi", "db.idx", "--region_file", "regions.txt",
+            "--num_threads", "1", "--coverage", "40", "--sex", "female",
+            "--snvs", "snvs.txt", "--fp", "fps.txt"]
+    ref = run_reference(["gassembler"] + args, cwd=tmp, timeout=600)
+    assert ref.returncode == 0, ref.stderr
+    import os
+    old = os.getcwd()
+    os.chdir(tmp)
+    try:
+        rc, out = run_ours(args)
+    finally:
+        os.chdir(old)
+    assert rc == 0
+    assert out == ref.stdout.decode()
