@@ -229,6 +229,8 @@ def main(argv=None) -> int:
     snv_db_name = fp_db_name = None
     max_regions = 1000000000
     region_args = None
+    only_chr = 1  # CHR_1 (src/gassembler.c:698)
+    only_pos = 0
     kmers_cli = []
     i = 0
     try:
@@ -262,6 +264,14 @@ def main(argv=None) -> int:
             elif a == "--max_regions":
                 i += 1
                 max_regions = int(argv[i])
+            elif a == "--pos":
+                i += 1
+                if ":" in argv[i]:
+                    cs, ps = argv[i].split(":", 1)
+                    only_chr = chr_from_string(cs)
+                    only_pos = int(ps)
+                else:
+                    only_pos = int(argv[i])
             elif a == "--min_coverage":
                 i += 1
                 p.min_coverage = int(argv[i])
@@ -410,6 +420,44 @@ def main(argv=None) -> int:
         sys.stderr.write("Num false positives %d\n" % len(fps))
     asm = Assembler(db, files, p, sex, coverage, snvs=snvs, fps=fps)
     out = sys.stdout
+
+    if input_name and only_pos:
+        # --pos: scan the region file for the covering region and run the
+        # single-region recursive path (src/gassembler.c:1032-1077)
+        with open(input_name, "rb") as f:
+            data = f.read()
+        pos = 0
+        n = len(data)
+        while pos < n:
+            toks = _split_line(data, pos, MAX_KMERS + 4)
+            while pos < n and data[pos] != 0x0A:
+                pos += 1
+            while pos < n and data[pos] <= 0x20:
+                pos += 1
+            if len(toks) < 5:
+                sys.stderr.write("process: Too few tokens at line\n")
+                continue
+            chrs = data[toks[0][0]:toks[0][1]][:31].decode("latin1")
+            chr_ = chr_from_string(chrs)
+            if chr_ != only_chr:
+                continue
+            start = int(data[toks[1][0]:toks[1][1]])
+            if start > only_pos:
+                break
+            end = int(data[toks[2][0]:toks[2][1]])
+            if end <= only_pos:
+                continue
+            if end - start > p.max_reference_length:
+                sys.stderr.write(
+                    "WARNING: Region %u-%u is longer than maximum allowed "
+                    "length (%u), skipping\n".replace("%u", "%d")
+                    % (start, end, p.max_reference_length))
+                continue
+            ref = data[toks[3][0]:toks[3][1]].decode("latin1")
+            kmers = [data[s_:e_].decode("latin1") for s_, e_ in toks[4:]]
+            _assemble_recursive(asm, out, p, sex, chr_, start, end, ref,
+                                kmers)
+        return 0
 
     if input_name:
         with open(input_name, "rb") as f:

@@ -234,3 +234,30 @@ def test_snvs_and_fp_files(katk_fixture):
         os.chdir(old)
     assert rc == 0
     assert out == ref.stdout.decode()
+
+
+@pytest.mark.parametrize("mode", ["pos", "region"])
+def test_single_region_modes(katk_fixture, mode):
+    """--pos CHR:POS and --region CHR START END SEQ single-region paths
+    (print via the recursive assembler) — byte-identical."""
+    tmp = katk_fixture
+    line = (tmp / "regions.txt").read_text().splitlines()[0].split("\t")
+    if mode == "pos":
+        args = ["--dbi", "db.idx", "--region_file", "regions.txt",
+                "--num_threads", "1", "--coverage", "40", "--sex",
+                "female", "--pos", "1:1100"]
+    else:
+        args = ["--dbi", "db.idx", "--num_threads", "1", "--coverage",
+                "40", "--sex", "female", "--region", "1", "1000", "1150",
+                line[3]] + line[4:]
+    ref = run_reference(["gassembler"] + args, cwd=tmp, timeout=600)
+    assert ref.returncode == 0, ref.stderr
+    import os
+    old = os.getcwd()
+    os.chdir(tmp)
+    try:
+        rc, out = run_ours(args)
+    finally:
+        os.chdir(old)
+    assert rc == 0
+    assert out == ref.stdout.decode()
