@@ -64,9 +64,11 @@ def main():
     def pipeline(c):
         hi, lo, valid = extract_kmers(c, K, canonical=True)
         ones = jnp.ones(hi.shape, jnp.uint32)
+        # compact=False: run counts via reverse-cummin scan instead of a
+        # second full-length sort (counts nonzero exactly at run heads)
         uhi, ulo, counts, n = count_unique(hi, lo, ones, valid,
                                            hi_bits=2 * K - 32,
-                                           unit_weights=True)
+                                           unit_weights=True, compact=False)
         # scalars only: totals + order-sensitive checksum of the result
         total = jnp.sum(counts)
         checksum = jnp.sum((ulo ^ uhi) * counts)

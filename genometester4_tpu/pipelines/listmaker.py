@@ -50,7 +50,7 @@ def _make_chunk_fn(k: int, canonical: bool = True):
         hi, lo, valid = extract_kmers(codes, k, canonical=canonical)
         ones = jnp.ones(hi.shape, jnp.uint32)
         return count_unique(hi, lo, ones, valid, hi_bits=hi_bits,
-                            unit_weights=True)
+                            unit_weights=True, compact=False)
 
     return run
 
@@ -86,13 +86,14 @@ def count_chunks(codes: np.ndarray, k: int, chunk_bases: int = DEFAULT_CHUNK_BAS
         return
     for start in range(0, max(n - (k - 1), 1), step):
         chunk = pad_pow2_chunk(codes[start:start + chunk_bases], chunk_bases)
-        uhi, ulo, counts, n_uniq = run(jnp.asarray(chunk))
-        m = int(n_uniq)
-        if m == 0:
+        shi, slo, counts, n_uniq = run(jnp.asarray(chunk))
+        if int(n_uniq) == 0:
             continue
-        uhi = np.asarray(uhi[:m])
-        ulo = np.asarray(ulo[:m])
-        yield join_u64(uhi, ulo), np.asarray(counts[:m], dtype=np.uint32)
+        # compact=False stream: counts != 0 marks the sorted unique words
+        counts = np.asarray(counts, dtype=np.uint32)
+        mask = counts != 0
+        yield (join_u64(np.asarray(shi)[mask], np.asarray(slo)[mask]),
+               counts[mask])
 
 
 def _pad_pow2(x: np.ndarray, size: int, fill=0):
@@ -112,7 +113,8 @@ class _MergeKernelCache:
         if key not in self.fns:
             @jax.jit
             def merge(hi, lo, counts, valid):
-                return count_unique(hi, lo, counts, valid, hi_bits=hi_bits)
+                return count_unique(hi, lo, counts, valid, hi_bits=hi_bits,
+                                    compact=False)
             self.fns[key] = merge
         return self.fns[key]
 
@@ -166,12 +168,13 @@ def merge_sorted_shards(shards, target_bucket: int = DEFAULT_MERGE_BUCKET,
         valid[: len(cat_w)] = True
         hb = 32 if word_length is None else max(0, 2 * word_length - 32)
         merge = _merge_cache.get(cap, hb)
-        uhi, ulo, ucounts, n_uniq = merge(
+        shi, slo, ucounts, n_uniq = merge(
             jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(counts),
             jnp.asarray(valid))
-        m = int(n_uniq)
-        yield join_u64(np.asarray(uhi[:m]), np.asarray(ulo[:m])), np.asarray(
-            ucounts[:m], dtype=np.uint32)
+        ucounts = np.asarray(ucounts, dtype=np.uint32)
+        mask = ucounts != 0
+        yield (join_u64(np.asarray(shi)[mask], np.asarray(slo)[mask]),
+               ucounts[mask])
 
 
 def _make_index_chunk_fn(k: int):
