@@ -76,7 +76,8 @@ def pair_align(hi1, lo1, c1, valid1, hi2, lo2, c2, valid2):
     valid = jnp.concatenate([valid1, valid2])
 
     inv = (~valid).astype(jnp.uint32)
-    inv, shi, slo, sc, ssrc = jax.lax.sort((inv, hi, lo, c, src), num_keys=3)
+    inv, shi, slo, sc, ssrc = jax.lax.sort((inv, hi, lo, c, src), num_keys=3,
+                                           is_stable=False)
     svalid = inv == 0
     head = _run_heads(shi, slo, svalid)
 
@@ -171,7 +172,7 @@ def apply_multi_op(hi, lo, c, src, valid, n_lists: int, op: str,
     inv = (~valid).astype(jnp.uint32)
     # counts as 4th sort key: within an equal-word run counts ascend, so
     # run-min = first entry and run-max = last entry — no segment scatter
-    inv, shi, slo, sc = jax.lax.sort((inv, hi, lo, c), num_keys=4)
+    inv, shi, slo, sc = jax.lax.sort((inv, hi, lo, c), num_keys=4, is_stable=False)
     svalid = inv == 0
     head = _run_heads(shi, slo, svalid)
 

@@ -45,7 +45,7 @@ def sort_compact(mask, *arrays):
     n = mask.shape[0]
     key = jnp.where(mask, jnp.uint32(0), jnp.uint32(1 << 31)) \
         | _iota32(n).astype(jnp.uint32)
-    out = jax.lax.sort((key,) + tuple(arrays), num_keys=1)
+    out = jax.lax.sort((key,) + tuple(arrays), num_keys=1, is_stable=False)
     return (jnp.sum(mask.astype(jnp.int32)),) + out[1:]
 
 
@@ -93,21 +93,23 @@ def count_unique(hi, lo, weights, valid, hi_bits: int = 32,
                              jnp.uint32(1 << max(hi_bits, 0)))
         packed = inv_flag | hi
         if unit_weights:
-            packed, slo = jax.lax.sort((packed, lo), num_keys=2)
+            packed, slo = jax.lax.sort((packed, lo), num_keys=2, is_stable=False)
             w = None
         else:
-            packed, slo, w = jax.lax.sort((packed, lo, weights), num_keys=2)
+            packed, slo, w = jax.lax.sort((packed, lo, weights), num_keys=2,
+                                             is_stable=False)
         svalid = (packed >> max(hi_bits, 0)) == 0
         shi = packed & jnp.uint32((1 << max(hi_bits, 0)) - 1) \
             if hi_bits > 0 else jnp.zeros_like(packed)
     else:
         inv = (~valid).astype(jnp.uint32)
         if unit_weights:
-            inv, shi, slo = jax.lax.sort((inv, hi, lo), num_keys=3)
+            inv, shi, slo = jax.lax.sort((inv, hi, lo), num_keys=3,
+                                        is_stable=False)
             w = None
         else:
             inv, shi, slo, w = jax.lax.sort((inv, hi, lo, weights),
-                                            num_keys=3)
+                                            num_keys=3, is_stable=False)
         svalid = inv == 0
 
     first = jnp.concatenate([jnp.ones((1,), jnp.bool_),
