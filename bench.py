@@ -67,14 +67,20 @@ def main():
     def pipeline(c):
         hi, lo, valid = extract_kmers(c, K, canonical=True)
         ones = jnp.ones(hi.shape, jnp.uint32)
-        # compact=False: run counts via reverse-cummin scan instead of a
-        # second full-length sort (counts nonzero exactly at run heads)
-        uhi, ulo, counts, n = count_unique(hi, lo, ones, valid,
-                                           hi_bits=2 * K - 32,
-                                           unit_weights=True, compact=False)
-        # scalars only: totals + order-sensitive checksum of the result
-        total = jnp.sum(counts)
-        checksum = jnp.sum((ulo ^ uhi) * counts)
+        # compact=False: runs as element-wise head/tail marks — no
+        # compaction sort, no scans (see ops.sortcount docstring)
+        shi, slo, head, tail, _, n = count_unique(
+            hi, lo, ones, valid, hi_bits=2 * K - 32,
+            unit_weights=True, compact=False)
+        # scalars only: totals + order-sensitive checksum of the result.
+        # sum_runs word*(tail_pos - head_pos + 1) splits into two
+        # mark-weighted sums because word@tail == word@head per run.
+        total = jnp.sum(valid.astype(jnp.uint32))
+        x = slo ^ shi
+        p = jax.lax.broadcasted_iota(jnp.uint32, (x.shape[0], 1), 0).reshape(
+            x.shape[0])
+        checksum = (jnp.sum(jnp.where(tail, x * (p + 1), 0))
+                    - jnp.sum(jnp.where(head, x * p, 0)))
         return n, total, checksum
 
     dc = jax.device_put(codes)

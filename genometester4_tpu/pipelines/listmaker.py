@@ -86,14 +86,16 @@ def count_chunks(codes: np.ndarray, k: int, chunk_bases: int = DEFAULT_CHUNK_BAS
         return
     for start in range(0, max(n - (k - 1), 1), step):
         chunk = pad_pow2_chunk(codes[start:start + chunk_bases], chunk_bases)
-        shi, slo, counts, n_uniq = run(jnp.asarray(chunk))
+        shi, slo, hmask, tmask, _, n_uniq = run(jnp.asarray(chunk))
         if int(n_uniq) == 0:
             continue
-        # compact=False stream: counts != 0 marks the sorted unique words
-        counts = np.asarray(counts, dtype=np.uint32)
-        mask = counts != 0
-        yield (join_u64(np.asarray(shi)[mask], np.asarray(slo)[mask]),
-               counts[mask])
+        # compact=False marked stream: words at run heads, counts from
+        # consecutive tail positions (runs tile the valid prefix)
+        hmask = np.asarray(hmask)
+        tails = np.flatnonzero(np.asarray(tmask))
+        counts = np.diff(tails + 1, prepend=0).astype(np.uint32)
+        yield (join_u64(np.asarray(shi)[hmask], np.asarray(slo)[hmask]),
+               counts)
 
 
 def _pad_pow2(x: np.ndarray, size: int, fill=0):
@@ -168,13 +170,15 @@ def merge_sorted_shards(shards, target_bucket: int = DEFAULT_MERGE_BUCKET,
         valid[: len(cat_w)] = True
         hb = 32 if word_length is None else max(0, 2 * word_length - 32)
         merge = _merge_cache.get(cap, hb)
-        shi, slo, ucounts, n_uniq = merge(
+        shi, slo, hmask, tmask, incl, n_uniq = merge(
             jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(counts),
             jnp.asarray(valid))
-        ucounts = np.asarray(ucounts, dtype=np.uint32)
-        mask = ucounts != 0
-        yield (join_u64(np.asarray(shi)[mask], np.asarray(slo)[mask]),
-               ucounts[mask])
+        hmask = np.asarray(hmask)
+        tails = np.flatnonzero(np.asarray(tmask))
+        tp = np.asarray(incl)[tails]
+        ucounts = np.diff(tp, prepend=np.uint32(0)).astype(np.uint32)
+        yield (join_u64(np.asarray(shi)[hmask], np.asarray(slo)[hmask]),
+               ucounts)
 
 
 def _make_index_chunk_fn(k: int):
