@@ -188,3 +188,197 @@ def parse_sequences(raw: bytes) -> ParsedSequences:
 
 def load_file(path: str) -> ParsedSequences:
     return parse_sequences(open_source(path))
+
+
+# ---------------------------------------------------------------------------
+# Streaming slab ingestion: bounded-RAM parsing for inputs larger than RAM.
+#
+# The reference never holds a whole file's parse in memory — its byte
+# state machine streams (src/fasta.c:127-288) and plain files are cut
+# into 100 MB mmap blocks at record boundaries (src/sequence-block.c:
+# 148-206, src/listmaker-queue.c:116-161). This is the same role: the
+# file is read in slabs, each slab is parsed with the vectorized parser,
+# and k-1 trailing codes carry across the seam so no window is lost when
+# a record spans slabs. Peak RAM is O(slab), not O(file).
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SlabMeta:
+    """Per-slab bookkeeping (new content only, the overlap prefix of a
+    spanning record is not double counted)."""
+    n_records: int       # records STARTED in this slab
+    total_bases: int     # sequence characters parsed in this slab
+    count_n: int         # N/n among them
+    prefix_len: int = 0  # leading codes repeated from the previous slab
+                         # (overlap carry) — slice them off for per-byte
+                         # statistics over new content
+
+
+def _iter_raw_slabs(path: str, slab_bytes: int):
+    """Yield raw byte slabs from a plain/gzip file or stdin."""
+    import zlib
+    if path == "-":
+        f = sys.stdin.buffer
+        while True:
+            b = f.read(slab_bytes)
+            if not b:
+                return
+            yield b
+    else:
+        with open(path, "rb") as f:
+            head = f.read(2)
+            f.seek(0)
+            if head == b"\x1f\x8b":
+                d = zlib.decompressobj(wbits=31)
+                out = []
+                size = 0
+                while True:
+                    comp = f.read(1 << 20)
+                    if not comp:
+                        break
+                    piece = d.decompress(comp)
+                    out.append(piece)
+                    size += len(piece)
+                    if size >= slab_bytes:
+                        yield b"".join(out)
+                        out, size = [], 0
+                tail = d.flush()
+                if tail:
+                    out.append(tail)
+                if out:
+                    yield b"".join(out)
+            else:
+                while True:
+                    b = f.read(slab_bytes)
+                    if not b:
+                        return
+                    yield b
+
+
+def _parse_fasta_slab(head: bytes, continuing: bool):
+    """Parse a newline-terminated FASTA fragment whose leading lines may
+    continue a record opened in a previous slab.
+
+    Returns (codes, n_new_records, count_n, total_bases, open_at_end)
+    where ``codes`` has a 255 sentinel between records but NONE after the
+    final record when it may continue into the next slab."""
+    data = np.frombuffer(head, dtype=np.uint8)
+    starts, ends = _line_index(data)
+    if len(starts) == 0:
+        return (np.empty(0, np.uint8), 0, 0, 0, continuing)
+    ends = _strip_cr(data, ends)
+    is_header = data[starts] == _GT
+    n_headers = int(is_header.sum())
+    rec_of_line = np.cumsum(is_header) - 1
+    if continuing:
+        rec_of_line = rec_of_line + 1  # slot 0 = the carried-over record
+    elif n_headers == 0:
+        raise ValueError("no FASTA records found (no '>' lines)")
+    n_recs = n_headers + (1 if continuing else 0)
+    seq_mask = (~is_header) & (rec_of_line >= 0)
+    out, _, rec_lengths, count_n = _scatter_records(
+        data, starts[seq_mask], ends[seq_mask], rec_of_line[seq_mask],
+        n_recs)
+    # _scatter_records appends a sentinel after every record incl. the
+    # last; the last record stays open across the seam, so drop it
+    if len(out) and out[-1] == 255:
+        out = out[:-1]
+    return out, n_headers, count_n, int(rec_lengths.sum()), True
+
+
+def iter_code_slabs(path: str, k: int, slab_bytes: int = 1 << 28):
+    """Stream a FASTA/FASTQ file as ready-to-count code slabs.
+
+    Yields (codes, SlabMeta) where ``codes`` is a uint8 2-bit code array
+    (255 = invalid/separator). Each slab is prefixed with the previous
+    slab's final k-1 codes (plus a 255 separator when the record ended
+    exactly at the seam), so running window extraction per slab loses no
+    k-mer and counts none twice. Concatenating all slabs minus prefixes
+    reproduces load_file(path).codes exactly.
+    """
+    fmt = None          # 'fasta' | 'fastq'
+    carry = b""         # undecoded partial tail (line / fastq group)
+    tail_codes = np.empty(0, np.uint8)  # last k-1 emitted codes
+    open_record = False  # a FASTA record spans the seam
+    for raw in _iter_raw_slabs(path, slab_bytes):
+        buf = carry + raw
+        if fmt is None:
+            i = 0
+            while i < len(buf) and buf[i] in (_NL, _CR, ord(" "), ord("\t")):
+                i += 1
+            if i >= len(buf):
+                carry = b""
+                continue
+            buf = buf[i:]
+            if buf[0] == _GT:
+                fmt = "fasta"
+            elif buf[0] == _AT:
+                fmt = "fastq"
+            else:
+                raise ValueError(
+                    f"unrecognized sequence format (first byte {buf[0]!r})")
+        if fmt == "fasta":
+            cut = buf.rfind(b"\n") + 1
+            if cut == 0:
+                # no newline in a whole slab: a monster single-line
+                # sequence — consume it directly unless it could be a
+                # header (headers are assumed to fit one slab)
+                if buf[:1] == b">" or not open_record:
+                    carry = buf
+                    continue
+                head, carry = buf, b""
+                seq = np.frombuffer(head, np.uint8)
+                count_n = int(((seq == ord("N")) | (seq == ord("n"))).sum())
+                codes = NUCL_CODES[seq]
+                meta = SlabMeta(0, len(codes), count_n,
+                                prefix_len=len(tail_codes))
+                yield np.concatenate([tail_codes, codes]), meta
+                if k > 1:
+                    tail_codes = codes[-(k - 1):] if len(codes) >= k - 1 \
+                        else np.concatenate([tail_codes, codes])[-(k - 1):]
+                continue
+            head, carry = buf[:cut], buf[cut:]
+            codes, n_new, count_n, bases, _ = _parse_fasta_slab(
+                head, open_record)
+            starts_fresh = head[:1] == b">"
+            prefix = tail_codes
+            if open_record and starts_fresh and len(tail_codes):
+                # record ended exactly at the seam: separate windows
+                prefix = np.concatenate([tail_codes,
+                                         np.full(1, 255, np.uint8)])
+            yield np.concatenate([prefix, codes]), SlabMeta(
+                n_new, bases, count_n, prefix_len=len(prefix))
+            open_record = open_record or n_new > 0
+            if k > 1:
+                tail_codes = codes[-(k - 1):] if len(codes) >= k - 1 \
+                    else np.concatenate([tail_codes, codes])[-(k - 1):]
+        else:  # fastq: records are 4-line groups and never span slabs
+            nl = np.flatnonzero(np.frombuffer(buf, np.uint8) == _NL)
+            n_groups = len(nl) // 4
+            if n_groups == 0:
+                carry = buf
+                continue
+            cut = int(nl[4 * n_groups - 1]) + 1
+            head, carry = buf[:cut], buf[cut:]
+            parsed = parse_fastq(head)
+            yield parsed.codes, SlabMeta(parsed.n_records,
+                                         parsed.total_bases, parsed.count_n)
+    # EOF: flush whatever remains as final (possibly unterminated) lines
+    if carry.strip():
+        if fmt == "fasta":
+            codes, n_new, count_n, bases, _ = _parse_fasta_slab(
+                carry, open_record)
+            starts_fresh = carry[:1] == b">"
+            prefix = tail_codes
+            if open_record and starts_fresh and len(tail_codes):
+                prefix = np.concatenate([tail_codes,
+                                         np.full(1, 255, np.uint8)])
+            yield np.concatenate([prefix, codes]), SlabMeta(
+                n_new, bases, count_n, prefix_len=len(prefix))
+        elif fmt == "fastq":
+            n_lines = carry.count(b"\n") + (0 if carry.endswith(b"\n") else 1)
+            if n_lines >= 4 or carry.count(b"\n") >= 3:
+                parsed = parse_fastq(carry)
+                yield parsed.codes, SlabMeta(
+                    parsed.n_records, parsed.total_bases, parsed.count_n)

@@ -187,17 +187,32 @@ class DBCounter:
             self._slot_gc = (np.uint64(db.wordsize)
                              * ((w ^ (w >> np.uint64(1))) & np.uint64(1)))
 
-    def add_file(self, path: str):
-        parsed = load_file(path)
-        if self.collect_stats:
-            st = self.result.stats
-            st.n_nucl += int((parsed.codes < 4).sum())
-            st.n_gc += int(((parsed.codes == 1) | (parsed.codes == 2)).sum())
-            st.n_seq = st.n_nucl + parsed.count_n
+    def add_file(self, path: str, slab_bytes: int = 1 << 28):
         if self.build_index:
+            # index mode needs the whole-file record registry (absolute
+            # name byte offsets) — read files are the bounded quantity
+            parsed = load_file(path)
+            if self.collect_stats:
+                st = self.result.stats
+                st.n_nucl += int((parsed.codes < 4).sum())
+                st.n_gc += int(((parsed.codes == 1)
+                                | (parsed.codes == 2)).sum())
+                st.n_seq = st.n_nucl + parsed.count_n
             self._add_codes_indexed(parsed)
-        else:
-            self._add_codes(parsed.codes)
+            return
+        # count mode streams: peak RAM O(slab), matching the reference's
+        # block-at-a-time read pipeline (src/gmer_counter.c:713-748)
+        from genometester4_tpu.io.fasta import iter_code_slabs
+        for codes, meta in iter_code_slabs(path, self.db.wordsize,
+                                           slab_bytes):
+            if self.collect_stats:
+                st = self.result.stats
+                fresh = codes[meta.prefix_len:]
+                new_nucl = int((fresh < 4).sum())
+                st.n_nucl += new_nucl
+                st.n_gc += int(((fresh == 1) | (fresh == 2)).sum())
+                st.n_seq += new_nucl + meta.count_n  # nucleotides + Ns
+            self._add_codes(codes)
 
     def _add_codes_indexed(self, parsed):
         """Index-mode ingestion: collect per-hit location data.

@@ -339,7 +339,8 @@ def make_list(input_files, word_length: int, output_path: str,
               min_count: int = 1, max_count: int = 0xFFFFFFFF,
               chunk_bases: int = DEFAULT_CHUNK_BASES,
               canonical: bool = True, debug: int = 0,
-              spill_bytes: int = 6 << 30) -> ListHeader:
+              spill_bytes: int = 6 << 30,
+              slab_bytes: int = 1 << 28) -> ListHeader:
     """Full glistmaker run: files → .list at ``output_path``.
 
     ``debug`` > 0 prints per-phase throughput counters to stderr like the
@@ -377,21 +378,33 @@ def make_list(input_files, word_length: int, output_path: str,
         ram_bytes = 0
         return out
 
+    from genometester4_tpu.io.fasta import iter_code_slabs
+
     tmpdir = os.environ.get("GT4_TPU_TMPDIR") or None
     for path in input_files:
+        # streaming slab ingestion: peak RAM is O(slab_bytes), not
+        # O(file) — the role of the reference's 100 MB mmap blocks
+        # (src/listmaker-queue.c:116-161)
         t0 = time.time()
-        parsed = load_file(path)
+        slabs = iter_code_slabs(path, word_length, slab_bytes)
         t_parse += time.time() - t0
-        t0 = time.time()
-        for w, c in count_chunks(parsed.codes, word_length, chunk_bases,
-                                 canonical=canonical):
-            shards.append((w, c))
-            ram_bytes += w.nbytes + c.nbytes
-            if ram_bytes > spill_bytes:
-                shards = spill(shards)
-        t_count += time.time() - t0
-        n_words_in += max(0, parsed.total_bases - (word_length - 1)
-                          * parsed.n_records)
+        while True:
+            t0 = time.time()
+            item = next(slabs, None)
+            t_parse += time.time() - t0
+            if item is None:
+                break
+            codes, meta = item
+            t0 = time.time()
+            for w, c in count_chunks(codes, word_length, chunk_bases,
+                                     canonical=canonical):
+                shards.append((w, c))
+                ram_bytes += w.nbytes + c.nbytes
+                if ram_bytes > spill_bytes:
+                    shards = spill(shards)
+            t_count += time.time() - t0
+            n_words_in += max(0, meta.total_bases - (word_length - 1)
+                              * meta.n_records)
     t_merge0 = time.time()
     with ListWriter(output_path, word_length) as w:
         for words, counts in merge_sorted_shards(shards,

@@ -253,3 +253,31 @@ def test_compile_index_verbose_dump(tmp_path, rng):
         os.chdir(old)
     assert rc == 0
     assert out == ref.stdout.decode()
+
+
+def test_streaming_count_matches_whole_file(tmp_path, rng):
+    """Counting via tiny ingestion slabs == reference output, including
+    --stats accumulators (records span slab seams)."""
+    w = 14
+    db_text, kmers = make_db(rng, 40, 3, w)
+    reads = make_reads(rng, kmers, w, n_reads=120, read_len=400)
+    (tmp_path / "db.txt").write_text(db_text)
+    (tmp_path / "reads.fa").write_text(reads)
+    r = run_reference(["gmer_counter", "-db", str(tmp_path / "db.txt"),
+                       "--stats", str(tmp_path / "reads.fa")])
+    assert r.returncode == 0, r.stderr
+    from genometester4_tpu.pipelines import gmercount as gc_mod
+    from genometester4_tpu.io import fasta as fasta_mod
+    orig = fasta_mod.iter_code_slabs
+
+    def tiny_slabs(path, k, slab_bytes=1 << 28):
+        return orig(path, k, 333)
+
+    fasta_mod.iter_code_slabs = tiny_slabs
+    try:
+        rc, ours = run_ours(["-db", str(tmp_path / "db.txt"), "--stats",
+                             str(tmp_path / "reads.fa")])
+    finally:
+        fasta_mod.iter_code_slabs = orig
+    assert rc == 0
+    assert ours == r.stdout.decode()

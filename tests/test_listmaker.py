@@ -128,3 +128,75 @@ def test_spill_to_disk_byte_identical(tmp_path, rng):
               spill_bytes=1 << 14, chunk_bases=1 << 14)
     assert (tmp_path / "spill.list").read_bytes() == (
         tmp_path / "ref_16.list").read_bytes()
+
+
+def test_streaming_slabs_window_invariant(tmp_path, rng):
+    """Counting via tiny slabs == counting the whole file: slab cuts land
+    mid-record, mid-line, and at record boundaries, and the k-1 overlap
+    carry must lose no window and count none twice. Also checks slab
+    metadata totals match the whole-file parse."""
+    from genometester4_tpu.io.fasta import iter_code_slabs, load_file
+    text = random_fasta(rng, n_records=7, min_len=50, max_len=900,
+                        n_prob=0.02)
+    p = tmp_path / "s.fa"
+    p.write_text(text)
+    whole = load_file(str(p))
+    k = 9
+    for slab_bytes in (64, 257, 1024):
+        metas = [m for _, m in iter_code_slabs(str(p), k, slab_bytes)]
+        assert sum(m.n_records for m in metas) == whole.n_records
+        assert sum(m.total_bases for m in metas) == whole.total_bases
+        assert sum(m.count_n for m in metas) == whole.count_n
+    out_a = tmp_path / "a.list"
+    out_b = tmp_path / "b.list"
+    make_list([str(p)], k, str(out_a))
+    make_list([str(p)], k, str(out_b), slab_bytes=113)
+    assert out_a.read_bytes() == out_b.read_bytes()
+
+
+@pytest.mark.parametrize("slab_bytes", [97, 1000, 1 << 14])
+def test_streaming_byte_identical_vs_reference(tmp_path, rng, slab_bytes):
+    text = random_fasta(rng, n_records=6, min_len=100, max_len=2500,
+                        n_prob=0.01)
+    p = tmp_path / "in.fa"
+    p.write_text(text)
+    k = 16
+    r = run_reference(["glistmaker", str(p), "-w", str(k),
+                       "-o", str(tmp_path / "ref")])
+    assert r.returncode == 0, r.stderr
+    make_list([str(p)], k, str(tmp_path / "tpu.list"), slab_bytes=slab_bytes)
+    assert (tmp_path / "tpu.list").read_bytes() == (
+        tmp_path / f"ref_{k}.list").read_bytes()
+
+
+def test_streaming_fastq_and_gz(tmp_path, rng):
+    import gzip as _gz
+    text = random_fastq(rng, n_records=300, read_len=75, n_prob=0.02)
+    p = tmp_path / "in.fq"
+    p.write_text(text)
+    pgz = tmp_path / "in.fq.gz"
+    pgz.write_bytes(_gz.compress(text.encode()))
+    k = 12
+    r = run_reference(["glistmaker", str(p), "-w", str(k),
+                       "-o", str(tmp_path / "ref")])
+    assert r.returncode == 0, r.stderr
+    make_list([str(p)], k, str(tmp_path / "a.list"), slab_bytes=501)
+    make_list([str(pgz)], k, str(tmp_path / "b.list"), slab_bytes=501)
+    ref = (tmp_path / f"ref_{k}.list").read_bytes()
+    assert (tmp_path / "a.list").read_bytes() == ref
+    assert (tmp_path / "b.list").read_bytes() == ref
+
+
+def test_streaming_single_line_fasta(tmp_path, rng):
+    """One-line records larger than the slab (no newline in a slab)."""
+    bases = "".join(rng.choice(list("ACGT"), size=5000))
+    text = f">one\n{bases}\n>two\n{bases[:3000]}\n"
+    p = tmp_path / "in.fa"
+    p.write_text(text)
+    k = 14
+    r = run_reference(["glistmaker", str(p), "-w", str(k),
+                       "-o", str(tmp_path / "ref")])
+    assert r.returncode == 0, r.stderr
+    make_list([str(p)], k, str(tmp_path / "tpu.list"), slab_bytes=777)
+    assert (tmp_path / "tpu.list").read_bytes() == (
+        tmp_path / f"ref_{k}.list").read_bytes()
