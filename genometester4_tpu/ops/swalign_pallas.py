@@ -13,13 +13,16 @@ tie-breaks, and int8 gap-length wrap — see that module for the
 reference citations); output is diagonal-stacked like make_sw_jax and
 converts with ops.swalign.diag_to_matrix.
 
-Measured on v5e (128 reads x 200x150): this kernel 0.75s vs the
-lax.scan twin 0.36s — the scan twin vectorizes the whole batch inside
-each wavefront step (full 8x128 VPU tiles) while one-read-per-program
-uses 1 sublane of 8. Batching 8+ reads per program would fix that but
-the (8, n_diag, M_PAD) x3 output blocks exceed the VMEM budget; left as
-the documented next step. The scan twin remains the production device
-path; this kernel is the Pallas formulation with identical numerics.
+Two kernels:
+
+* make_sw_pallas — one read per grid program (1/8 sublane utilization;
+  kept as the simplest formulation and a differential twin);
+* make_sw_pallas_lanes — the production device kernel: 128 reads per
+  group on LANES, read position on SUBLANES, one diagonal per grid
+  step with DP state in persistent scratch. Full VPU tiles, per-lane
+  (per-read) references so many gassembler regions batch into one
+  launch. Measured on v5e at 128 reads x 200x150: ~5x the lax.scan
+  twin per launch.
 """
 
 from __future__ import annotations
@@ -174,6 +177,161 @@ def make_sw_pallas(n_cap: int, m_cap: int, interpret: bool = False):
         return (jnp.transpose(score, (1, 0, 2)),
                 jnp.transpose(sx, (1, 0, 2)),
                 jnp.transpose(sy, (1, 0, 2)))
+
+    return run
+
+
+def make_sw_pallas_lanes(n_cap: int, m_cap: int, interpret: bool = False):
+    """Lane-batched SW: 128 reads per grid group at full VPU width.
+
+    Layout: read position j on SUBLANES (m_sub = m_cap+1 rounded to 8),
+    reads on LANES (128 per group), one anti-diagonal per grid step with
+    the DP state persisting in VMEM scratch across steps. Every (j,
+    lane) pair of a step is one live cell of that read's current
+    diagonal, so VPU utilization is ~100% — versus 1/8 sublane for the
+    one-read-per-program kernel above.
+
+    The per-diagonal reference row is not materialized: a_n[j] must be
+    ref[d-j-1], which is the previous step's row shifted down one
+    sublane with ref[d-1] injected at j=0 — a rolling diagonal in
+    scratch, fed one (1, 128) row per step.
+
+    Supports a DIFFERENT reference per lane (per-lane length ``nvec``),
+    so Smith-Waterman work from many gassembler regions batches into one
+    launch (the reference aligns each region's reads to that region's
+    reference, src/gassembler.c:1912-2006).
+
+    Returns fn(refs int8[B, n_cap], reads int8[B, m_cap], nvec int32[B])
+    -> (score, sx, sy) int32[n_diag, B, m_sub] diagonal-stacked like
+    make_sw_jax (row r holds cells with i+j == r+2).
+    """
+    n, m = n_cap, m_cap
+    m_sub = _round_up(m + 1, 8)   # sublanes: j = 0..m (+ padding)
+    n_diag = n + m - 1
+    SENT = NUCL_N + 2  # never matches: substitution scores 0
+
+    def kernel(refs_cur, refs_prev, reads_ref, nvec_ref,
+               score_out, sx_out, sy_out,
+               a_n, sc2, sc1, lgs, lgl, tgs, tgl):
+        d = pl.program_id(1)  # 0-based; diagonal dd = d + 2
+        jsub = jax.lax.broadcasted_iota(jnp.int32, (m_sub, LANE), 0)
+        nv = nvec_ref[0]  # (1, LANE)
+        b_n = reads_ref[0]  # (m_sub, LANE): read base at j-1
+
+        @pl.when(d == 0)
+        def _():
+            sc2[...] = jnp.zeros((m_sub, LANE), jnp.int32)
+            sc1[...] = jnp.zeros((m_sub, LANE), jnp.int32)
+            lgs[...] = jnp.full((m_sub, LANE), NEG, jnp.int32)
+            lgl[...] = jnp.zeros((m_sub, LANE), jnp.int32)
+            tgs[...] = jnp.full((m_sub, LANE), NEG, jnp.int32)
+            tgl[...] = jnp.zeros((m_sub, LANE), jnp.int32)
+            # seed the rolling ref diagonal: ref[0] at row 0, so the
+            # first roll below lands it at j=1 (a_n[1] = ref[dd-2])
+            seed = jnp.full((m_sub, LANE), SENT, jnp.int32)
+            a_n[...] = jnp.concatenate([refs_prev[0, 0], seed[1:]], axis=0)
+
+        # roll the reference diagonal: a_n[j] <- a_n[j-1], inject
+        # ref[dd-1] at j=0 (rows past the ref length hold the sentinel)
+        a = jnp.concatenate([refs_cur[0, 0], a_n[:-1]], axis=0)
+        a_n[...] = a
+
+        valid = (jsub >= 1) & (jsub <= m) \
+            & (d + 2 - jsub >= 1) & (d + 2 - jsub <= nv)
+        sub = jnp.where((a >= NUCL_N) | (b_n >= NUCL_N),
+                        jnp.int32(N_SCORE),
+                        jnp.where(a == b_n, jnp.int32(M_SCORE),
+                                  jnp.int32(MM_SCORE)))
+        zrow = jnp.zeros((1, LANE), jnp.int32)
+        nrow = jnp.full((1, LANE), NEG, jnp.int32)
+        # diag (i-1, j-1): sc2 shifted down one sublane
+        dsc = jnp.concatenate([zrow, sc2[:-1]], axis=0) + sub
+        take = dsc > 0
+        cell = jnp.where(take, dsc, jnp.int32(0))
+        csx = jnp.where(take, jnp.int32(-1), jnp.int32(0))
+        csy = csx
+        # left gap from (i, j-1): previous-diag state shifted down
+        prev_lgs = jnp.concatenate([nrow, lgs[:-1]], axis=0)
+        prev_lgl = jnp.concatenate([zrow, lgl[:-1]], axis=0)
+        ls = cell + jnp.int32(GAP_OPEN)
+        ext = (prev_lgs + jnp.int32(GAP_EXT)) > ls
+        ls = jnp.where(ext, prev_lgs + jnp.int32(GAP_EXT), ls)
+        ll = jnp.where(ext, ((prev_lgl + 1 + 128) % 256) - 128,
+                       jnp.int32(0))
+        sel = ls >= cell
+        cell = jnp.where(sel, ls, cell)
+        csx = jnp.where(sel, ((-ll + 128) % 256) - 128, csx)
+        csy = jnp.where(sel, jnp.int32(0), csy)
+        # top gap from (i-1, j): previous-diag state, same sublane
+        ts = cell + jnp.int32(GAP_OPEN)
+        ext = (tgs[...] + jnp.int32(GAP_EXT)) > ts
+        ts = jnp.where(ext, tgs[...] + jnp.int32(GAP_EXT), ts)
+        tl = jnp.where(ext, ((tgl[...] + 1 + 128) % 256) - 128,
+                       jnp.int32(0))
+        sel = ts >= cell
+        cell = jnp.where(sel, ts, cell)
+        csx = jnp.where(sel, jnp.int32(0), csx)
+        csy = jnp.where(sel, ((-tl + 128) % 256) - 128, csy)
+
+        cell = jnp.where(valid, cell, jnp.int32(0))
+        score_out[0, 0] = cell
+        sx_out[0, 0] = jnp.where(valid, csx, jnp.int32(0))
+        sy_out[0, 0] = jnp.where(valid, csy, jnp.int32(0))
+        sc2[...] = sc1[...]
+        sc1[...] = cell
+        lgs[...] = jnp.where(valid, ls, jnp.int32(NEG))
+        lgl[...] = jnp.where(valid, ll, jnp.int32(0))
+        tgs[...] = jnp.where(valid, ts, jnp.int32(NEG))
+        tgl[...] = jnp.where(valid, tl, jnp.int32(0))
+
+    @jax.jit
+    def run(refs, reads, nvec):
+        B = refs.shape[0]
+        G = (B + LANE - 1) // LANE
+        bp = G * LANE
+        # lanes-last layout, padded to whole groups
+        # extra unit dim: Mosaic requires the 2nd-minor block dim to be
+        # a multiple of 8 or the full array dim — (.., 1, LANE) rows are
+        refs_p = jnp.full((G, n_diag + 2, 1, LANE), SENT, jnp.int32)
+        refs_p = refs_p.at[:, :n, 0].set(
+            jnp.pad(refs.astype(jnp.int32), ((0, bp - B), (0, 0)),
+                    constant_values=SENT).reshape(G, LANE, n)
+            .transpose(0, 2, 1))
+        reads_p = jnp.full((G, m_sub, LANE), NUCL_N + 2, jnp.int32)
+        reads_p = reads_p.at[:, 1:m + 1].set(
+            jnp.pad(reads.astype(jnp.int32), ((0, bp - B), (0, 0)),
+                    constant_values=NUCL_N + 2).reshape(G, LANE, m)
+            .transpose(0, 2, 1))
+        nvec_p = jnp.pad(nvec.astype(jnp.int32), (0, bp - B)).reshape(
+            G, 1, LANE)
+
+        fn = pl.pallas_call(
+            kernel,
+            grid=(G, n_diag),
+            in_specs=[
+                # rolling-ref feed rows: ref[dd-1] and (seed) ref[dd-2]
+                pl.BlockSpec((1, 1, 1, LANE), lambda g, d: (g, d + 1, 0, 0)),
+                pl.BlockSpec((1, 1, 1, LANE), lambda g, d: (g, d, 0, 0)),
+                pl.BlockSpec((1, m_sub, LANE), lambda g, d: (g, 0, 0)),
+                pl.BlockSpec((1, 1, LANE), lambda g, d: (g, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, m_sub, LANE),
+                             lambda g, d: (g, d, 0, 0)),
+            ] * 3,
+            out_shape=[jax.ShapeDtypeStruct((G, n_diag, m_sub, LANE),
+                                            jnp.int32)] * 3,
+            scratch_shapes=[pltpu.VMEM((m_sub, LANE), jnp.int32)
+                            for _ in range(7)],
+            interpret=interpret,
+        )
+        score, sx, sy = fn(refs_p, refs_p, reads_p, nvec_p)
+        # (G, n_diag, m_sub, LANE) -> diagonal-stacked (n_diag, B, m_sub)
+        out = []
+        for x in (score, sx, sy):
+            x = jnp.transpose(x, (1, 0, 3, 2)).reshape(n_diag, bp, m_sub)
+            out.append(x[:, :B])
+        return tuple(out)
 
     return run
 

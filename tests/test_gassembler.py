@@ -261,3 +261,34 @@ def test_single_region_modes(katk_fixture, mode):
         os.chdir(old)
     assert rc == 0
     assert out == ref.stdout.decode()
+
+
+def test_sw_pallas_lanes_identical(rng):
+    """Lane-batched Pallas SW == numpy wavefront, per-lane refs, padded
+    lanes (B > 128), variable ref/read lengths, N codes included."""
+    import jax.numpy as jnp
+    from genometester4_tpu.ops.swalign import (sw_matrices_batch,
+                                               diag_to_matrix)
+    from genometester4_tpu.ops.swalign_pallas import make_sw_pallas_lanes
+
+    n_cap, m_cap = 41, 33
+    B = 140
+    refs = rng.integers(0, 5, size=(B, n_cap)).astype(np.int8)
+    reads = rng.integers(0, 5, size=(B, m_cap)).astype(np.int8)
+    nvec = rng.integers(5, n_cap + 1, size=B).astype(np.int32)
+    mlen = rng.integers(5, m_cap + 1, size=B)
+    for b in range(B):
+        reads[b, mlen[b]:] = 6
+        refs[b, nvec[b]:] = 6
+    run = make_sw_pallas_lanes(n_cap, m_cap, interpret=True)
+    sc_d, sx_d, sy_d = (np.asarray(x) for x in run(
+        jnp.asarray(refs), jnp.asarray(reads), jnp.asarray(nvec)))
+    for b in range(0, B, 17):
+        n = int(nvec[b])
+        sc_n, sx_n, sy_n = sw_matrices_batch(refs[b, :n], reads[b:b + 1])
+        assert (diag_to_matrix(sc_d[:, b:b + 1], n_cap, m_cap)[0]
+                [:n + 1, :m_cap + 1] == sc_n[0]).all()
+        assert (diag_to_matrix(sx_d[:, b:b + 1], n_cap, m_cap)[0]
+                [:n + 1, :m_cap + 1] == sx_n[0]).all()
+        assert (diag_to_matrix(sy_d[:, b:b + 1], n_cap, m_cap)[0]
+                [:n + 1, :m_cap + 1] == sy_n[0]).all()
