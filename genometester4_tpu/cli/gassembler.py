@@ -228,6 +228,11 @@ def main(argv=None) -> int:
     seq_dir = None
     snv_db_name = fp_db_name = None
     max_regions = 1000000000
+    # parallel region assembly (reference default 24 threads,
+    # src/gassembler.c:29); our parallel output is byte-identical to
+    # --num_threads 1 (see _parallel_assemble), unlike the reference's
+    import os as _os
+    num_threads = min(24, _os.cpu_count() or 1)
     region_args = None
     only_chr = 1  # CHR_1 (src/gassembler.c:698)
     only_pos = 0
@@ -340,6 +345,7 @@ def main(argv=None) -> int:
                 p.exome = True
             elif a == "--num_threads":
                 i += 1
+                num_threads = int(argv[i])
             elif a == "--print_reads":
                 p.print_reads = True
             elif a == "--seq_dir":
@@ -475,6 +481,7 @@ def main(argv=None) -> int:
         pos = 0
         line_no = 0
         n = len(data)
+        regions = []
         while pos < n and line_no < max_regions:
             toks = _split_line(data, pos, MAX_KMERS + 4)
             while pos < n and data[pos] != 0x0A:
@@ -492,13 +499,22 @@ def main(argv=None) -> int:
             end = int(data[toks[2][0]:toks[2][1]])
             ref = data[toks[3][0]:toks[3][1]].decode("latin1")
             kmers = [data[s:e].decode("latin1") for s, e in toks[4:]]
-            region = Region(chr_, start, end, ref, kmers)
-            cb = CallBlock(chr_, start, end, haploid=(
-                (sex == 1 and chr_ in (23, 24)) or chr_ == CHR_MT))
-            oq.start_block(cb)
-            oq.flush()
-            asm.assemble(region, cb)
-            oq.finish_block(cb)
+            regions.append(Region(chr_, start, end, ref, kmers))
+
+        def _shell(region):
+            return CallBlock(region.chr, region.start, region.end, haploid=(
+                (sex == 1 and region.chr in (23, 24))
+                or region.chr == CHR_MT))
+
+        if num_threads > 1 and len(regions) > 1 and not p.print_reads:
+            _parallel_assemble(asm, oq, regions, _shell, num_threads)
+        else:
+            for region in regions:
+                cb = _shell(region)
+                oq.start_block(cb)
+                oq.flush()
+                asm.assemble(region, cb)
+                oq.finish_block(cb)
         oq.flush()
     else:
         chr_ = chr_from_string(region_args[0])
@@ -507,6 +523,69 @@ def main(argv=None) -> int:
         _assemble_recursive(asm, out, p, sex, chr_, start, end, ref,
                             kmers_cli)
     return 0
+
+
+# --- parallel region assembly -------------------------------------------
+#
+# The reference farms region lines out to pthreads sharing one unlocked
+# rand() stream, so its multi-threaded output is schedule-dependent
+# (src/gassembler.c:541-600,2619-2626). Here workers are forked
+# processes and each region's rand() consumption is precomputed — a
+# region draws exactly MAX_READS_PER_REGION values iff its unique-read
+# count exceeds that cap, and that count is a pure function of the index
+# — so every worker fast-forwards its inherited glibc stream to the
+# exact offset the sequential run would have reached. Assembly runs in
+# parallel; CallBlock retirement (genomic-order printing with
+# cross-block best-call selection) stays in the parent. Output is
+# byte-identical to --num_threads 1 for every thread count.
+
+_PAR_STATE: dict = {}
+
+
+def _parallel_worker(task):
+    idx, region, haploid, skip_to, cons = task
+    from genometester4_tpu.models.fastgt_native import rand_skip
+    st = _PAR_STATE
+    rand_skip(skip_to - st["rand_pos"])
+    st["rand_pos"] = skip_to + cons
+    cb = CallBlock(region.chr, region.start, region.end, haploid=haploid)
+    try:
+        st["asm"].assemble(region, cb)
+    except SystemExit as e:  # "No such kmer": re-raised in the parent
+        return idx, None, int(e.code or 0)
+    return idx, cb, None
+
+
+def _parallel_assemble(asm, oq, regions, shell, num_threads: int):
+    import multiprocessing as mp
+    from genometester4_tpu.pipelines.gassemble import (
+        region_rand_consumption, MAX_READS_PER_KMER)
+
+    tasks = []
+    off = 0
+    for i, region in enumerate(regions):
+        max_rpk = 2000 if region.chr == CHR_MT else MAX_READS_PER_KMER
+        cons = region_rand_consumption(asm.db, region.kmers, max_rpk)
+        tasks.append((i, region, shell(region).haploid, off, cons))
+        off += cons
+
+    _PAR_STATE["asm"] = asm
+    _PAR_STATE["rand_pos"] = 0
+    ctx = mp.get_context("fork")
+    with ctx.Pool(min(num_threads, len(tasks))) as pool:
+        for (idx, cb, exit_code), region in zip(
+                pool.imap(_parallel_worker, tasks), regions):
+            shell_cb = shell(region)
+            oq.start_block(shell_cb)
+            oq.flush()
+            if exit_code is not None:
+                raise SystemExit(exit_code)
+            shell_cb.calls = cb.calls
+            oq.finish_block(shell_cb)
+    # the parent's own stream must land where sequential processing
+    # would have (later draws, if any, must match)
+    from genometester4_tpu.models.fastgt_native import rand_skip
+    rand_skip(off)
 
 
 def _assemble_recursive(asm, out, p, sex, chr_, start, end, ref, kmers):

@@ -52,6 +52,8 @@ def get_lib() -> ctypes.CDLL:
         f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
         u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
         lib.fgx_srand.argtypes = [ctypes.c_uint]
+        lib.fgx_rand_skip.argtypes = [ctypes.c_ulong]
+        lib.fgx_rand_skip.restype = None
         lib.fgx_poisson.restype = ctypes.c_double
         lib.fgx_poisson.argtypes = [ctypes.c_uint, ctypes.c_double]
         lib.fgx_allele_freq.restype = ctypes.c_float
@@ -68,6 +70,12 @@ def get_lib() -> ctypes.CDLL:
 
 def srand(seed: int):
     get_lib().fgx_srand(seed)
+
+
+def rand_skip(n: int):
+    """Advance the glibc rand() stream by n draws."""
+    if n:
+        get_lib().fgx_rand_skip(n)
 
 
 def poisson(k: int, lam: float) -> float:

@@ -253,10 +253,12 @@ class GASMRead:
     group: int = 0
 
 
-def get_unique_reads(db, files: SeqFiles, kmers: list, params: Params,
-                     max_reads_per_kmer: int):
-    """src/gassembler.c:2556-2628: trie lookup per k-mer, dedupe by
-    (file, name_pos), cap reads/kmer, rand()-subsample past 200."""
+def _collect_read_infos(db, kmers: list, max_reads_per_kmer: int):
+    """The deterministic (rand-free) part of get_unique_reads: per-k-mer
+    index lookups + (file, name_pos) dedup + MAX_READS cap. Split out so
+    the parallel scheduler can precompute each region's rand()
+    consumption (exactly MAX_READS_PER_REGION draws iff the unique-read
+    count exceeds that cap) without touching the stream."""
     from genometester4_tpu.ops.encode import (reverse_complement_u64,
                                               string_to_word)
 
@@ -301,6 +303,27 @@ def get_unique_reads(db, files: SeqFiles, kmers: list, params: Params,
                 break
         if len(infos) >= MAX_READS:
             break
+    return infos
+
+
+def region_rand_consumption(db, kmers: list, max_reads_per_kmer: int) -> int:
+    """Number of rand() draws assembling this region will make."""
+    import io
+    import contextlib
+    err = io.StringIO()
+    try:
+        with contextlib.redirect_stderr(err):
+            infos = _collect_read_infos(db, kmers, max_reads_per_kmer)
+    except SystemExit:
+        return 0  # "No such kmer" exits before any subsampling
+    return MAX_READS_PER_REGION if len(infos) > MAX_READS_PER_REGION else 0
+
+
+def get_unique_reads(db, files: SeqFiles, kmers: list, params: Params,
+                     max_reads_per_kmer: int):
+    """src/gassembler.c:2556-2628: trie lookup per k-mer, dedupe by
+    (file, name_pos), cap reads/kmer, rand()-subsample past 200."""
+    infos = _collect_read_infos(db, kmers, max_reads_per_kmer)
     if len(infos) > MAX_READS_PER_REGION:
         # reference "shuffle" (src/gassembler.c:2619-2626):
         # p = (unsigned)(rand() / (1.0 + RAND_MAX)) is ALWAYS 0, so it

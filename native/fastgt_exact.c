@@ -518,6 +518,12 @@ void fgx_srand (unsigned int seed) { srand (seed); }
  * that must consume them in reference order (gassembler coverage
  * sampling / read subsampling, exome-model likelihoods) */
 int fgx_rand (void) { return rand (); }
+
+/* Fast-forward the glibc rand() stream: lets parallel gassembler
+ * workers start their region at the exact offset the sequential run
+ * would have reached (each >200-read region consumes exactly 200
+ * calls, src/gassembler.c:2619-2626). */
+void fgx_rand_skip (unsigned long n) { while (n--) rand (); }
 double fgx_lgamma (double x) { return lgamma (x); }
 
 static unsigned long long rand_ull (unsigned long long min_v,

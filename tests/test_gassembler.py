@@ -292,3 +292,80 @@ def test_sw_pallas_lanes_identical(rng):
                 [:n + 1, :m_cap + 1] == sx_n[0]).all()
         assert (diag_to_matrix(sy_d[:, b:b + 1], n_cap, m_cap)[0]
                 [:n + 1, :m_cap + 1] == sy_n[0]).all()
+
+
+@pytest.fixture(scope="module")
+def dense_katk_fixture(tmp_path_factory):
+    """One chromosome, enough reads that every region exceeds the
+    200-unique-read cap — exercises the rand() subsampling stream that
+    parallel workers must fast-forward to exactly."""
+    tmp = tmp_path_factory.mktemp("katk_dense")
+    rng = np.random.default_rng(99)
+    L = 500
+    g = "".join(B[i] for i in rng.integers(0, 4, L))
+    hap1 = g
+    hap2 = g[:120] + ("A" if g[120] != "A" else "C") + g[121:]
+    reads = []
+    for seq in (hap1, hap2):
+        for _ in range(300):
+            start = int(rng.integers(0, len(seq) - 100 + 1))
+            r = seq[start:start + 100]
+            if rng.random() < 0.5:
+                r = _rc(r)
+            reads.append(r)
+    with open(tmp / "reads.fq", "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@rd{i}\n{r}\n+\n{'J' * len(r)}\n")
+    dblines, regions = [], []
+    for rs in range(0, L - 150 + 1, 100):
+        re_ = rs + 150
+        # step 30 shares no positions across 100-spaced regions, so no
+        # k-mer string repeats in the DB (duplicate names break the trie)
+        kms = [g[p:p + 25] for p in range(rs + 5, re_ - 30, 30)]
+        for km in kms:
+            dblines.append(f"1_{rs}_{len(dblines)}\t1\t{km}")
+        regions.append(f"1\t{1000 + rs}\t{1000 + re_}\t{g[rs:re_]}\t"
+                       + "\t".join(kms))
+    (tmp / "db.txt").write_text("\n".join(dblines) + "\n")
+    (tmp / "regions.txt").write_text("\n".join(regions) + "\n")
+    r = run_reference(["gmer_counter", "-db", "db.txt", "--compile_index",
+                       "db.idx", "--num_threads", "1", "reads.fq"], cwd=tmp)
+    assert r.returncode == 0, r.stderr
+    return tmp
+
+
+@pytest.mark.parametrize("threads", [2, 5])
+def test_parallel_regions_byte_identical(dense_katk_fixture, threads):
+    """--num_threads N output == reference --num_threads 1 output, with
+    every region consuming 200 rand() draws (subsampling active): the
+    precomputed stream offsets must land each worker exactly where the
+    sequential run would be. (The reference's own multi-threaded output
+    is schedule-dependent; ours is deterministic.)"""
+    import os
+    tmp = dense_katk_fixture
+    args = ["--dbi", "db.idx", "--region_file", "regions.txt",
+            "--coverage", "40", "--sex", "female"]
+    ref = run_reference(["gassembler"] + args + ["--num_threads", "1"],
+                        cwd=tmp, timeout=600)
+    assert ref.returncode == 0, ref.stderr
+    old = os.getcwd()
+    os.chdir(tmp)
+    try:
+        rc, out = run_ours(args + ["--num_threads", str(threads)])
+    finally:
+        os.chdir(old)
+    assert rc == 0
+    assert out == ref.stdout.decode()
+
+
+def test_dense_fixture_triggers_subsampling(dense_katk_fixture):
+    from genometester4_tpu.pipelines.gassemble import (
+        region_rand_consumption, MAX_READS_PER_REGION, MAX_READS_PER_KMER)
+    from genometester4_tpu.formats.gmerdb_binary import load_binary_db
+    tmp = dense_katk_fixture
+    db = load_binary_db(str(tmp / "db.idx"), lazy=True)
+    lines = (tmp / "regions.txt").read_text().splitlines()
+    cons = [region_rand_consumption(db, ln.split("\t")[4:],
+                                    MAX_READS_PER_KMER) for ln in lines]
+    assert any(c == MAX_READS_PER_REGION for c in cons), \
+        "fixture must exercise the subsample stream"
