@@ -328,6 +328,10 @@ def iter_code_slabs(path: str, k: int, slab_bytes: int = 1 << 28):
                     carry = buf
                     continue
                 head, carry = buf, b""
+                if head.endswith(b"\r"):
+                    # could be the first half of a CRLF split across
+                    # slabs — the whole-file parse strips it (_strip_cr)
+                    head, carry = head[:-1], b"\r"
                 seq = np.frombuffer(head, np.uint8)
                 count_n = int(((seq == ord("N")) | (seq == ord("n"))).sum())
                 codes = NUCL_CODES[seq]

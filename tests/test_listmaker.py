@@ -200,3 +200,22 @@ def test_streaming_single_line_fasta(tmp_path, rng):
     make_list([str(p)], k, str(tmp_path / "tpu.list"), slab_bytes=777)
     assert (tmp_path / "tpu.list").read_bytes() == (
         tmp_path / f"ref_{k}.list").read_bytes()
+
+
+def test_streaming_crlf_single_line_records(tmp_path, rng):
+    """Fuzz regression: a CRLF file whose records are single giant lines
+    — a tiny slab can end exactly on the '\r' of a CRLF split across
+    slabs, which must not be consumed as a sequence byte."""
+    bases = "".join(rng.choice(list("ACGTN"), size=3000))
+    text = (">a\r\n" + bases + "\r\n>b desc\r\n" + bases[:1777] + "\r\n")
+    p = tmp_path / "in.fa"
+    p.write_bytes(text.encode())
+    for k in (2, 25):
+        r = run_reference(["glistmaker", str(p), "-w", str(k),
+                           "-o", str(tmp_path / "ref")])
+        assert r.returncode == 0, r.stderr
+        for slab in (37, 101):
+            make_list([str(p)], k, str(tmp_path / "t.list"),
+                      slab_bytes=slab, chunk_bases=1 << 12)
+            assert (tmp_path / "t.list").read_bytes() == (
+                tmp_path / f"ref_{k}.list").read_bytes()
