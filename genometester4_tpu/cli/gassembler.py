@@ -17,6 +17,10 @@ import numpy as np
 
 REF_VERSION_3 = "4.2.16"
 
+# exact reference usage screens (src/gassembler.c:646-696)
+HELP_TEXT = 'gassembler version 4.2.16 (stable)\nUsage: gassembler --dbi FILENAME --region_file FILENAME [ARGUMENTS]\nCommon options:\n    -v, --version                    - print version information and exit\n    -h, --help                       - print this usage screen and exit\n    --dbi FILENAME                   - index of sequenced reads (mandatory)\n    --region_file FILENAME           - reference and kmer database (mandatory)\n    --sex male|female|auto           - sex of the individual (default auto)\n    --coverage FLOAT | median | local | ignore - average sequencing depth (default - median, local - use local number of reads)\n    --num_threads                    - number of threads to use (default 24)\n    --min_p FLOAT                    - minimum call quality (default 0.95)\n    --min_pmut FLOAT                 - minimum reference call quality (default 0.50)\n    --exome                          - Disable quality models (needed if coverage variability is high)\n    --advanced                       - print advanced usage options\n'
+ADVANCED_TEXT = 'gassembler version 4.2.16 (stable)\nUsage: gassembler --dbi FILENAME --region_file FILENAME [ARGUMENTS]\nCommon options:\n    -v, --version                    - print version information and exit\n    -h, --help                       - print this usage screen and exit\n    --dbi FILENAME                   - index of sequenced reads (mandatory)\n    --region_file FILENAME           - reference and kmer database (mandatory)\n    --sex male|female|auto           - sex of the individual (default auto)\n    --coverage FLOAT | median | local | ignore - average sequencing depth (default - median, local - use local number of reads)\n    --num_threads                    - number of threads to use (default 24)\n    --min_p FLOAT                    - minimum call quality (default 0.95)\n    --min_pmut FLOAT                 - minimum reference call quality (default 0.50)\n    --exome                          - Disable quality models (needed if coverage variability is high)\n    --advanced                       - print advanced usage options\nAdvanced options:\n    --seq_dir DIRECTORY              - directory of fastq files (overrides location in index)\n    --region CHR START END SEQ       - call single reference region\n    --min_coverage INTEGER           - minimum coverage for a call (default 4)\n    --output poly | best | all       - output type (only polymorphisms, best calls for positon, all calls) (default poly)\n    --counts                         - output nucleotide counts\n    --extra                          - output extra information about call\n    --min_confirming INTEGER         - minimum confirming nucleotide count for a call (default 2)\n    --min_group_coverage INTEGER     - minimum coverage of group (default 1)\n    --max_divergent INTEGER          - maximum number of mismatches per read (default 4)\n    --min_align_len INTEGER          - minimum alignment length (default 25)\n    --min_group_size INTEGER         - minimum group size (default 3)\n    --min_group_rsize FLOAT          - minimum relative group size (default 0.00)\n    --max_group_divergence INTEGER   - maximum divergence in group (default 3)\n    --max_group_rdivergence INTEGER  - maximum relative divergence in group (default 3)\n    --skip_end_align INTEGER         - skip nucleotides at region ends during alignment (default 10)\n    --skip_end_call INTEGER          - skip nucleotides at alignment ends (default 10)\n    --allow_one_dir                  - Allow calling if all confirming reads have the same dir\n    --alternatives                   - output also homozygous variant for each heterozygous position\n    --max_read_length INTEGER        - maximum length of reads (default 200)\n    --max_reference_length INTEGER   - maximum length of reference region (default 200)\n    --error_prob FLOAT               - Probability of error (default 0.001000)\n    --prefetch_seq                   - Prefetch FastQ sequences (slightly faster but uses more virtual memory/IO)\n    --dont_prefetch_db               - Do not prefetch index (much slower but uses less memory/IO)\n    -D                               - increase debug level\n    -DG                              - increase group debug level\n'
+
 from genometester4_tpu.pipelines.gassemble import (
     A, C, G, T, N, GAP, NONE, CHR_NAMES, CHR_MT, N2C, Assembler, Call,
     CallBlock, Params, Region, SeqFiles, auto_sex, chr_from_string,
@@ -242,13 +246,14 @@ def main(argv=None) -> int:
         while i < len(argv):
             a = argv[i]
             if a in ("-v", "--version"):
-                print(f"gassembler version {REF_VERSION_3} (stable)")
+                sys.stdout.write(f"gassembler version {REF_VERSION_3} "
+                                 "(stable)\n")
                 return 0
-            elif a in ("-h", "--help", "--advanced"):
-                sys.stdout.write("gassembler version %s (stable)\n"
-                                 "Usage: gassembler --dbi FILENAME "
-                                 "--region_file FILENAME [ARGUMENTS]\n"
-                                 % REF_VERSION_3)
+            elif a in ("-h", "--help"):
+                sys.stdout.write(HELP_TEXT)
+                return 0
+            elif a == "--advanced":
+                sys.stdout.write(ADVANCED_TEXT)
                 return 0
             elif a in ("-dbi", "-dbb", "-db", "--dbi"):
                 i += 1
@@ -379,7 +384,9 @@ def main(argv=None) -> int:
                 return 0
             else:
                 if not a[:1].isalpha():
+                    # reference: message + usage screen, both on stderr
                     sys.stderr.write(f"Invalid argument {a}\n")
+                    sys.stderr.write(HELP_TEXT)
                     return 1
                 if len(kmers_cli) < MAX_KMERS:
                     kmers_cli.append(a)

@@ -9,30 +9,15 @@ import time
 
 from genometester4_tpu import __version__
 
-HELP = """Usage: glistcompare INPUTLIST1 [INPUTLIST2...] METHOD [OPTIONS]
-Options:
-    -v, --version            - print version information and exit
-    -h, --help               - print this usage screen and exit
-    -u, --union              - union of input lists
-    -i, --intersection       - intersection of input lists
-    -d, --difference         - difference of input lists
-    -dd, --double_difference - double difference of input lists
-    -du, --diff_union        - subtract first list from the second and finds difference
-    -mm, --mismatch   NUMBER - specify number of mismatches (default 0, can be used with -diff and -ddiff)
-    -c, --cutoff NUMBER      - specify frequency cut-off (default 1)
-    -o, --outputname STRING  - specify output name (default "out")
-    -r, --rule STRING        - specify rule how final frequencies are calculated (default, add, subtract, min, max, first, second, 1, 2)
-    -ss, --subset METHOD SIZE - make subset with given method (rand, rand_unique, rand_weighted_unique)
-    --seed INTEGER           - Set seed of random number generator (default uses start time)
-    --count_only             - output count of k-mers instead of k-mers themself
-    --disable_scouts         - disable list read-ahead in background thread (accepted, ignored)
-    --stream                 - read input as stream (accepted, ignored)
-    -D                       - increase debug level
-"""
+VERSION_LINE = 'glistcompare version 4.2.16 (stable)\n'
+HELP = 'glistcompare version 4.2.16 (stable)\nUsage: glistcompare INPUTLIST1 [INPUTLIST2...] METHOD [OPTIONS]\nOptions:\n    -v, --version            - print version information and exit\n    -h, --help               - print this usage screen and exit\n    -u, --union              - union of input lists\n    -i, --intersection       - intersection of input lists\n    -d, --difference         - difference of input lists\n    -dd, --double_difference - double difference of input lists\n    -du, --diff_union        - subtract first list from the second and finds difference\n    -mm, --mismatch   NUMBER - specify number of mismatches (default 0, can be used with -diff and -ddiff)\n    -c, --cutoff NUMBER      - specify frequency cut-off (default 1)\n    -o, --outputname STRING  - specify output name (default "out")\n    -r, --rule STRING        - specify rule how final frequencies are calculated (default, add, subtract, min, max, first, second, 1, 2)\n                               NOTE: rules min, subtract, first and second can only be used with finding the intersection.\n    -ss, --subset METHOD SIZE - make subset with given method (rand, rand_unique, rand_weighted_unique)\n    --seed INTEGER           - Set seed of random number generator (default uses start time)\n    --count_only             - output count of k-mers instead of k-mers themself\n    --disable_scouts         - disable list read-ahead in background thread\n    --stream                 - read input as stream (do not memory map files)\n    -D                       - increase debug level\n'
 
 
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        sys.stdout.write(HELP)  # src/glistcompare.c:103-105
+        return 1
     files: list[str] = []
     cutoff, nmm = 1, 0
     find_union = find_intrsec = find_diff = find_ddiff = False
@@ -53,10 +38,10 @@ def main(argv=None) -> int:
             if not a.startswith("-") or a == "-":
                 files.append(a)
             elif a in ("-v", "--version"):
-                print(f"glistcompare version {__version__} (genometester4_tpu)")
+                sys.stdout.write(VERSION_LINE)
                 return 0
             elif a in ("-h", "--help", "-?"):
-                print(HELP)
+                sys.stdout.write(HELP)
                 return 0
             elif a in ("-o", "--outputname"):
                 if i + 1 >= len(argv) or argv[i + 1].startswith("-"):
@@ -113,7 +98,8 @@ def main(argv=None) -> int:
             elif a == "-D":
                 debug += 1
             else:
-                sys.stderr.write(f"Unknown argument: {a}!\n" + HELP)
+                sys.stderr.write(f"Unknown argument: {a}!\n")
+                sys.stdout.write(HELP)
                 return 1
             i += 1
     except (IndexError, ValueError):

@@ -10,21 +10,8 @@ import sys
 
 from genometester4_tpu import __version__
 
-HELP = """Usage: glistmaker <INPUTFILES> [OPTIONS]
-Options:
-    -v, --version           - print version information and exit
-    -h, --help              - print this usage screen and exit
-    -w, --wordlength NUMBER - specify index wordsize (1-32) (required)
-    -c, --cutoff NUMBER     - specify frequency cut-off (default 1)
-    --max NUMBER            - specify maximum frequency (default 4294967295)
-    -o, --outputname STRING - specify output name (default "out")
-    --num_threads           - number of worker threads (accepted, ignored: TPU backend)
-    --max_tables            - maximum number of temporary tables (accepted, ignored)
-    --table_size            - maximum size of the temporary table (accepted, ignored)
-    --tmpdir                - temporary directory (accepted, ignored)
-    --stream                - read files as streams (accepted, ignored)
-    -D                      - increase debug level
-"""
+VERSION_LINE = 'glistmaker version 4.2.16 (stable)\n'
+HELP = 'glistmaker version 4.2.16 (stable)\nUsage: glistmaker <INPUTFILES> [OPTIONS]\nOptions:\n    -v, --version           - print version information and exit\n    -h, --help              - print this usage screen and exit\n    -w, --wordlength NUMBER - specify index wordsize (1-32)\n    -o, --outputname STRING - specify output name (default "out")\n    --index                 - create index instead of list\n    --num_threads           - number of threads (default 8)\n    --max_tables            - maximum number of temporary tables (default 4096)\n    --table_size            - maximum size of the temporary table (default 1048576)\n    --tmpdir                - directory for temporary files (may need an order of magnitude more space than the size of the final list)\n    --stream                - read files as streams instead of memory-mapping (slower but uses less virtual memory)\n    --index                 - creates indexed list (larger and slower)\n    -D                      - increase debug level\n'
 
 
 def main(argv=None) -> int:
@@ -41,10 +28,10 @@ def main(argv=None) -> int:
         while i < len(argv):
             a = argv[i]
             if a in ("-v", "--version"):
-                print(f"glistmaker version {__version__} (genometester4_tpu)")
+                sys.stdout.write(VERSION_LINE)
                 return 0
             elif a in ("-h", "--help", "-?"):
-                print(HELP)
+                sys.stderr.write(HELP)
                 return 0
             elif a in ("-o", "--outputname"):
                 i += 1

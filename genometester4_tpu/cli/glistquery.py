@@ -8,31 +8,8 @@ import sys
 
 from genometester4_tpu import __version__
 
-HELP = """Usage: glistquery INPUT_LIST [OPTIONS]
-Options:
-    -v, --version             - print version information and exit
-    -h, --help                - print this usage screen and exit
-    -stat, --stats            - print statistics of the list file and exit
-    --median                  - print min/max/median/average and exit
-    --distribution MAX        - print distribution up to MAX
-    --gc                      - print average GC content of all words
-    -q, --query               - single query word
-    -f, --queryfile           - list of query words in a file
-    -s, --seqfile             - FastA/FastQ file
-    -l, --listfile            - list file made by glistmaker
-    -mm, --mismatch NUMBER    - specify number of mismatches (0-16; default 0)
-    -p, --perfectmatch NUMBER - specify number of 3' perfect matches (0-32; default 0)
-    -min, --minfreq NUMBER    - minimum frequency of the printed words (default 0)
-    -max, --maxfreq NUMBER    - maximum frequency of the printed words (default MAX_UINT)
-    --files                   - Print indexed files
-    --sequences               - Print indexed subsequences
-    --bloom                   - use bloom filter to speed up lookups (accepted, ignored)
-    --all                     - in case of mismatches prints all found words
-    --locations               - in case of index print all word locations
-    --3p                      - if query is longer than word use 3' end
-    --5p                      - if query is longer than word use 5' end
-    -D                        - increase debug level
-"""
+VERSION_LINE = 'glistquery version 4.2.16 (stable)\n'
+HELP = "glistquery version 4.2.16 (stable)\nUsage: glistquery INPUT_LIST [OPTIONS]\nOptions:\n    -v, --version             - print version information and exit\n    -h, --help                - print this usage screen and exit\n    -stat, --stats            - print statistics of the list file and exit\n    --median                  - print min/max/median/average and exit\n    --distribution MAX        - print distribution up to MAX\n    --gc                      - print average GC content of all words\n    -q, --query               - single query word\n    -f, --queryfile           - list of query words in a file\n    -s, --seqfile             - FastA/FastQ file\n    -l, --listfile            - list file made by glistmaker\n    -mm, --mismatch NUMBER    - specify number of mismatches (0-16; default 0)\n    -p, --perfectmatch NUMBER - specify number of 3' perfect matches (0-32; default 0)\n    -min, --minfreq NUMBER    - minimum frequency of the printed words (default 0)\n    -max, --maxfreq NUMBER    - maximum frequency of the printed words (default MAX_UINT)\n    --files                   - Print indexed files\n    --sequences               - Print indexed subsequences\n    --bloom                   - use bloom filter to speed up lookups\n    --all                     - in case of mismatches prints all found words\n    --locations               - in case of index print all word locations\n    --3p                      - if query is longer than word use 3' end\n    --5p                      - if query is longer than word use 5' end\n    -D                        - increase debug level\n"
 
 
 def main(argv=None) -> int:
@@ -60,10 +37,10 @@ def main(argv=None) -> int:
         while i < len(argv):
             a = argv[i]
             if a in ("-v", "--version"):
-                print(f"glistquery version {__version__} (genometester4_tpu)")
+                sys.stdout.write(VERSION_LINE)
                 return 0
             elif a in ("-h", "--help", "-?"):
-                print(HELP)
+                sys.stderr.write(HELP)
                 return 0
             elif a in ("-s", "--seqfile"):
                 v = _optarg(i)

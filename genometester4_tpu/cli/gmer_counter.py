@@ -14,31 +14,8 @@ import sys
 # emit the reference format version string (src/gmer_counter.c:395).
 REF_VERSION = "4.2.16 (stable)"
 
-HELP = f"""gmer_counter version {REF_VERSION}
-Usage:
-  gmer_counter ARGUMENTS SEQUENCES...
-Arguments:
-    -v | --version   - Print version information and exit
-    -db DATABASE     - SNP/KMER database file
-    -dbb DBBINARY    - binary database file
-    -w FILENAME      - write binary database to file
-    -32              - use 32-bit integeres for counts (default 16-bit)
-    --max_kmers NUM  - maximum number of kmers per node
-    --silent         - do not print kmer counts (default for index and binary database compilation)
-    --verbose        - print kmer counts (default for counting)
-    --header         - print header row
-    --total          - print the total number of kmers per node
-    --unique         - print the number of nonzero kmers per node
-    --kmers          - print individual kmer counts (default if no other output)
-    --compile_index FILENAME - Add read index to database and write it to file
-    --distribution NUM  - print kmer distribution (up to given number)
-    --num_threads    - number of worker threads (accepted; scheduling is XLA's job)
-    --prefetch       - prefetch memory mapped files (accepted, ignored)
-    --recover        - recover from FastA/FastQ errors (useful for corrupted streams)
-    --stats          - print some statistics about sequence and kmers
-    -D               - increase debug level
-    -DDB             - increase database debug level
-"""
+VERSION_LINE = 'gmer_counter version 4.2.16 (stable)\n'
+HELP = 'gmer_counter version 4.2.16 (stable)\nUsage:\n  gmer_counter ARGUMENTS SEQUENCES...\nArguments:\n    -v | --version   - Print version information and exit\n    -db DATABASE     - SNP/KMER database file\n    -dbb DBBINARY    - binary database file\n    -w FILENAME      - write binary database to file\n    -32              - use 32-bit integeres for counts (default 16-bit)\n    --max_kmers NUM  - maximum number of kmers per node\n    --silent         - do not print kmer counts (default for index and binary database compilation)\n    --verbose        - print kmer counts (default for counting)\n    --header         - print header row\n    --total          - print the total number of kmers per node\n    --unique         - print the number of nonzero kmers per node\n    --kmers          - print individual kmer counts (default if no other output)\n    --compile_index FILENAME - Add read index to database and write it to file\n    --distribution NUM  - print kmer distribution (up to given number)\n    --num_threads    - number of worker threads (default 24)\n    --prefetch       - prefetch memory mapped files (faster on high-memory systems)\n    --recover        - recover from FastA/FastQ errors (useful for corrupted streams)\n    --stats          - print some statistics about sequence and kmers\n    -D               - increase debug level\n    -DDB             - increase database debug level\n'
 
 
 def main(argv=None) -> int:
@@ -55,10 +32,10 @@ def main(argv=None) -> int:
         while i < len(argv):
             a = argv[i]
             if a in ("-v", "--version"):
-                print(f"gmer_counter version {REF_VERSION}")
+                sys.stdout.write(VERSION_LINE)
                 return 0
             elif a in ("-h", "--help"):
-                print(HELP)
+                sys.stdout.write(HELP)
                 return 0
             elif a == "-db":
                 i += 1
