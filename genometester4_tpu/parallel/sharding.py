@@ -225,3 +225,87 @@ def count_kmers_sharded(codes: np.ndarray, k: int, mesh: Mesh,
     if not out_w:
         return np.empty(0, np.uint64), np.empty(0, np.uint32)
     return np.concatenate(out_w), np.concatenate(out_c)
+
+
+# ---------------------------------------------------------------------------
+# Sharded set operations: glistcompare on a mesh.
+#
+# The zipper over two sorted lists (src/glistcompare.c:843-905) is
+# embarrassingly parallel once both lists are split at IDENTICAL word
+# boundaries: every word's outcome depends only on its counts in the two
+# lists, both of which live in the same word-range bucket. Sharding by
+# word range over the devices therefore needs NO collectives, and
+# bucket-order concatenation of per-device outputs is globally sorted —
+# the same most-significant-bits invariant the counting path uses.
+# ---------------------------------------------------------------------------
+
+
+def sharded_pair_op(words1, counts1, words2, counts2, mesh: Mesh, op: str,
+                    rule: str = "default", cutoff: int = 1,
+                    count_override: int = 1, subtract: bool = False):
+    """Run one glistcompare pair operation SPMD over every mesh device.
+
+    words/counts are host-sorted unique u64/u32 arrays. Buckets are cut
+    at the quantiles of the combined word population so device loads
+    balance regardless of skew. Returns (words, counts) sorted.
+    """
+    from genometester4_tpu.ops import setops
+    from genometester4_tpu.ops.encode import join_u64, split_u64
+
+    devs = mesh.devices.reshape(-1)
+    n_dev = len(devs)
+    flat = Mesh(devs, ("sp",))
+
+    # quantile boundaries over the combined population
+    allw = np.sort(np.concatenate([words1, words2]))
+    if len(allw) == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.uint32)
+    qpos = (np.arange(1, n_dev) * len(allw)) // n_dev
+    bounds = allw[qpos]
+    s1 = np.searchsorted(words1, bounds)
+    s2 = np.searchsorted(words2, bounds)
+    cuts1 = np.concatenate([[0], s1, [len(words1)]])
+    cuts2 = np.concatenate([[0], s2, [len(words2)]])
+    m1 = np.diff(cuts1)
+    m2 = np.diff(cuts2)
+    cap = 1 << max(3, int(math.ceil(math.log2(max(1, m1.max(initial=1),
+                                                  m2.max(initial=1))))))
+
+    def pack(words, counts, cuts, m):
+        hi = np.zeros((n_dev, cap), np.uint32)
+        lo = np.zeros((n_dev, cap), np.uint32)
+        cc = np.zeros((n_dev, cap), np.uint32)
+        for d in range(n_dev):
+            h, l = split_u64(words[cuts[d]:cuts[d + 1]])
+            hi[d, : m[d]] = h
+            lo[d, : m[d]] = l
+            cc[d, : m[d]] = counts[cuts[d]:cuts[d + 1]]
+        valid = np.arange(cap)[None, :] < m[:, None]
+        return hi, lo, cc, valid
+
+    a1 = pack(words1, counts1, cuts1, m1)
+    a2 = pack(words2, counts2, cuts2, m2)
+
+    def per_device(h1, l1, c1, v1, h2, l2, c2, v2):
+        aligned = setops.pair_align(h1[0], l1[0], c1[0], v1[0],
+                                    h2[0], l2[0], c2[0], v2[0])
+        n_out, ohi, olo, oc = setops.apply_pair_op(
+            *aligned, op=op, rule=rule, cutoff=cutoff,
+            count_override=count_override, subtract=subtract)
+        return ohi[None], olo[None], oc[None], n_out[None]
+
+    fn = jax.jit(jax.shard_map(
+        per_device, mesh=flat,
+        in_specs=P("sp"), out_specs=P("sp")))
+    ohi, olo, oc, n_out = fn(*(jnp.asarray(x) for x in a1 + a2))
+    ohi, olo = np.asarray(ohi), np.asarray(olo)
+    oc, n_out = np.asarray(oc), np.asarray(n_out)
+    parts_w, parts_c = [], []
+    for d in range(n_dev):
+        m = int(n_out[d])
+        if m:
+            parts_w.append(join_u64(ohi[d, :m], olo[d, :m]))
+            parts_c.append(oc[d, :m].astype(np.uint32))
+    if not parts_w:
+        return np.empty(0, np.uint64), np.empty(0, np.uint32)
+    return np.concatenate(parts_w), np.concatenate(parts_c)

@@ -42,3 +42,52 @@ def test_sharded_output_globally_sorted(rng):
     mesh = make_mesh(8, dp=2)
     w, _ = count_kmers_sharded(codes, 16, mesh, chunk_bases=1 << 13)
     assert np.all(w[1:] > w[:-1])
+
+
+def test_sharded_pair_ops_match_single(rng):
+    """8-device sharded glistcompare == single-device pipeline for every
+    op and a weighted rule, on skewed inputs (all words in one corner)."""
+    import numpy as np
+    import jax
+    from genometester4_tpu.parallel.sharding import make_mesh, sharded_pair_op
+    from genometester4_tpu.ops import setops
+    from genometester4_tpu.ops.encode import split_u64, join_u64
+    import jax.numpy as jnp
+
+    mesh = make_mesh(8)
+    w1 = np.unique(rng.integers(0, 1 << 20, size=4000).astype(np.uint64))
+    w2 = np.unique(np.concatenate([
+        rng.integers(0, 1 << 20, size=1000),
+        rng.integers(0, 1 << 8, size=3000)]).astype(np.uint64))  # skew
+    c1 = rng.integers(1, 50, size=len(w1)).astype(np.uint32)
+    c2 = rng.integers(1, 50, size=len(w2)).astype(np.uint32)
+
+    def single(op, rule, cutoff, subtract=False):
+        cap = 1 << 13
+        h1, l1 = split_u64(np.pad(w1, (0, cap - len(w1))))
+        h2, l2 = split_u64(np.pad(w2, (0, cap - len(w2))))
+        v1 = np.arange(cap) < len(w1)
+        v2 = np.arange(cap) < len(w2)
+        aligned = setops.pair_align(
+            jnp.asarray(h1), jnp.asarray(l1),
+            jnp.asarray(np.pad(c1, (0, cap - len(c1)))), jnp.asarray(v1),
+            jnp.asarray(h2), jnp.asarray(l2),
+            jnp.asarray(np.pad(c2, (0, cap - len(c2)))), jnp.asarray(v2))
+        n, oh, ol, oc = setops.apply_pair_op(*aligned, op=op, rule=rule,
+                                             cutoff=cutoff,
+                                             subtract=subtract)
+        m = int(n)
+        return (join_u64(np.asarray(oh[:m]), np.asarray(ol[:m])),
+                np.asarray(oc[:m], np.uint32))
+
+    for op, rule, cutoff, sub in [("union", "default", 1, False),
+                                  ("intrsec", "min", 2, False),
+                                  ("diff1", "default", 1, False),
+                                  ("diff1", "default", 1, True),
+                                  ("diff2", "default", 3, False),
+                                  ("union", "max", 1, False)]:
+        sw, sc = sharded_pair_op(w1, c1, w2, c2, mesh, op, rule=rule,
+                                 cutoff=cutoff, subtract=sub)
+        ew, ec = single(op, rule, cutoff, subtract=sub)
+        np.testing.assert_array_equal(sw, ew, err_msg=f"{op}/{rule}")
+        np.testing.assert_array_equal(sc, ec, err_msg=f"{op}/{rule}")
