@@ -55,3 +55,44 @@ def batched_lookup_pair(table_hi, table_lo, table_counts, n_words, qhi, qlo,
 
 def lookup_steps(capacity: int) -> int:
     return max(1, math.ceil(math.log2(max(capacity, 2))) + 1)
+
+
+@partial(jax.jit, static_argnames=("steps",))
+def batched_bounds_pair(table_hi, table_lo, n_words, qhi, qlo, steps: int):
+    """Lower and upper bound of each query in a sorted (hi, lo) table.
+
+    Unlike ``batched_lookup_pair`` the table may contain DUPLICATES:
+    returns (lower int32[Q], upper int32[Q]) with lower = first index
+    >= q and upper = first index > q, so upper - lower is the number of
+    occurrences. This turns occurrence counting over a sorted window
+    stream into two searches — no dedupe pass needed (the role of the
+    reference's trie-hit counting, src/gmer_counter.c:750-815).
+    """
+    q = qhi.shape[0]
+    llo = jnp.zeros((q,), jnp.int32)
+    lhi = jnp.full((q,), n_words, jnp.int32)
+    ulo = jnp.zeros((q,), jnp.int32)
+    uhi = jnp.full((q,), n_words, jnp.int32)
+
+    def body(_, carry):
+        llo_i, lhi_i, ulo_i, uhi_i = carry
+        cap = jnp.maximum(n_words - 1, 0)
+        # lower bound: strictly-less comparator
+        mid = (llo_i + lhi_i) >> 1
+        mid_c = jnp.minimum(mid, cap)
+        mh, ml = table_hi[mid_c], table_lo[mid_c]
+        less = (mh < qhi) | ((mh == qhi) & (ml < qlo))
+        llo_n = jnp.where(less & (llo_i < lhi_i), mid + 1, llo_i)
+        lhi_n = jnp.where(less | (llo_i >= lhi_i), lhi_i, mid)
+        # upper bound: less-or-equal comparator
+        mid = (ulo_i + uhi_i) >> 1
+        mid_c = jnp.minimum(mid, cap)
+        mh, ml = table_hi[mid_c], table_lo[mid_c]
+        leq = (mh < qhi) | ((mh == qhi) & (ml <= qlo))
+        ulo_n = jnp.where(leq & (ulo_i < uhi_i), mid + 1, ulo_i)
+        uhi_n = jnp.where(leq | (ulo_i >= uhi_i), uhi_i, mid)
+        return llo_n, lhi_n, ulo_n, uhi_n
+
+    llo, lhi, ulo, uhi = jax.lax.fori_loop(0, steps, body,
+                                           (llo, lhi, ulo, uhi))
+    return llo, ulo

@@ -87,19 +87,28 @@ def _make_count_fn(k: int, chunk_cap: int):
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def run(acc_lo, acc_hi, codes, dbhi, dblo):
+        from genometester4_tpu.ops.lookup import batched_bounds_pair
         hi, lo, valid = extract_kmers(codes, k, canonical=True)
-        ones = jnp.ones(hi.shape, jnp.uint32)
-        uhi, ulo, ucnt, n_uniq = count_unique(hi, lo, ones, valid,
-                                              hi_bits=hi_bits,
-                                              unit_weights=True)
-        found, cnt, _ = batched_lookup_pair(uhi, ulo, ucnt, n_uniq,
-                                            dbhi, dblo, steps=steps)
-        add = jnp.where(found, cnt, 0).astype(jnp.uint32)
+        total = jnp.sum(valid.astype(jnp.int32))
+        # occurrence counting without a dedupe pass: sort the raw window
+        # stream (invalid flagged past the end) and take each DB word's
+        # upper - lower bound. Saves the run-marks work entirely; the
+        # second search reuses the same gather pattern.
+        if hi_bits <= 30:
+            packed = jnp.where(valid, jnp.uint32(0),
+                               jnp.uint32(1 << hi_bits)) | hi
+            shi, slo = jax.lax.sort((packed, lo), num_keys=2,
+                                    is_stable=False)
+        else:
+            inv = (~valid).astype(jnp.uint32)
+            _, shi, slo = jax.lax.sort((inv, hi, lo), num_keys=3,
+                                       is_stable=False)
+        lo_b, up_b = batched_bounds_pair(shi, slo, total, dbhi, dblo,
+                                         steps=steps)
+        add = (up_b - lo_b).astype(jnp.uint32)
         new_lo = acc_lo + add
         acc_hi = acc_hi + (new_lo < add).astype(jnp.uint32)
-        return (new_lo, acc_hi,
-                jnp.sum(valid.astype(jnp.int32)),
-                jnp.sum(add, dtype=jnp.uint32))
+        return (new_lo, acc_hi, total, jnp.sum(add, dtype=jnp.uint32))
 
     return run
 
