@@ -351,3 +351,34 @@ def sw_pallas_matrices(ref: np.ndarray, reads: np.ndarray,
     sx = diag_to_matrix(sx_d, n, m).astype(np.int8)
     sy = diag_to_matrix(sy_d, n, m).astype(np.int8)
     return score, sx, sy
+
+
+@functools.lru_cache(maxsize=None)
+def _lanes_cached(n_cap8: int, m_cap8: int, interpret: bool):
+    return make_sw_pallas_lanes(n_cap8, m_cap8, interpret=interpret)
+
+
+def sw_matrices_batch_device(ref: np.ndarray, reads: np.ndarray,
+                             interpret: bool = False):
+    """Drop-in device twin of ops.swalign.sw_matrices_batch backed by the
+    lane-batched kernel. Shapes are padded to multiples of 8 so repeated
+    gassembler regions reuse a handful of compiled kernels."""
+    from genometester4_tpu.ops.swalign import diag_to_matrix
+    import jax.numpy as jnp
+
+    n = len(ref)
+    B, m = reads.shape
+    n_cap = _round_up(max(n, 8), 8)
+    m_cap = _round_up(max(m, 8), 8)
+    run = _lanes_cached(n_cap, m_cap, interpret)
+    refs = np.full((B, n_cap), NUCL_N + 2, np.int8)
+    refs[:, :n] = ref
+    reads_p = np.full((B, m_cap), NUCL_N + 2, np.int8)
+    reads_p[:, :m] = reads
+    nvec = np.full(B, n, np.int32)
+    sc_d, sx_d, sy_d = (np.asarray(x) for x in run(
+        jnp.asarray(refs), jnp.asarray(reads_p), jnp.asarray(nvec)))
+    score = diag_to_matrix(sc_d, n_cap, m_cap)[:, : n + 1, : m + 1]
+    sx = diag_to_matrix(sx_d, n_cap, m_cap)[:, : n + 1, : m + 1]
+    sy = diag_to_matrix(sy_d, n_cap, m_cap)[:, : n + 1, : m + 1]
+    return (score.astype(np.int16), sx.astype(np.int8), sy.astype(np.int8))

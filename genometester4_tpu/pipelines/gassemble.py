@@ -389,6 +389,11 @@ def count_divergent(ref_codes, read_codes, a_p, b_p):
     return n_div, n_gaps, s_gap, e_gap, gaps_total
 
 
+def _device_sw_enabled() -> bool:
+    import os
+    return os.environ.get("GT4_TPU_DEVICE_SW", "0") == "1"
+
+
 def align_reads(ref_codes: np.ndarray, reads: list, params: Params):
     """SW every read against the reference, filter, and build the
     per-reference-position read-position table
@@ -400,8 +405,17 @@ def align_reads(ref_codes: np.ndarray, reads: list, params: Params):
     batch = np.full((len(reads), m_cap), NONE, np.int8)
     for i, r in enumerate(reads):
         batch[i, :len(r.nucl)] = r.nucl
-    score, sx, sy = swalign.sw_matrices_batch(
-        ref_codes.astype(np.int8), batch)
+    if _device_sw_enabled():
+        # lane-batched Pallas kernel (integer-exact twin); pays off when
+        # the accelerator link is low-latency — opt in with
+        # GT4_TPU_DEVICE_SW=1
+        from genometester4_tpu.ops.swalign_pallas import \
+            sw_matrices_batch_device
+        score, sx, sy = sw_matrices_batch_device(
+            ref_codes.astype(np.int8), batch)
+    else:
+        score, sx, sy = swalign.sw_matrices_batch(
+            ref_codes.astype(np.int8), batch)
     a_rows = []
     a_reads = []
     for i, r in enumerate(reads):

@@ -462,8 +462,13 @@ def print_median(lst: ListQuery):
         total, nuniq = lst.index_map.num_locations, len(lst.words)
     else:
         total, nuniq = h.total_count, h.n_words
-    avg = total / nuniq if nuniq else float("nan")
-    sys.stdout.write(f"Min {gmin} Max {gmax} Median {med} Average {avg:.2f}\n")
+    if nuniq:
+        avg_s = "%.2f" % (total / nuniq)
+    else:
+        # C prints 0.0/0 as "-nan" on x86 (the division sets the NaN
+        # sign bit); Python would print "nan" (src/glistquery.c:868)
+        avg_s = "-nan"
+    sys.stdout.write(f"Min {gmin} Max {gmax} Median {med} Average {avg_s}\n")
 
 
 def print_distro(lst: ListQuery, max_count: int):

@@ -369,3 +369,35 @@ def test_dense_fixture_triggers_subsampling(dense_katk_fixture):
                                     MAX_READS_PER_KMER) for ln in lines]
     assert any(c == MAX_READS_PER_REGION for c in cons), \
         "fixture must exercise the subsample stream"
+
+
+def test_device_sw_path_identical(katk_fixture, monkeypatch):
+    """GT4_TPU_DEVICE_SW=1 routes region alignment through the
+    lane-batched Pallas kernel; calls must stay byte-identical."""
+    import os
+    from genometester4_tpu.ops import swalign_pallas
+
+    # interpret mode on the CPU test backend
+    orig = swalign_pallas.make_sw_pallas_lanes
+
+    def interp(n_cap, m_cap, interpret=False):
+        return orig(n_cap, m_cap, interpret=True)
+
+    monkeypatch.setattr(swalign_pallas, "make_sw_pallas_lanes", interp)
+    swalign_pallas._lanes_cached.cache_clear()
+    monkeypatch.setenv("GT4_TPU_DEVICE_SW", "1")
+    tmp = katk_fixture
+    args = ["--dbi", "db.idx", "--region_file", "regions.txt",
+            "--num_threads", "1", "--coverage", "40", "--sex", "female",
+            "--max_regions", "3"]
+    ref = run_reference(["gassembler"] + args, cwd=tmp, timeout=600)
+    assert ref.returncode == 0, ref.stderr
+    old = os.getcwd()
+    os.chdir(tmp)
+    try:
+        rc, out = run_ours(args)
+    finally:
+        os.chdir(old)
+        swalign_pallas._lanes_cached.cache_clear()
+    assert rc == 0
+    assert out == ref.stdout.decode()

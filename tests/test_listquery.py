@@ -113,3 +113,25 @@ def test_errors(lists, capsys):
     _both(capsys, [l1, l2, "-q", "ACGTACGTACGT"])
     _both(capsys, [l1, "-q", "ACGT"])  # too short
     _both(capsys, [l1, "-mm", "8", "-p", "8", "-q", "ACGTACGTACGT"])
+
+
+def test_median_empty_list(tmp_path):
+    """Fuzz regression: empty list -median prints 'Average -nan' like
+    the reference (x86 0.0/0 division sets the NaN sign bit)."""
+    import numpy as np
+    from genometester4_tpu.formats.list_format import write_list
+    from tests.conftest import run_reference
+    p = tmp_path / "e.list"
+    write_list(str(p), 27, np.empty(0, np.uint64), np.empty(0, np.uint32))
+    ref = run_reference(["glistquery", str(p), "-median"])
+    assert ref.returncode == 0
+    import io, sys
+    from genometester4_tpu.cli.glistquery import main
+    old = sys.stdout
+    sys.stdout = io.StringIO()
+    try:
+        rc = main([str(p), "-median"])
+        out = sys.stdout.getvalue()
+    finally:
+        sys.stdout = old
+    assert out == ref.stdout.decode().replace(str(p), str(p))
