@@ -146,15 +146,22 @@ def get_pair_median(data: bytes, starts: np.ndarray, members: np.ndarray) -> int
 
 
 def parse_calls(data: bytes, starts: np.ndarray, members: np.ndarray,
-                pair_median: int) -> np.ndarray:
+                pair_median: int):
     """Per marker, pick the pair whose sum is nearest the median
-    (src/gmer_caller.c:144-175). Returns uint16[n,2] (the reference
-    truncates to unsigned short)."""
+    (src/gmer_caller.c:144-175). Returns (uint16[n,2] counts — the
+    reference truncates to unsigned short — and int64[n] name-line
+    indices). A marker line with fewer than 4 tokens is skipped with
+    ``continue``, leaving that SNPCall's malloc'd memory UNINITIALIZED
+    (src/gmer_caller.c:148,157): on a fresh heap those are zero pages,
+    so the reference prints counts 0/0 under the name of LINE 0 — bug
+    reproduced via name_line = 0 for skipped markers (fuzz finding)."""
     out = np.zeros((len(members), 2), np.uint16)
+    name_line = np.zeros(len(members), np.int64)
     for i, li in enumerate(members):
         vals = _line_pairs(data, int(starts[li]))
         if vals is None:
             continue
+        name_line[i] = li
         best_delta = 0x7FFFFFFF
         best = (0, 0)
         for j in range(len(vals) // 2):
@@ -165,7 +172,7 @@ def parse_calls(data: bytes, starts: np.ndarray, members: np.ndarray,
                 best_delta = delta
         out[i, 0] = best[0] & 0xFFFF
         out[i, 1] = best[1] & 0xFFFF
-    return out
+    return out, name_line
 
 
 def marker_id(data: bytes, start: int) -> str:
@@ -179,18 +186,18 @@ def marker_id(data: bytes, start: int) -> str:
 
 
 def print_genotypes(out, data: bytes, starts: np.ndarray,
-                    members: np.ndarray, calls: np.ndarray,
+                    name_lines: np.ndarray, calls: np.ndarray,
                     params: np.ndarray, pB: float, nalleles: int,
                     prob_cutoff: float, alternatives: bool):
     """src/gmer_caller.c:390-468 formatting."""
-    if len(members) == 0:
+    if len(name_lines) == 0:
         return
     flat = np.ascontiguousarray(calls.reshape(-1), np.uint16)
     a, sums, best = native.genotype_batch(flat, pB, params)
     lines = []
-    for i, li in enumerate(members):
+    for i, li in enumerate(name_lines):
         bg = int(best[i])
-        pieces = [marker_id(data, int(starts[li]))]
+        pieces = [marker_id(data, int(starts[li]))]  # li = name line (0 for the reference's uninitialized skip path)
         cancall = (nalleles == 0
                    or (nalleles == 1 and bg in (GT_A, GT_B))
                    or (nalleles == 2 and bg in (GT_AA, GT_AB, GT_BB)))
@@ -259,7 +266,7 @@ def run_caller(data: bytes, out, model: int = MODEL_FULL, nruns: int = 5,
                     "Y inconsistency: p_1 %g p_Y %g p_X %g p_XX %g\n"
                     % (p_1, p_y, p_x, p_xx))
 
-    calls_a = parse_calls(data, starts, a_idx, a_med)
+    calls_a, lines_a = parse_calls(data, starts, a_idx, a_med)
 
     if nruns and len(a_idx) > 0:
         mul = 2 if model == MODEL_HAPLOID else 1
@@ -279,9 +286,9 @@ def run_caller(data: bytes, out, model: int = MODEL_FULL, nruns: int = 5,
         out.write("#AutosomeModel\t%g %g %g %g %g %g %g\n" % tuple(params))
 
     x_params = params.copy()
-    calls_x = None
+    calls_x = lines_x = None
     if model == MODEL_FULL:
-        calls_x = parse_calls(data, starts, x_idx, x_med)
+        calls_x, lines_x = parse_calls(data, starts, x_idx, x_med)
         if len(x_idx) > 0 and nruns and p_xx <= p_x:
             x_params[2] = 0.98
             x_params[3] = 0.01
@@ -295,19 +302,19 @@ def run_caller(data: bytes, out, model: int = MODEL_FULL, nruns: int = 5,
             out.write("#ID\tGT\tPROB\tA_KMERS\tB_KMERS"
                       + "".join(f"\t{g}" for g in GENOTYPES) + "\n")
         nall = 0 if non_canonical else (1 if model == MODEL_HAPLOID else 2)
-        print_genotypes(out, data, starts, a_idx, calls_a, params, pB, nall,
-                        prob_cutoff, alternatives)
+        print_genotypes(out, data, starts, lines_a, calls_a, params, pB,
+                        nall, prob_cutoff, alternatives)
         if model == MODEL_FULL:
             if p_xx > p_x:
-                print_genotypes(out, data, starts, x_idx, calls_x, params,
+                print_genotypes(out, data, starts, lines_x, calls_x, params,
                                 pB, 0 if non_canonical else 2, prob_cutoff,
                                 alternatives)
             else:
-                print_genotypes(out, data, starts, x_idx, calls_x, x_params,
+                print_genotypes(out, data, starts, lines_x, calls_x, x_params,
                                 pB, 0 if non_canonical else 1, prob_cutoff,
                                 alternatives)
-                calls_y = parse_calls(data, starts, y_idx, y_med)
-                print_genotypes(out, data, starts, y_idx, calls_y, x_params,
+                calls_y, lines_y = parse_calls(data, starts, y_idx, y_med)
+                print_genotypes(out, data, starts, lines_y, calls_y, x_params,
                                 pB, 0 if non_canonical else 1, prob_cutoff,
                                 alternatives)
     return 0

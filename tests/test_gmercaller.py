@@ -131,3 +131,25 @@ def test_counter_to_caller_pipeline(tmp_path, rng):
                              str(tmp_path / "tpu.cnt")])
     assert rc == 0
     assert call_out == ref_call.stdout.decode()
+
+
+def test_short_marker_lines_uninit_bug(tmp_path, rng):
+    """Fuzz regression: a marker line with <4 tokens (single-kmer node)
+    leaves the reference's SNPCall malloc'd memory uninitialized
+    (src/gmer_caller.c:148,157) — zero pages in practice, so it prints
+    counts 0/0 under LINE 0's name, scanning past the newline to the
+    first tab. Byte-reproduced."""
+    lines = ["#gmer_counter version 4.2.16 (stable)", "#TextDatabase\tdb"]
+    for i in range(30):
+        a, b = int(rng.integers(0, 9)), int(rng.integers(0, 9))
+        if i % 7 == 3:
+            lines.append(f"1_{i}\t1\t{a}")  # 3 tokens: skip path
+        else:
+            lines.append(f"1_{i}\t2\t{a}\t{b}")
+    p = tmp_path / "counts.txt"
+    p.write_text("\n".join(lines) + "\n")
+    ref = run_reference(["gmer_caller", str(p)])
+    assert ref.returncode == 0, ref.stderr
+    rc, out = run_ours([str(p)])
+    assert rc == 0
+    assert out == ref.stdout.decode()
