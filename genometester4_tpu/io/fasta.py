@@ -213,6 +213,12 @@ class SlabMeta:
     prefix_len: int = 0  # leading codes repeated from the previous slab
                          # (overlap carry) — slice them off for per-byte
                          # statistics over new content
+    # FASTQ slabs only (records never span slabs there): per-record
+    # start offsets within this slab's codes array and ABSOLUTE byte
+    # offsets of each record's name in the (decompressed) stream —
+    # everything gmer_counter's read-index mode needs to stream
+    rec_starts: object = None   # int64[n_records] | None
+    name_pos: object = None     # int64[n_records] | None
 
 
 def _iter_raw_slabs(path: str, slab_bytes: int):
@@ -301,6 +307,7 @@ def iter_code_slabs(path: str, k: int, slab_bytes: int = 1 << 28):
     carry = b""         # undecoded partial tail (line / fastq group)
     tail_codes = np.empty(0, np.uint8)  # last k-1 emitted codes
     open_record = False  # a FASTA record spans the seam
+    abs_off = 0         # stream byte offset of buf[0]
     for raw in _iter_raw_slabs(path, slab_bytes):
         buf = carry + raw
         if fmt is None:
@@ -308,9 +315,11 @@ def iter_code_slabs(path: str, k: int, slab_bytes: int = 1 << 28):
             while i < len(buf) and buf[i] in (_NL, _CR, ord(" "), ord("\t")):
                 i += 1
             if i >= len(buf):
+                abs_off += len(buf)
                 carry = b""
                 continue
             buf = buf[i:]
+            abs_off += i
             if buf[0] == _GT:
                 fmt = "fasta"
             elif buf[0] == _AT:
@@ -337,6 +346,7 @@ def iter_code_slabs(path: str, k: int, slab_bytes: int = 1 << 28):
                 codes = NUCL_CODES[seq]
                 meta = SlabMeta(0, len(codes), count_n,
                                 prefix_len=len(tail_codes))
+                abs_off += len(head)
                 yield np.concatenate([tail_codes, codes]), meta
                 if k > 1:
                     tail_codes = codes[-(k - 1):] if len(codes) >= k - 1 \
@@ -351,6 +361,7 @@ def iter_code_slabs(path: str, k: int, slab_bytes: int = 1 << 28):
                 # record ended exactly at the seam: separate windows
                 prefix = np.concatenate([tail_codes,
                                          np.full(1, 255, np.uint8)])
+            abs_off += len(head)
             yield np.concatenate([prefix, codes]), SlabMeta(
                 n_new, bases, count_n, prefix_len=len(prefix))
             open_record = open_record or n_new > 0
@@ -366,8 +377,13 @@ def iter_code_slabs(path: str, k: int, slab_bytes: int = 1 << 28):
             cut = int(nl[4 * n_groups - 1]) + 1
             head, carry = buf[:cut], buf[cut:]
             parsed = parse_fastq(head)
-            yield parsed.codes, SlabMeta(parsed.n_records,
-                                         parsed.total_bases, parsed.count_n)
+            meta = SlabMeta(parsed.n_records, parsed.total_bases,
+                            parsed.count_n,
+                            rec_starts=parsed.rec_starts,
+                            name_pos=(parsed._name_spans[:, 0]
+                                      .astype(np.int64) + abs_off))
+            abs_off += len(head)
+            yield parsed.codes, meta
     # EOF: flush whatever remains as final (possibly unterminated) lines
     if carry.strip():
         if fmt == "fasta":
@@ -385,4 +401,7 @@ def iter_code_slabs(path: str, k: int, slab_bytes: int = 1 << 28):
             if n_lines >= 4 or carry.count(b"\n") >= 3:
                 parsed = parse_fastq(carry)
                 yield parsed.codes, SlabMeta(
-                    parsed.n_records, parsed.total_bases, parsed.count_n)
+                    parsed.n_records, parsed.total_bases, parsed.count_n,
+                    rec_starts=parsed.rec_starts,
+                    name_pos=(parsed._name_spans[:, 0].astype(np.int64)
+                              + abs_off))

@@ -198,8 +198,13 @@ class DBCounter:
 
     def add_file(self, path: str, slab_bytes: int = 1 << 28):
         if self.build_index:
-            # index mode needs the whole-file record registry (absolute
-            # name byte offsets) — read files are the bounded quantity
+            # FASTQ (the KATK read format) streams: records never span
+            # slabs and SlabMeta carries absolute name offsets. FASTA
+            # records can span slabs, so that (rare for read sets) case
+            # loads whole-file for its record registry.
+            if self._sniff_fastq(path):
+                self._add_file_indexed_stream(path, slab_bytes)
+                return
             parsed = load_file(path)
             if self.collect_stats:
                 st = self.result.stats
@@ -222,6 +227,90 @@ class DBCounter:
                 st.n_gc += int(((fresh == 1) | (fresh == 2)).sum())
                 st.n_seq += new_nucl + meta.count_n  # nucleotides + Ns
             self._add_codes(codes)
+
+    @staticmethod
+    def _sniff_fastq(path: str) -> bool:
+        import zlib
+        with open(path, "rb") as f:
+            head = f.read(4096)
+        if head[:2] == b"\x1f\x8b":
+            head = zlib.decompressobj(wbits=31).decompress(head, 256)
+        head = head.lstrip(b" \t\r\n")
+        return head[:1] == b"@"
+
+    def _add_file_indexed_stream(self, path: str, slab_bytes: int):
+        """Index-mode FASTQ ingestion in bounded memory: one hits table
+        per file assembled from per-slab pieces (same semantics as
+        _add_codes_indexed; positions are record-local, name offsets
+        absolute via SlabMeta)."""
+        from genometester4_tpu.io.fasta import iter_code_slabs
+
+        k = self.db.wordsize
+        file_idx = len(self.hits)
+        rec_base = 0
+        rec_l, lpos_l, code_l, dir_l, npos_l = [], [], [], [], []
+        for codes, meta in iter_code_slabs(path, k, slab_bytes):
+            if self.collect_stats:
+                st = self.result.stats
+                fresh = codes[meta.prefix_len:]
+                new_nucl = int((fresh < 4).sum())
+                st.n_nucl += new_nucl
+                st.n_gc += int(((fresh == 1) | (fresh == 2)).sum())
+                st.n_seq += new_nucl + meta.count_n
+            n = len(codes)
+            if n >= k:
+                gpos_l, c_l, d_l = [], [], []
+                step = self.chunk_bases - (k - 1)
+                for start in range(0, max(n - (k - 1), 1), step):
+                    chunk = pad_pow2_chunk(codes[start:start
+                                                 + self.chunk_bases],
+                                           self.chunk_bases)
+                    n_hit, hcode, hpos, hdir, n_valid = self._run_idx(
+                        jnp.asarray(chunk), self._thi, self._tlo,
+                        self._tcode, self._n)
+                    m = int(n_hit)
+                    c_l.append(np.asarray(hcode[:m]))
+                    gpos_l.append(np.asarray(hpos[:m]).astype(np.int64)
+                                  + start)
+                    d_l.append(np.asarray(hdir[:m]))
+                    if self.collect_stats:
+                        self.result.stats.n_kmers_total += int(n_valid)
+                if c_l:
+                    gpos = np.concatenate(gpos_l)
+                    rec = np.searchsorted(meta.rec_starts, gpos,
+                                          side="right") - 1
+                    rec_l.append(rec + rec_base)
+                    lpos_l.append(gpos - meta.rec_starts[rec])
+                    code_l.append(np.concatenate(c_l))
+                    dir_l.append(np.concatenate(d_l))
+                    npos_l.append(meta.name_pos[rec])
+            rec_base += meta.n_records
+
+        code_a = (np.concatenate(code_l) if code_l
+                  else np.empty(0, np.uint32))
+        rec = (np.concatenate(rec_l) if rec_l else np.empty(0, np.int64))
+        kmer_pos = ((np.concatenate(lpos_l) if lpos_l
+                     else np.empty(0, np.int64)) & 0x3FFFF)
+        dirs = (np.concatenate(dir_l) if dir_l else np.empty(0, np.uint8))
+        name_pos = (np.concatenate(npos_l) if npos_l
+                    else np.empty(0, np.int64))
+        node, kmer, ok = self.db.decode(code_a)
+        if not ok.all():
+            sys.stderr.write("DB inconsistency: invalid code in index mode\n")
+            rec, kmer_pos, dirs = rec[ok], kmer_pos[ok], dirs[ok]
+            name_pos = name_pos[ok]
+            node, kmer = node[ok], kmer[ok]
+        slots = self.db.flat_slot(node, kmer)
+        np.add.at(self.result.counts, slots, 1)
+        if self.collect_stats:
+            st = self.result.stats
+            st.n_kmers += len(slots)
+            st.n_kmer_gc += int(self._slot_gc[slots].sum())
+        self.hits.append(dict(file_idx=file_idx, slot=slots,
+                              subseq=rec.astype(np.int64),
+                              kmer_pos=kmer_pos.astype(np.int64),
+                              name_pos=name_pos,
+                              dir=dirs.astype(np.uint64)))
 
     def _add_codes_indexed(self, parsed):
         """Index-mode ingestion: collect per-hit location data.

@@ -281,3 +281,43 @@ def test_streaming_count_matches_whole_file(tmp_path, rng):
         fasta_mod.iter_code_slabs = orig
     assert rc == 0
     assert ours == r.stdout.decode()
+
+
+def test_compile_index_streaming_tiny_slabs(tmp_path, rng):
+    """--compile_index over FASTQ must stream in bounded slabs and stay
+    byte-identical (absolute name offsets across slab seams)."""
+    w = 16
+    db_text, kmers = make_db(rng, 25, 2, w)
+    reads = []
+    for r in range(150):
+        seq = "".join(chr(c) for c in rng.choice(BASES, 80))
+        km = kmers[int(rng.integers(len(kmers)))]
+        p = int(rng.integers(0, 80 - w))
+        seq = seq[:p] + km + seq[p + w:]
+        reads.append(f"@rd{r}\n{seq}\n+\n{'J' * len(seq)}")
+    (tmp_path / "db.txt").write_text(db_text)
+    (tmp_path / "reads.fq").write_text("\n".join(reads) + "\n")
+    r = run_reference(["gmer_counter", "-db", "db.txt", "--compile_index",
+                       "ref.idx", "--num_threads", "1", "reads.fq"],
+                      cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    from genometester4_tpu.io import fasta as fasta_mod
+    orig = fasta_mod.iter_code_slabs
+
+    def tiny(path, k, slab_bytes=1 << 28):
+        return orig(path, k, 429)
+
+    fasta_mod.iter_code_slabs = tiny
+    import os
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        rc, out = run_ours(["-db", "db.txt", "--compile_index", "ours.idx",
+                            "reads.fq"])
+    finally:
+        os.chdir(old)
+        fasta_mod.iter_code_slabs = orig
+    assert rc == 0
+    assert out == r.stdout.decode()
+    assert (tmp_path / "ours.idx").read_bytes() == (
+        tmp_path / "ref.idx").read_bytes()
