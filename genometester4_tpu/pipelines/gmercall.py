@@ -152,9 +152,14 @@ def parse_calls(data: bytes, starts: np.ndarray, members: np.ndarray,
     reference truncates to unsigned short — and int64[n] name-line
     indices). A marker line with fewer than 4 tokens is skipped with
     ``continue``, leaving that SNPCall's malloc'd memory UNINITIALIZED
-    (src/gmer_caller.c:148,157): on a fresh heap those are zero pages,
-    so the reference prints counts 0/0 under the name of LINE 0 — bug
-    reproduced via name_line = 0 for skipped markers (fuzz finding)."""
+    (src/gmer_caller.c:148,157). For the autosome table (the first
+    malloc) those are zero pages in practice, so the reference prints
+    counts 0/0 under the name of LINE 0 — reproduced via name_line = 0
+    for skipped markers (fuzz finding). For the X/Y tables the
+    reference's malloc reuses freed heap and the stale bytes vary by
+    allocator history — undefined, not emulated: we keep the zero-page
+    semantics there (divergence only for X/Y marker lines with a single
+    k-mer count, which also read uninitialized memory upstream)."""
     out = np.zeros((len(members), 2), np.uint16)
     name_line = np.zeros(len(members), np.int64)
     for i, li in enumerate(members):
