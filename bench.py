@@ -32,9 +32,9 @@ import numpy as np
 BASELINE_KMERS_PER_S = 2.02e6  # reference glistmaker on this host (BASELINE.md)
 FASTA = "/tmp/bench_50m.fa"
 K = 25
-# pad to a lane multiple, not a power of two: TPU sort cost tracks the
-# actual element count (51M sorts ~20% faster than 67M)
-PAD_QUANTUM = 8192
+# pad to a kernel-block multiple, not a power of two: TPU sort cost
+# tracks the actual element count (51M sorts ~20% faster than 67M)
+PAD_QUANTUM = 1024 * 128
 
 
 def ensure_input():
@@ -55,7 +55,7 @@ def main():
     import jax
     import jax.numpy as jnp
     from genometester4_tpu.io.fasta import load_file
-    from genometester4_tpu.ops.kmers import extract_kmers
+    from genometester4_tpu.ops.kmers import extract_kmers_best
     from genometester4_tpu.ops.sortcount import count_unique
 
     parsed = load_file(FASTA)
@@ -65,7 +65,7 @@ def main():
 
     @jax.jit
     def pipeline(c):
-        hi, lo, valid = extract_kmers(c, K, canonical=True)
+        hi, lo, valid = extract_kmers_best(c, K, canonical=True)
         ones = jnp.ones(hi.shape, jnp.uint32)
         # compact=False: runs as element-wise head/tail marks — no
         # compaction sort, no scans (see ops.sortcount docstring)

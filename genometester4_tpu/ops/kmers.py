@@ -22,6 +22,18 @@ import jax.numpy as jnp
 from genometester4_tpu.ops.encode import canonical_pair
 
 
+def extract_kmers_best(codes, k: int, canonical: bool = True):
+    """Backend-best window extraction: the Pallas one-pass kernel on
+    TPU (ops.extract_pallas; returns len(codes) outputs with the
+    trailing k-1 slots invalid), the XLA doubling build elsewhere.
+    Callers must consume windows through the valid mask."""
+    n = codes.shape[0]
+    if jax.default_backend() == "tpu" and n % 128 == 0:
+        from genometester4_tpu.ops.extract_pallas import make_extract_pallas
+        return make_extract_pallas(int(n), k, canonical)(codes)
+    return extract_kmers(codes, k, canonical=canonical)
+
+
 @partial(jax.jit, static_argnames=("k", "canonical"))
 def extract_kmers(codes, k: int, canonical: bool = True):
     """Extract all k-windows from a code chunk.

@@ -1090,6 +1090,14 @@ def _lgamma(x: float) -> float:
     return lib.fgx_lgamma(x)
 
 
+def _exp_c(x: float) -> float:
+    """C exp(): overflow yields +inf instead of raising."""
+    try:
+        return math.exp(x)
+    except OverflowError:
+        return math.inf
+
+
 def gt1_prob(counts, n0, coverage, p: Params):
     log_p = _lgamma(float(coverage))
     for i in range(A, GAP + 1):
@@ -1098,7 +1106,7 @@ def gt1_prob(counts, n0, coverage, p: Params):
             log_p += math.log(1 - p.error_prob) * counts[i]
         else:
             log_p += math.log(p.error_prob / 4) * counts[i]
-    return math.exp(log_p)
+    return _exp_c(log_p)
 
 
 def gt2_prob(counts, n0, n1, coverage, p: Params):
@@ -1110,11 +1118,16 @@ def gt2_prob(counts, n0, n1, coverage, p: Params):
         else:
             log_p += math.log(p.error_prob / 3) * counts[i]
     # reference returns float via exp(log_p) assigned through float
-    return float(np.float32(math.exp(log_p)))
+    return float(np.float32(_exp_c(log_p)))
 
 
 def _sigmoid_or_1(p):
-    p = math.exp(p)
+    # C: p = exp(p); return isfinite(p) ? p/(1+p) : 1 — C exp overflows
+    # to +inf silently, Python raises (fuzz finding: extreme logits)
+    try:
+        p = math.exp(p)
+    except OverflowError:
+        return 1.0
     return p / (1 + p) if math.isfinite(p) else 1.0
 
 

@@ -88,7 +88,8 @@ def _make_count_fn(k: int, chunk_cap: int):
     @partial(jax.jit, donate_argnums=(0, 1))
     def run(acc_lo, acc_hi, codes, dbhi, dblo):
         from genometester4_tpu.ops.lookup import batched_bounds_pair
-        hi, lo, valid = extract_kmers(codes, k, canonical=True)
+        from genometester4_tpu.ops.kmers import extract_kmers_best
+        hi, lo, valid = extract_kmers_best(codes, k, canonical=True)
         total = jnp.sum(valid.astype(jnp.int32))
         # occurrence counting without a dedupe pass: sort the raw window
         # stream (invalid flagged past the end) and take each DB word's

@@ -45,9 +45,11 @@ def _make_chunk_fn(k: int, canonical: bool = True):
     """Fused extract→count for one padded chunk."""
     hi_bits = max(0, 2 * k - 32)
 
+    from genometester4_tpu.ops.kmers import extract_kmers_best
+
     @jax.jit
     def run(codes):
-        hi, lo, valid = extract_kmers(codes, k, canonical=canonical)
+        hi, lo, valid = extract_kmers_best(codes, k, canonical=canonical)
         ones = jnp.ones(hi.shape, jnp.uint32)
         return count_unique(hi, lo, ones, valid, hi_bits=hi_bits,
                             unit_weights=True, compact=False)
