@@ -190,6 +190,16 @@ def marker_id(data: bytes, start: int) -> str:
     return data[start:j].decode("latin1")
 
 
+def _cdiv_fmt(x: float, y: float) -> str:
+    """C "%.2f" of x/y: x86 0.0/0.0 is a NEGATIVE quiet NaN, so C
+    prints "-nan" where numpy's nan would print "nan"."""
+    if y == 0.0:
+        if x == 0.0:
+            return "-nan"
+        return "inf" if x > 0 else "-inf"
+    return "%.2f" % (x / y)
+
+
 def print_genotypes(out, data: bytes, starts: np.ndarray,
                     name_lines: np.ndarray, calls: np.ndarray,
                     params: np.ndarray, pB: float, nalleles: int,
@@ -211,13 +221,14 @@ def print_genotypes(out, data: bytes, starts: np.ndarray,
         if calls[i, 0] == 0 and calls[i, 1] == 0:
             cancall = False
         if cancall:
-            pieces.append("\t%s\t%.2f" % (GENOTYPES[bg], a[i, bg] / sums[i]))
+            pieces.append("\t%s\t%s" % (GENOTYPES[bg],
+                                         _cdiv_fmt(a[i, bg], sums[i])))
         else:
             pieces.append("\tNC\t")
         pieces.append("\t%u\t%u" % (calls[i, 0], calls[i, 1]))
         if alternatives:
             for j in range(15):
-                pieces.append("\t%.2f" % (a[i, j] / sums[i]))
+                pieces.append("\t" + _cdiv_fmt(a[i, j], sums[i]))
         lines.append("".join(pieces))
         if len(lines) >= 8192:
             out.write("\n".join(lines) + "\n")
