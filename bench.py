@@ -63,14 +63,23 @@ def main():
     codes = np.full(pad, 255, np.uint8)
     codes[: len(parsed.codes)] = parsed.codes
 
+    HB = 2 * K - 32
+
     @jax.jit
     def pipeline(c):
         hi, lo, valid = extract_kmers_best(c, K, canonical=True)
+        packed = jnp.where(valid, jnp.uint32(0), jnp.uint32(1 << HB)) | hi
+        sp, sl = jax.lax.sort((packed, lo), num_keys=2, is_stable=False)
+        if jax.default_backend() == "tpu":
+            # one-pass Pallas marks: XLA's shifted compares + reductions
+            # hit a data-dependent cliff (~75 ms when ~all-unique)
+            from genometester4_tpu.ops.runmarks_pallas import make_run_marks
+            _, _, n, total, checksum = make_run_marks(
+                sp.shape[0], HB, write_masks=False)(sp, sl)
+            return n, total, checksum
         ones = jnp.ones(hi.shape, jnp.uint32)
-        # compact=False: runs as element-wise head/tail marks — no
-        # compaction sort, no scans (see ops.sortcount docstring)
         shi, slo, head, tail, _, n = count_unique(
-            hi, lo, ones, valid, hi_bits=2 * K - 32,
+            hi, lo, ones, valid, hi_bits=HB,
             unit_weights=True, compact=False)
         # scalars only: totals + order-sensitive checksum of the result.
         # sum_runs word*(tail_pos - head_pos + 1) splits into two
