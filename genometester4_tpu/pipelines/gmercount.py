@@ -45,7 +45,9 @@ from genometester4_tpu.ops.lookup import batched_lookup_pair, lookup_steps
 from genometester4_tpu.ops.sortcount import count_unique
 from genometester4_tpu.pipelines.listmaker import pad_pow2_chunk
 
-DEFAULT_CHUNK_BASES = 1 << 24
+# 2^25-base chunks: measured 54 M windows/s vs 34 M at 2^24 (dispatch
+# round-trips amortize; the bigger sort still fits HBM comfortably)
+DEFAULT_CHUNK_BASES = 1 << 25
 
 
 @dataclass

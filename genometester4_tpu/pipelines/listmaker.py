@@ -34,9 +34,10 @@ from genometester4_tpu.ops.encode import join_u64, split_u64
 from genometester4_tpu.ops.kmers import extract_kmers
 from genometester4_tpu.ops.sortcount import count_unique
 
-# Default chunk: 2^24 bases (~16.8M windows) keeps sort working sets well
-# inside a v5e's HBM while amortizing dispatch overhead.
-DEFAULT_CHUNK_BASES = 1 << 24
+# Default chunk: 2^25 bases (~33.5M windows) keeps sort working sets well
+# inside a v5e's HBM while amortizing dispatch overhead (measured ~1.6x
+# the per-window throughput of 2^24 chunks on the DB-count path).
+DEFAULT_CHUNK_BASES = 1 << 25
 # Target size of one merge bucket on device.
 DEFAULT_MERGE_BUCKET = 1 << 25
 
