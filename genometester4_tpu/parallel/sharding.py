@@ -309,3 +309,76 @@ def sharded_pair_op(words1, counts1, words2, counts2, mesh: Mesh, op: str,
     if not parts_w:
         return np.empty(0, np.uint64), np.empty(0, np.uint32)
     return np.concatenate(parts_w), np.concatenate(parts_c)
+
+
+def sharded_multi_op(word_lists, count_lists, mesh: Mesh, op: str,
+                     rule: str = "default", cutoff: int = 1,
+                     count_override: int = 1):
+    """N-list union/intersection over the mesh (glistcompare multi).
+
+    Same word-range bucketing as sharded_pair_op: each device receives
+    every list's slice of its bucket (concatenated with source tags) and
+    runs the N-way reduction locally — no collectives, globally sorted
+    concatenation (src/glistcompare.c:500-717 semantics: cutoff on the
+    COMBINED frequency, intersection requires presence in all N lists).
+    """
+    from genometester4_tpu.ops import setops
+    from genometester4_tpu.ops.encode import join_u64, split_u64
+
+    n_lists = len(word_lists)
+    devs = mesh.devices.reshape(-1)
+    n_dev = len(devs)
+    flat = Mesh(devs, ("sp",))
+
+    allw = np.sort(np.concatenate(word_lists)) if any(
+        len(w) for w in word_lists) else np.empty(0, np.uint64)
+    if len(allw) == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.uint32)
+    qpos = (np.arange(1, n_dev) * len(allw)) // n_dev
+    bounds = allw[qpos]
+    cuts = [np.concatenate([[0], np.searchsorted(w, bounds), [len(w)]])
+            for w in word_lists]
+    per_dev = np.zeros(n_dev, np.int64)
+    for c in cuts:
+        per_dev += np.diff(c)
+    cap = 1 << max(3, int(math.ceil(math.log2(max(1, per_dev.max())))))
+
+    hi = np.zeros((n_dev, cap), np.uint32)
+    lo = np.zeros((n_dev, cap), np.uint32)
+    cc = np.zeros((n_dev, cap), np.uint32)
+    src = np.zeros((n_dev, cap), np.uint32)
+    valid = np.zeros((n_dev, cap), bool)
+    for d in range(n_dev):
+        off = 0
+        for li, (w, c) in enumerate(zip(word_lists, count_lists)):
+            a, z = cuts[li][d], cuts[li][d + 1]
+            m = z - a
+            h, l = split_u64(w[a:z])
+            hi[d, off:off + m] = h
+            lo[d, off:off + m] = l
+            cc[d, off:off + m] = c[a:z]
+            src[d, off:off + m] = li
+            off += m
+        valid[d, :off] = True
+
+    def per_device(h, l, c, s, v):
+        n_out, ohi, olo, oc = setops.apply_multi_op(
+            h[0], l[0], c[0], s[0], v[0], n_lists=n_lists, op=op,
+            rule=rule, cutoff=cutoff, count_override=count_override)
+        return ohi[None], olo[None], oc[None], n_out[None]
+
+    fn = jax.jit(jax.shard_map(per_device, mesh=flat,
+                               in_specs=P("sp"), out_specs=P("sp")))
+    ohi, olo, oc, n_out = fn(*(jnp.asarray(x) for x in
+                               (hi, lo, cc, src, valid)))
+    ohi, olo = np.asarray(ohi), np.asarray(olo)
+    oc, n_out = np.asarray(oc), np.asarray(n_out)
+    parts_w, parts_c = [], []
+    for d in range(n_dev):
+        m = int(n_out[d])
+        if m:
+            parts_w.append(join_u64(ohi[d, :m], olo[d, :m]))
+            parts_c.append(oc[d, :m].astype(np.uint32))
+    if not parts_w:
+        return np.empty(0, np.uint64), np.empty(0, np.uint32)
+    return np.concatenate(parts_w), np.concatenate(parts_c)

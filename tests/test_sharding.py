@@ -91,3 +91,53 @@ def test_sharded_pair_ops_match_single(rng):
         ew, ec = single(op, rule, cutoff, subtract=sub)
         np.testing.assert_array_equal(sw, ew, err_msg=f"{op}/{rule}")
         np.testing.assert_array_equal(sc, ec, err_msg=f"{op}/{rule}")
+
+
+def test_sharded_multi_ops_match_single(rng):
+    """8-device N-list union/intersection == single-device apply_multi_op
+    on 4 skewed lists."""
+    import numpy as np
+    import jax.numpy as jnp
+    from genometester4_tpu.parallel.sharding import (make_mesh,
+                                                     sharded_multi_op)
+    from genometester4_tpu.ops import setops
+    from genometester4_tpu.ops.encode import split_u64, join_u64
+
+    mesh = make_mesh(8)
+    lists = []
+    for i in range(4):
+        w = np.unique(rng.integers(0, 1 << (8 + 4 * i), size=800)
+                      .astype(np.uint64))
+        c = rng.integers(1, 30, size=len(w)).astype(np.uint32)
+        lists.append((w, c))
+    words = [w for w, _ in lists]
+    counts = [c for _, c in lists]
+
+    def single(op, rule, cutoff):
+        cap = 1 << 13
+        hi = np.zeros(cap, np.uint32); lo = np.zeros(cap, np.uint32)
+        cc = np.zeros(cap, np.uint32); src = np.zeros(cap, np.uint32)
+        v = np.zeros(cap, bool)
+        off = 0
+        for li, (w, c) in enumerate(lists):
+            h, l = split_u64(w)
+            hi[off:off+len(w)] = h; lo[off:off+len(w)] = l
+            cc[off:off+len(w)] = c; src[off:off+len(w)] = li
+            off += len(w)
+        v[:off] = True
+        n, oh, ol, oc = setops.apply_multi_op(
+            jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(cc),
+            jnp.asarray(src), jnp.asarray(v), n_lists=4, op=op, rule=rule,
+            cutoff=cutoff)
+        m = int(n)
+        return (join_u64(np.asarray(oh[:m]), np.asarray(ol[:m])),
+                np.asarray(oc[:m], np.uint32))
+
+    for op, rule, cutoff in [("union", "default", 1), ("union", "max", 2),
+                             ("intrsec", "default", 1),
+                             ("intrsec", "min", 3)]:
+        sw, sc = sharded_multi_op(words, counts, mesh, op, rule=rule,
+                                  cutoff=cutoff)
+        ew, ec = single(op, rule, cutoff)
+        np.testing.assert_array_equal(sw, ew, err_msg=f"{op}/{rule}")
+        np.testing.assert_array_equal(sc, ec, err_msg=f"{op}/{rule}")
