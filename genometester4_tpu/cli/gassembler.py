@@ -550,6 +550,10 @@ _PAR_STATE: dict = {}
 
 
 def _parallel_worker(task):
+    import os
+    # forked workers must not touch the accelerator (fork + live JAX
+    # backend threads deadlock): host SW path only
+    os.environ["GT4_TPU_DEVICE_SW"] = "0"
     idx, region, haploid, skip_to, cons = task
     from genometester4_tpu.models.fastgt_native import rand_skip
     st = _PAR_STATE
