@@ -54,6 +54,17 @@ def get_lib() -> ctypes.CDLL:
         lib.fgx_srand.argtypes = [ctypes.c_uint]
         lib.fgx_rand_skip.argtypes = [ctypes.c_ulong]
         lib.fgx_rand_skip.restype = None
+        i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+        lib.fgx_sw_batch.restype = None
+        lib.fgx_sw_batch.argtypes = [
+            i8p, ctypes.c_int, i8p, ctypes.c_int, ctypes.c_int,
+            i16p, i8p, i8p, i16p, i8p]
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.fgx_sw_traceback.restype = ctypes.c_int
+        lib.fgx_sw_traceback.argtypes = [
+            i16p, i8p, i8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            i32p, i32p]
         lib.fgx_poisson.restype = ctypes.c_double
         lib.fgx_poisson.argtypes = [ctypes.c_uint, ctypes.c_double]
         lib.fgx_allele_freq.restype = ctypes.c_float

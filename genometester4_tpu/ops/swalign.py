@@ -34,6 +34,28 @@ NUCL_N = 4  # matrix.h nucleotide codes: A C G T N GAP NONE
 
 
 def sw_matrices_batch(ref: np.ndarray, reads: np.ndarray):
+    """Fill SW matrices for one reference vs a batch of reads — C fill
+    (native/fastgt_exact.c fgx_sw_batch, ~30x the numpy wavefront on a
+    host core; integer-exact, tested against it and the device twins).
+
+    See sw_matrices_batch_numpy for parameter docs."""
+    from genometester4_tpu.models.fastgt_native import get_lib
+    lib = get_lib()  # cached handle after first call
+    B, m = reads.shape
+    n = len(ref)
+    score = np.zeros((B, n + 1, m + 1), np.int16)
+    sx = np.zeros((B, n + 1, m + 1), np.int8)
+    sy = np.zeros((B, n + 1, m + 1), np.int8)
+    if B and n and m:
+        tg_s = np.empty(m + 1, np.int16)
+        tg_l = np.empty(m + 1, np.int8)
+        lib.fgx_sw_batch(np.ascontiguousarray(ref, np.int8), n,
+                         np.ascontiguousarray(reads, np.int8), B, m,
+                         score, sx, sy, tg_s, tg_l)
+    return score, sx, sy
+
+
+def sw_matrices_batch_numpy(ref: np.ndarray, reads: np.ndarray):
     """Fill SW matrices for one reference vs a batch of reads.
 
     Parameters
@@ -139,7 +161,25 @@ def sw_traceback(score: np.ndarray, sx: np.ndarray, sy: np.ndarray,
 
     ``m_valid``: true read length (padding columns are excluded from the
     maximum search). Returns (a_pos, b_pos) int arrays, aligned pairs in
-    ascending order.
+    ascending order. C-backed (fgx_sw_traceback); the numpy twin below
+    is the differential reference.
+    """
+    from genometester4_tpu.models.fastgt_native import get_lib
+    lib = get_lib()
+    n1, m1 = score.shape
+    cap = n1 + m1
+    a_pos = np.empty(cap, np.int32)
+    b_pos = np.empty(cap, np.int32)
+    cnt = lib.fgx_sw_traceback(
+        np.ascontiguousarray(score, np.int16),
+        np.ascontiguousarray(sx, np.int8),
+        np.ascontiguousarray(sy, np.int8), n1, m1, m_valid, a_pos, b_pos)
+    return a_pos[:cnt], b_pos[:cnt]
+
+
+def sw_traceback_numpy(score: np.ndarray, sx: np.ndarray, sy: np.ndarray,
+                       m_valid: int):
+    """Numpy twin of sw_traceback (differential reference).
     """
     sub = score[:, : m_valid + 1]
     flat = int(np.argmax(sub))  # first maximum in row-major order

@@ -236,9 +236,14 @@ class SeqFiles:
                 self.data.append(f.read())
 
 
+_RC_TABLE = np.arange(256, dtype=np.uint8)
+for _a, _b in ((65, 84), (84, 65), (67, 71), (71, 67)):  # A<->T C<->G
+    _RC_TABLE[_a] = _b
+
+
 def _revcomp_str(s: str) -> str:
-    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
-    return "".join(comp.get(c, c) for c in reversed(s))
+    b = np.frombuffer(s.encode("latin1"), np.uint8)
+    return _RC_TABLE[b][::-1].tobytes().decode("latin1")
 
 
 @dataclass
@@ -433,25 +438,30 @@ def align_reads(ref_codes: np.ndarray, reads: list, params: Params):
             continue
         if gaps_total > MAX_GAPS:
             continue
+        # vectorized row build (was per-position python loops):
+        #   head:   BEFORE where the read would start before position 0,
+        #           UNKNOWN otherwise
+        #   middle: first-occurrence anchors at a_p (write-once per ref
+        #           position), gaps forward-filled with the previous
+        #           anchor's value
+        #   tail:   AFTER where the read has run out, UNKNOWN otherwise
         row = np.full(n, -1000, np.int32)
         al = len(a_p)
-        # initial part
-        for j in range(int(a_p[0])):
-            d = j - int(a_p[0])
-            r_p = int(b_p[0]) + d
-            row[j] = BEFORE if r_p < 0 else UNKNOWN
-        row[a_p[0]] = b_p[0]
-        last = int(a_p[0])
-        for j in range(1, al):
-            for k in range(last + 1, int(a_p[j])):
-                row[k] = row[last]
-            if a_p[j] > a_p[j - 1]:
-                row[a_p[j]] = b_p[j]
-            last = int(a_p[j])
-        for j in range(int(a_p[al - 1]) + 1, n):
-            d = j - int(a_p[al - 1])
-            r_p = int(b_p[al - 1]) + d
-            row[j] = AFTER if r_p >= len(r.nucl) else UNKNOWN
+        a0, b0 = int(a_p[0]), int(b_p[0])
+        a_last, b_last = int(a_p[al - 1]), int(b_p[al - 1])
+        row[:a0] = UNKNOWN
+        row[:max(0, min(a0, a0 - b0))] = BEFORE
+        seg_len = a_last - a0 + 1
+        seg = np.zeros(seg_len, np.int32)
+        seg[a_p[::-1] - a0] = b_p[::-1]  # reversed: first anchor wins
+        mask = np.zeros(seg_len, bool)
+        mask[a_p - a0] = True
+        idx = np.arange(seg_len)
+        fill = np.maximum.accumulate(np.where(mask, idx, 0))
+        row[a0:a_last + 1] = seg[fill]
+        row[a_last + 1:] = UNKNOWN
+        cut = a_last + len(r.nucl) - b_last
+        row[max(a_last + 1, cut):] = AFTER
         a_reads.append(r)
         a_rows.append(row)
         if len(a_reads) >= MAX_ALIGNED_READS:
@@ -675,37 +685,50 @@ class Assembler:
         n_groups = na
 
         def popcount3(x):
-            cnt = np.zeros_like(x, np.int64)
-            x = x.copy()
-            for _ in range(21):
-                cnt += (x & np.uint64(7)) != 0
-                x >>= np.uint64(3)
-            return cnt
+            # count non-zero 3-bit groups: project each group onto its
+            # low bit, then hardware popcount
+            y = (x | (x >> np.uint64(1)) | (x >> np.uint64(2))) \
+                & np.uint64(0x1249249249249249)
+            return np.bitwise_count(y).astype(np.int64)
+
+        # Greedy merging with INCREMENTAL pair state: the reference
+        # rescans all O(n^2) pairs every round (src/gassembler.c:
+        # 1327-1591); recomputing compat/n_common matrices per round
+        # made this the pipeline's hottest loop (43 s of a 79 s profile
+        # at 60x coverage). Only the merged row/col and the swapped-in
+        # last row/col change between rounds, so the matrices update in
+        # O(n) and each round is one vectorized argmax. The selection
+        # key is lexicographic (n_common, size_sum) with first-pair-in-
+        # triangular-scan-order tie-breaking — np.argmax's first-max
+        # rule on key = n_common*C + size_sum reproduces the
+        # reference's "strictly greater" scan exactly.
+        common_m = masks[:, None] & masks[None, :]
+        compat_m = (tags[:, None] & common_m) == (tags[None, :] & common_m)
+        ncommon_m = popcount3(common_m)
+        KEY_C = np.int64(1) << 32
+        # strict upper triangle, row-major == the reference's pair scan
+        _UT_MASK = np.triu(np.ones((na, na), bool), k=1)
+
+        def _refresh(idx, n):
+            cm = masks[idx] & masks[:n]
+            common_m[idx, :n] = cm
+            common_m[:n, idx] = cm
+            cp = (tags[idx] & cm) == (tags[:n] & cm)
+            compat_m[idx, :n] = cp
+            compat_m[:n, idx] = cp
+            nc = popcount3(cm)
+            ncommon_m[idx, :n] = nc
+            ncommon_m[:n, idx] = nc
 
         while n_groups > 1:
-            t = tags[:n_groups]
-            mk = masks[:n_groups]
-            common = mk[:, None] & mk[None, :]
-            compat = (t[:, None] & common) == (t[None, :] & common)
-            np.fill_diagonal(compat, False)
-            n_common = popcount3(common)
-            np.fill_diagonal(n_common, 0)
-            iu, ju = np.triu_indices(n_groups, k=1)
-            cand = compat[iu, ju]
-            if not cand.any():
+            n = n_groups
+            key = np.where(compat_m[:n, :n] & _UT_MASK[:n, :n],
+                           ncommon_m[:n, :n] * KEY_C
+                           + (sizes[:n, None] + sizes[None, :n]), -1)
+            flat_best = int(np.argmax(key))
+            if key.flat[flat_best] < 0:
                 break
-            # reference scan order: first compat pair, then strictly
-            # greater n_common, ties by strictly greater size sum
-            ci = iu[cand]
-            cj = ju[cand]
-            ncs = n_common[ci, cj]
-            ssum = sizes[ci] + sizes[cj]
-            best = 0
-            for k in range(1, len(ci)):
-                if ncs[k] > ncs[best] or (ncs[k] == ncs[best]
-                                          and ssum[k] > ssum[best]):
-                    best = k
-            max_i, max_j = int(ci[best]), int(cj[best])
+            max_i, max_j = divmod(flat_best, n)
             tags[max_i] = ((tags[max_i] & masks[max_i])
                            | (tags[max_j] & masks[max_j]))
             masks[max_i] = masks[max_i] | masks[max_j]
@@ -718,6 +741,9 @@ class Assembler:
             sizes[max_j] = sizes[n_groups]
             dirs[max_j] = dirs[n_groups]
             group_of[group_of == n_groups] = max_j
+            _refresh(max_i, n_groups)
+            if max_j < n_groups:
+                _refresh(max_j, n_groups)
 
         # per-group min/max coverage + compat count (vectorized: one
         # add.at over the (group, position) grid)

@@ -634,3 +634,113 @@ int fgx_train_model (const unsigned short *counts /* 2*ncalls */,
   free (train);
   return 1;
 }
+
+
+/* ---- Smith-Waterman matrix fill (gassembler twin) -------------------
+ *
+ * Exact integer port of src/gassembler.c:2185-2321's DP as expressed in
+ * ops/swalign.py (same tie-breaks, same int8 gap-length wraparound).
+ * Row-major fill: the left-gap state carries as scalars along the row,
+ * the top-gap state as per-column arrays. ~30x the numpy wavefront on
+ * one host core.
+ */
+#define SW_M 2
+#define SW_MM (-3)
+#define SW_GO (-4)
+#define SW_GE (-2)
+#define SW_NEG (-1000)
+#define SW_NUCL_N 4
+
+void fgx_sw_batch (const signed char *ref, int n, const signed char *reads,
+                   int B, int m, short *score, signed char *sx,
+                   signed char *sy, short *tg_s_buf, signed char *tg_l_buf)
+{
+  int b, i, j;
+  int stride = (n + 1) * (m + 1);
+  for (b = 0; b < B; b++) {
+    const signed char *rd = reads + (long) b * m;
+    short *sc = score + (long) b * stride;
+    signed char *sxb = sx + (long) b * stride;
+    signed char *syb = sy + (long) b * stride;
+    for (j = 0; j <= m; j++) { tg_s_buf[j] = SW_NEG; tg_l_buf[j] = 0; }
+    for (i = 1; i <= n; i++) {
+      short lg_s = SW_NEG;
+      signed char lg_l = 0;
+      int a_n = ref[i - 1];
+      short *row = sc + i * (m + 1);
+      short *prow = sc + (i - 1) * (m + 1);
+      signed char *sxr = sxb + i * (m + 1);
+      signed char *syr = syb + i * (m + 1);
+      for (j = 1; j <= m; j++) {
+        int b_n = rd[j - 1];
+        short sub = (a_n >= SW_NUCL_N || b_n >= SW_NUCL_N) ? 0
+                    : (a_n == b_n ? SW_M : SW_MM);
+        short dsc = (short) (prow[j - 1] + sub);
+        short cell; signed char csx, csy;
+        if (dsc > 0) { cell = dsc; csx = -1; csy = -1; }
+        else { cell = 0; csx = 0; csy = 0; }
+        /* left gap from (i, j-1) */
+        {
+          short ls = (short) (cell + SW_GO);
+          signed char ll = 0;
+          if ((short) (lg_s + SW_GE) > ls) {
+            ls = (short) (lg_s + SW_GE);
+            ll = (signed char) (lg_l + 1);
+          }
+          if (ls >= cell) {
+            cell = ls; csx = (signed char) (-ll); csy = 0;
+          }
+          lg_s = ls; lg_l = ll;
+        }
+        /* top gap from (i-1, j), uses the updated cell */
+        {
+          short ts = (short) (cell + SW_GO);
+          signed char tl = 0;
+          if ((short) (tg_s_buf[j] + SW_GE) > ts) {
+            ts = (short) (tg_s_buf[j] + SW_GE);
+            tl = (signed char) (tg_l_buf[j] + 1);
+          }
+          if (ts >= cell) {
+            cell = ts; csx = 0; csy = (signed char) (-tl);
+          }
+          tg_s_buf[j] = ts; tg_l_buf[j] = tl;
+        }
+        row[j] = cell; sxr[j] = csx; syr[j] = csy;
+      }
+    }
+  }
+}
+
+
+/* Traceback one read's SW matrices (src/gassembler.c:2298-2320): first
+ * row-major maximum over columns 0..m_valid, then walk sx/sy. Returns
+ * the number of aligned pairs; a_pos/b_pos are filled in ascending
+ * order (capacity >= n1 + m1). */
+int fgx_sw_traceback (const short *score, const signed char *sx,
+                      const signed char *sy, int n1, int m1, int m_valid,
+                      int *a_pos, int *b_pos)
+{
+  int i, j, mi = 0, mj = 0, cnt = 0, half;
+  short best = score[0];
+  for (i = 0; i < n1; i++) {
+    const short *row = score + (long) i * m1;
+    for (j = 0; j <= m_valid; j++) {
+      if (row[j] > best) { best = row[j]; mi = i; mj = j; }
+    }
+  }
+  while (mi > 0 && mj > 0) {
+    signed char cx = sx[(long) mi * m1 + mj];
+    signed char cy = sy[(long) mi * m1 + mj];
+    if (cx == 0 && cy == 0) break;
+    if (score[(long) mi * m1 + mj] < 1) break;
+    if (cx && cy) { a_pos[cnt] = mi - 1; b_pos[cnt] = mj - 1; cnt++; }
+    mi += cy;
+    mj += cx;
+  }
+  half = cnt / 2;
+  for (i = 0; i < half; i++) {
+    int t = a_pos[i]; a_pos[i] = a_pos[cnt - 1 - i]; a_pos[cnt - 1 - i] = t;
+    t = b_pos[i]; b_pos[i] = b_pos[cnt - 1 - i]; b_pos[cnt - 1 - i] = t;
+  }
+  return cnt;
+}
