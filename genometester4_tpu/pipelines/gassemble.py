@@ -350,9 +350,18 @@ def get_read_sequences(infos, files: SeqFiles, params: Params):
         e = data.index(b"\n", name_pos)
         name = data[name_pos:e].decode("latin1")
         p = e + 1
-        q = p
-        while q < len(data) and data[q] >= ord("A"):
-            q += 1
+        # first byte < 'A' ends the sequence line (src/gassembler.c:2649)
+        window = np.frombuffer(data, np.uint8,
+                               count=min(len(data) - p,
+                                         params.max_read_length + 64),
+                               offset=p)
+        stops = np.flatnonzero(window < 65)
+        if len(stops):
+            q = p + int(stops[0])
+        else:
+            q = p + len(window)
+            while q < len(data) and data[q] >= 65:
+                q += 1
         seq = data[p:q].decode("latin1")
         if len(seq) > params.max_read_length:
             sys.stderr.write(
