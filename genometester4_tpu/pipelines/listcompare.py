@@ -258,6 +258,13 @@ def compare_pair_mm(list1: str, list2: str, ops: list[str],
         candidates["diff2"] = (all_w[mask], freqs[mask], w1, c1, None, None,
                                False)
 
+    def _present(words_sorted, queries):
+        idx = np.searchsorted(words_sorted, queries)
+        idx_c = np.minimum(idx, max(len(words_sorted) - 1, 0))
+        if len(words_sorted) == 0:
+            return np.zeros(len(queries), bool)
+        return (idx < len(words_sorted)) & (words_sorted[idx_c] == queries)
+
     results = {}
     for op, (cw, cf, mw, mc, qw, qc, sub) in candidates.items():
         alive = np.ones(len(cw), bool)
@@ -268,11 +275,16 @@ def compare_pair_mm(list1: str, list2: str, ops: list[str],
                 sel = idx_alive[s:s + chunk]
                 neigh = canonical_u64(
                     cw[sel, None] ^ masks[None, :], k).reshape(-1)
-                cur = lookup_counts(mw, mc, neigh).astype(np.int64)
+                # gt4_word_dict_lookup returns the FOUND FLAG, not the
+                # count (the count goes into inst->value, which
+                # search_query never reads — src/word-dict.c:61-71,
+                # src/glistcompare.c:1114-1127): the neighborhood sum is
+                # the number of PRESENT neighbor words (fuzz finding)
+                cur = _present(mw, neigh).astype(np.int64)
                 if sub:
-                    qcnt = lookup_counts(qw, qc, neigh).astype(np.int64)
-                    bad = (cur > qcnt).reshape(len(sel), -1).any(axis=1)
-                    s_sum = ((cur - qcnt).reshape(len(sel), -1).sum(axis=1)
+                    qf = _present(qw, neigh).astype(np.int64)
+                    bad = (cur > qf).reshape(len(sel), -1).any(axis=1)
+                    s_sum = ((cur - qf).reshape(len(sel), -1).sum(axis=1)
                              & 0xFFFFFFFF)
                     drop = bad | (s_sum >= cutoff)
                 else:

@@ -123,3 +123,28 @@ def test_mismatch_ddiff(tmp_path, rng):
                      "-o", str(tmp_path / "tpu")]) == 0
     _cmp_out(tmp_path, "12_1_diff1.list")
     _cmp_out(tmp_path, "12_1_diff2.list")
+
+
+def test_mm_neighborhood_counts_presence_not_frequency(tmp_path):
+    """Fuzz regression: the reference's mm filter sums FOUND FLAGS, not
+    counts — gt4_word_dict_lookup returns 1/0 and search_query never
+    reads inst->value (src/word-dict.c:61-71, glistcompare.c:1114-1127).
+    A single neighbor with a huge count must NOT trip cutoff 2."""
+    import numpy as np
+    from genometester4_tpu.formats.list_format import write_list
+    from genometester4_tpu.ops.encode import string_to_word
+    from tests.conftest import run_reference
+    w1 = np.array([string_to_word("AAGTTAAG")], np.uint64)
+    write_list(str(tmp_path / "a.list"), 8, w1, np.array([4], np.uint32))
+    w2 = np.array([string_to_word("AAATTAAG")], np.uint64)
+    write_list(str(tmp_path / "b.list"), 8, w2,
+               np.array([400882038], np.uint32))
+    r = run_reference(["glistcompare", str(tmp_path / "a.list"),
+                       str(tmp_path / "b.list"), "-d", "-mm", "1", "-c",
+                       "2", "-o", str(tmp_path / "ref")])
+    assert r.returncode == 0, r.stderr
+    from genometester4_tpu.pipelines.listcompare import compare_pair_mm
+    compare_pair_mm(str(tmp_path / "a.list"), str(tmp_path / "b.list"),
+                    ["diff1"], str(tmp_path / "ours"), cutoff=2, nmm=1)
+    assert (tmp_path / "ours_8_1_diff1.list").read_bytes() == (
+        tmp_path / "ref_8_1_diff1.list").read_bytes()
