@@ -13,7 +13,7 @@ VERSION_LINE = 'glistcompare version 4.2.16 (stable)\n'
 HELP = 'glistcompare version 4.2.16 (stable)\nUsage: glistcompare INPUTLIST1 [INPUTLIST2...] METHOD [OPTIONS]\nOptions:\n    -v, --version            - print version information and exit\n    -h, --help               - print this usage screen and exit\n    -u, --union              - union of input lists\n    -i, --intersection       - intersection of input lists\n    -d, --difference         - difference of input lists\n    -dd, --double_difference - double difference of input lists\n    -du, --diff_union        - subtract first list from the second and finds difference\n    -mm, --mismatch   NUMBER - specify number of mismatches (default 0, can be used with -diff and -ddiff)\n    -c, --cutoff NUMBER      - specify frequency cut-off (default 1)\n    -o, --outputname STRING  - specify output name (default "out")\n    -r, --rule STRING        - specify rule how final frequencies are calculated (default, add, subtract, min, max, first, second, 1, 2)\n                               NOTE: rules min, subtract, first and second can only be used with finding the intersection.\n    -ss, --subset METHOD SIZE - make subset with given method (rand, rand_unique, rand_weighted_unique)\n    --seed INTEGER           - Set seed of random number generator (default uses start time)\n    --count_only             - output count of k-mers instead of k-mers themself\n    --disable_scouts         - disable list read-ahead in background thread\n    --stream                 - read input as stream (do not memory map files)\n    -D                       - increase debug level\n'
 
 
-def main(argv=None) -> int:
+def _main_impl(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
         sys.stdout.write(HELP)  # src/glistcompare.c:103-105
@@ -186,6 +186,13 @@ def main(argv=None) -> int:
             n, t = res[op]
             print(f"NUnique\t{n}\nNTotal\t{t}")
     return 0
+
+
+def main(argv=None) -> int:
+    from genometester4_tpu.utils.backend import output_heavy_compute
+    
+    with output_heavy_compute():
+        return _main_impl(argv)
 
 
 if __name__ == "__main__":

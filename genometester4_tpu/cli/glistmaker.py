@@ -14,7 +14,7 @@ VERSION_LINE = 'glistmaker version 4.2.16 (stable)\n'
 HELP = 'glistmaker version 4.2.16 (stable)\nUsage: glistmaker <INPUTFILES> [OPTIONS]\nOptions:\n    -v, --version           - print version information and exit\n    -h, --help              - print this usage screen and exit\n    -w, --wordlength NUMBER - specify index wordsize (1-32)\n    -o, --outputname STRING - specify output name (default "out")\n    --index                 - create index instead of list\n    --num_threads           - number of threads (default 8)\n    --max_tables            - maximum number of temporary tables (default 4096)\n    --table_size            - maximum size of the temporary table (default 1048576)\n    --tmpdir                - directory for temporary files (may need an order of magnitude more space than the size of the final list)\n    --stream                - read files as streams instead of memory-mapping (slower but uses less virtual memory)\n    --index                 - creates indexed list (larger and slower)\n    -D                      - increase debug level\n'
 
 
-def main(argv=None) -> int:
+def _main_impl(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     inputs: list[str] = []
     wordlength = 0
@@ -102,6 +102,13 @@ def main(argv=None) -> int:
         sys.stderr.write(f"Wrote {hdr.n_words} words (total count "
                          f"{hdr.total_count}) to {out_path}\n")
     return 0
+
+
+def main(argv=None) -> int:
+    from genometester4_tpu.utils.backend import output_heavy_compute
+    
+    with output_heavy_compute():
+        return _main_impl(argv)
 
 
 if __name__ == "__main__":

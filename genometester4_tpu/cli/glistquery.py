@@ -12,7 +12,7 @@ VERSION_LINE = 'glistquery version 4.2.16 (stable)\n'
 HELP = "glistquery version 4.2.16 (stable)\nUsage: glistquery INPUT_LIST [OPTIONS]\nOptions:\n    -v, --version             - print version information and exit\n    -h, --help                - print this usage screen and exit\n    -stat, --stats            - print statistics of the list file and exit\n    --median                  - print min/max/median/average and exit\n    --distribution MAX        - print distribution up to MAX\n    --gc                      - print average GC content of all words\n    -q, --query               - single query word\n    -f, --queryfile           - list of query words in a file\n    -s, --seqfile             - FastA/FastQ file\n    -l, --listfile            - list file made by glistmaker\n    -mm, --mismatch NUMBER    - specify number of mismatches (0-16; default 0)\n    -p, --perfectmatch NUMBER - specify number of 3' perfect matches (0-32; default 0)\n    -min, --minfreq NUMBER    - minimum frequency of the printed words (default 0)\n    -max, --maxfreq NUMBER    - maximum frequency of the printed words (default MAX_UINT)\n    --files                   - Print indexed files\n    --sequences               - Print indexed subsequences\n    --bloom                   - use bloom filter to speed up lookups\n    --all                     - in case of mismatches prints all found words\n    --locations               - in case of index print all word locations\n    --3p                      - if query is longer than word use 3' end\n    --5p                      - if query is longer than word use 5' end\n    -D                        - increase debug level\n"
 
 
-def main(argv=None) -> int:
+def _main_impl(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     lists: list[str] = []
     querystring = queryfilename = seqfilename = querylistfilename = None
@@ -233,6 +233,13 @@ def main(argv=None) -> int:
         return lq.search_list(maps[0], querylistfilename, nmm, pm3, minfreq,
                               maxfreq, printall)
     return 0
+
+
+def main(argv=None) -> int:
+    from genometester4_tpu.utils.backend import output_heavy_compute
+    
+    with output_heavy_compute():
+        return _main_impl(argv)
 
 
 if __name__ == "__main__":

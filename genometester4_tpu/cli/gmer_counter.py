@@ -18,7 +18,7 @@ VERSION_LINE = 'gmer_counter version 4.2.16 (stable)\n'
 HELP = 'gmer_counter version 4.2.16 (stable)\nUsage:\n  gmer_counter ARGUMENTS SEQUENCES...\nArguments:\n    -v | --version   - Print version information and exit\n    -db DATABASE     - SNP/KMER database file\n    -dbb DBBINARY    - binary database file\n    -w FILENAME      - write binary database to file\n    -32              - use 32-bit integeres for counts (default 16-bit)\n    --max_kmers NUM  - maximum number of kmers per node\n    --silent         - do not print kmer counts (default for index and binary database compilation)\n    --verbose        - print kmer counts (default for counting)\n    --header         - print header row\n    --total          - print the total number of kmers per node\n    --unique         - print the number of nonzero kmers per node\n    --kmers          - print individual kmer counts (default if no other output)\n    --compile_index FILENAME - Add read index to database and write it to file\n    --distribution NUM  - print kmer distribution (up to given number)\n    --num_threads    - number of worker threads (default 24)\n    --prefetch       - prefetch memory mapped files (faster on high-memory systems)\n    --recover        - recover from FastA/FastQ errors (useful for corrupted streams)\n    --stats          - print some statistics about sequence and kmers\n    -D               - increase debug level\n    -DDB             - increase database debug level\n'
 
 
-def main(argv=None) -> int:
+def _main_impl(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     db_name = dbb = wdb = index_name = None
     max_kmers_per_node = 1000000000
@@ -181,6 +181,19 @@ def main(argv=None) -> int:
             format_counts(db, counts, bool(total), bool(unique), bool(kmers),
                           distro, bool(header), out, read_index=read_index)
     return 0
+
+
+def main(argv=None) -> int:
+    import sys as _sys
+    from genometester4_tpu.utils.backend import output_heavy_compute
+    import contextlib
+    args = list(_sys.argv[1:] if argv is None else argv)
+    # count mode reads back a DB-sized table (device-friendly); index
+    # mode pulls per-hit arrays (output-heavy)
+    ctx = (output_heavy_compute() if "--compile_index" in args
+           else contextlib.nullcontext())
+    with ctx:
+        return _main_impl(args)
 
 
 if __name__ == "__main__":

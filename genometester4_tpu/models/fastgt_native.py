@@ -61,6 +61,11 @@ def get_lib() -> ctypes.CDLL:
             i8p, ctypes.c_int, i8p, ctypes.c_int, ctypes.c_int,
             i16p, i8p, i8p, i16p, i8p]
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+        lib.fgx_pair_align.restype = ctypes.c_long
+        lib.fgx_pair_align.argtypes = [
+            u64p, u32p, ctypes.c_long, u64p, u32p, ctypes.c_long,
+            u64p, u32p, u32p]
         lib.fgx_sw_traceback.restype = ctypes.c_int
         lib.fgx_sw_traceback.argtypes = [
             i16p, i8p, i8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,

@@ -11,6 +11,7 @@ identical to a single full-size pass.
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import jax.numpy as jnp
@@ -108,6 +109,125 @@ def _op_filename(out, wlen, op, nmm=0):
     raise ValueError(op)
 
 
+# ---------------------------------------------------------------------------
+# Host (numpy) twins of the device set-op kernels.
+#
+# The inputs are ALREADY SORTED, so on a CPU backend a stable merge +
+# segment reductions beat the device formulation's re-sorts by an order
+# of magnitude; on the axon dev tunnel (~0.4 MB/s device->host) they
+# beat it by far more. Semantics mirror ops/setops.py exactly (same
+# masks, same u32 wraparound); the differential suite runs both.
+# ---------------------------------------------------------------------------
+
+
+def _setops_impl() -> str:
+    impl = os.environ.get("GT4_TPU_SETOPS_IMPL", "auto")
+    if impl != "auto":
+        return impl
+    import jax
+    return "host" if jax.default_backend() in ("cpu", "axon") else "device"
+
+
+def _host_pair_align(w1, c1, w2, c2):
+    # native C merge of the two sorted streams (numpy formulations peak
+    # at ~3x the reference's zipper cost: argsort + fancy indexing +
+    # reduceats each re-stream the data; the C merge does one pass)
+    from genometester4_tpu.models.fastgt_native import get_lib
+    lib = get_lib()
+    w1 = np.ascontiguousarray(w1, np.uint64)
+    w2 = np.ascontiguousarray(w2, np.uint64)
+    c1 = np.ascontiguousarray(c1, np.uint32)
+    c2 = np.ascontiguousarray(c2, np.uint32)
+    cap = len(w1) + len(w2)
+    uw = np.empty(cap, np.uint64)
+    f1 = np.empty(cap, np.uint32)
+    f2 = np.empty(cap, np.uint32)
+    m = lib.fgx_pair_align(w1, c1, len(w1), w2, c2, len(w2), uw, f1, f2)
+    return uw[:m], f1[:m], f2[:m]
+
+
+def _host_rule_freq(f1, f2, rule, count_override):
+    if rule == setops.RULE_ADD:
+        return f1 + f2
+    if rule == setops.RULE_SUBTRACT:
+        return np.where(f1 > f2, f1 - f2, 0).astype(np.uint32)
+    if rule == setops.RULE_MIN:
+        return np.minimum(f1, f2)
+    if rule == setops.RULE_MAX:
+        return np.maximum(f1, f2)
+    if rule == setops.RULE_FIRST:
+        return f1
+    if rule == setops.RULE_SECOND:
+        return f2
+    if rule == setops.RULE_NUMBER:
+        return np.full_like(f1, np.uint32(count_override))
+    raise ValueError(f"invalid rule {rule}")
+
+
+def _host_apply_pair_op(uw, f1, f2, op, rule, cutoff, count_override,
+                        subtract):
+    co = np.uint32(cutoff)
+    ge1, ge2 = f1 >= co, f2 >= co
+    present1, present2 = f1 > 0, f2 > 0
+    if op == "union":
+        r = setops.RULE_ADD if rule == setops.RULE_DEFAULT else rule
+        freq = _host_rule_freq(f1, f2, r, count_override)
+        inc = (ge1 | ge2) & (freq != 0)
+    elif op == "intrsec":
+        r = setops.RULE_MIN if rule == setops.RULE_DEFAULT else rule
+        freq = _host_rule_freq(f1, f2, r, count_override)
+        inc = present1 & present2 & ge1 & ge2 & (freq != 0)
+    elif op == "diff1":
+        if subtract:
+            freq = f1
+            inc = present1 & present2 & (f1 == f2) & ge1
+        else:
+            r = setops.RULE_SUBTRACT if rule == setops.RULE_DEFAULT else rule
+            freq = _host_rule_freq(f1, f2, r, count_override)
+            inc = present1 & ge1 & ~ge2 & (freq != 0)
+    elif op == "diff2":
+        r = setops.RULE_SUBTRACT if rule == setops.RULE_DEFAULT else rule
+        freq = _host_rule_freq(f2, f1, r, count_override)
+        inc = present2 & ge2 & ~ge1 & (freq != 0)
+    else:
+        raise ValueError(f"unknown op {op}")
+    return uw[inc], freq[inc].astype(np.uint32)
+
+
+def _host_apply_multi_op(w_cat, c_cat, s_cat, n_lists, op, rule, cutoff,
+                         count_override):
+    order = np.argsort(w_cat, kind="stable")
+    sw = w_cat[order]
+    sc = c_cat[order].astype(np.uint32)
+    if len(sw) == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.uint32)
+    head = np.concatenate([[True], sw[1:] != sw[:-1]])
+    starts = np.flatnonzero(head)
+    uw = sw[starts]
+    f_add = np.add.reduceat(sc, starts)
+    f_min = np.minimum.reduceat(sc, starts)
+    f_max = np.maximum.reduceat(sc, starts)
+    n_src = np.diff(np.concatenate([starts, [len(sw)]]))
+    if op == "union":
+        r = setops.RULE_ADD if rule == setops.RULE_DEFAULT else rule
+    else:
+        r = setops.RULE_MIN if rule == setops.RULE_DEFAULT else rule
+    if r == setops.RULE_ADD:
+        freq = f_add
+    elif r == setops.RULE_MAX:
+        freq = f_max
+    elif r == setops.RULE_MIN:
+        freq = f_min
+    elif r == setops.RULE_NUMBER:
+        freq = np.full_like(f_add, np.uint32(count_override))
+    else:
+        raise ValueError(f"rule {r} not valid for multi-list {op}")
+    inc = freq >= np.uint32(cutoff)
+    if op == "intrsec":
+        inc &= n_src == n_lists
+    return uw[inc], freq[inc].astype(np.uint32)
+
+
 def compare_pair(list1: str, list2: str, ops: list[str], outputname: str = "out",
                  cutoff: int = 1, rule: str = "default", count_override: int = 1,
                  subtract: bool = False, count_only: bool = False,
@@ -121,6 +241,18 @@ def compare_pair(list1: str, list2: str, ops: list[str], outputname: str = "out"
     wlen = h1.word_length
     sinks = {op: _OpSink(op, _op_filename(outputname, wlen, op), wlen,
                          count_only) for op in ops}
+
+    if _setops_impl() == "host":
+        uw, f1, f2 = _host_pair_align(np.asarray(w1), np.asarray(c1),
+                                      np.asarray(w2), np.asarray(c2))
+        for op, sink in sinks.items():
+            ow, oc = _host_apply_pair_op(uw, f1, f2, op, RULES[rule],
+                                         cutoff, count_override, subtract)
+            if len(ow):
+                sink.append(ow, oc)
+            sink.close()
+        return {op: (sink.n_words, sink.total_count)
+                for op, sink in sinks.items()}
 
     n_buckets, bounds = _buckets(h1.n_words + h2.n_words, bucket_target)
     for b in range(n_buckets):
@@ -174,6 +306,22 @@ def compare_multi(paths: list[str], op: str, outputname: str = "out",
         raise ValueError("intersect_multi: only add, min, max and N rules allowed")
 
     sink = _OpSink(op, _op_filename(outputname, wlen, op), wlen, count_only)
+
+    if _setops_impl() == "host":
+        w_cat = np.concatenate([np.asarray(w) for _, w, _ in data])
+        c_cat = np.concatenate([np.asarray(c) for _, _, c in data])
+        s_cat = np.concatenate(
+            [np.full(len(w), si, np.uint32)
+             for si, (_, w, _) in enumerate(data)])
+        ow, oc = _host_apply_multi_op(
+            w_cat, c_cat, s_cat, n_lists, op, RULES.get(rule,
+                                                        setops.RULE_NUMBER),
+            cutoff, count_override)
+        if len(ow):
+            sink.append(ow, oc)
+        sink.close()
+        return {op: (sink.n_words, sink.total_count)}
+
     total = sum(h.n_words for h, _, _ in data)
     n_buckets, bounds = _buckets(total, bucket_target)
     for b in range(n_buckets):

@@ -1,0 +1,47 @@
+"""Compute-placement cost model.
+
+Device compute only pays when the compute/transfer ratio is high. The
+counting kernels read back scalars or DB-sized tables — always worth
+the accelerator. But pipelines whose OUTPUT is the dataset (set
+operations, list writing, query dumps) must pull every result byte back
+to the host; whether that pays depends on the link:
+
+* production TPU hosts (platform "tpu"): PCIe at GB/s — device wins;
+* this development tunnel (platform "axon"): ~0.4 MB/s device→host
+  (measured, BASELINE.md) — a 20M-word glistcompare spends minutes in
+  readback that the CPU backend finishes in seconds.
+
+``output_heavy_device()`` returns the device to run output-heavy
+pipelines on: the default backend normally, the in-process CPU backend
+when the default is the axon tunnel. The same jitted code runs either
+way, so results are bit-identical.
+"""
+
+from __future__ import annotations
+
+import jax
+
+
+def output_heavy_device():
+    if jax.default_backend() == "axon":
+        return jax.local_devices(backend="cpu")[0]
+    return None
+
+
+class output_heavy_compute:
+    """Context manager: route jnp/jit work to the right backend."""
+
+    def __init__(self):
+        self._dev = output_heavy_device()
+        self._ctx = None
+
+    def __enter__(self):
+        if self._dev is not None:
+            self._ctx = jax.default_device(self._dev)
+            self._ctx.__enter__()
+        return self
+
+    def __exit__(self, *exc):
+        if self._ctx is not None:
+            self._ctx.__exit__(*exc)
+        return False

@@ -744,3 +744,30 @@ int fgx_sw_traceback (const short *score, const signed char *sx,
   }
   return cnt;
 }
+
+
+/* Two-list aligned union (glistcompare host path): merge two sorted
+ * unique word arrays into (word, freq1, freq2) rows. The reference's
+ * zipper (src/glistcompare.c:843-905) reformulated as a plain merge;
+ * output capacity n1 + n2. Returns the row count. */
+long fgx_pair_align (const unsigned long long *w1, const unsigned int *c1,
+                     long n1, const unsigned long long *w2,
+                     const unsigned int *c2, long n2,
+                     unsigned long long *uw, unsigned int *f1,
+                     unsigned int *f2)
+{
+  long i = 0, j = 0, k = 0;
+  while (i < n1 && j < n2) {
+    if (w1[i] == w2[j]) {
+      uw[k] = w1[i]; f1[k] = c1[i]; f2[k] = c2[j]; i++; j++;
+    } else if (w1[i] < w2[j]) {
+      uw[k] = w1[i]; f1[k] = c1[i]; f2[k] = 0; i++;
+    } else {
+      uw[k] = w2[j]; f1[k] = 0; f2[k] = c2[j]; j++;
+    }
+    k++;
+  }
+  for (; i < n1; i++, k++) { uw[k] = w1[i]; f1[k] = c1[i]; f2[k] = 0; }
+  for (; j < n2; j++, k++) { uw[k] = w2[j]; f1[k] = 0; f2[k] = c2[j]; }
+  return k;
+}

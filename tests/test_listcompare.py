@@ -148,3 +148,51 @@ def test_mm_neighborhood_counts_presence_not_frequency(tmp_path):
                     ["diff1"], str(tmp_path / "ours"), cutoff=2, nmm=1)
     assert (tmp_path / "ours_8_1_diff1.list").read_bytes() == (
         tmp_path / "ref_8_1_diff1.list").read_bytes()
+
+
+@pytest.mark.parametrize("impl", ["host", "device"])
+def test_pair_ops_impl_twins_identical(tmp_path, rng, impl, monkeypatch):
+    """Host numpy twins == device kernels == reference, all ops+rules."""
+    monkeypatch.setenv("GT4_TPU_SETOPS_IMPL", impl)
+    import numpy as np
+    from genometester4_tpu.formats.list_format import write_list
+    from genometester4_tpu.pipelines.listcompare import compare_pair
+    w1 = np.unique(rng.integers(0, 1 << 20, size=700).astype(np.uint64))
+    w2 = np.unique(rng.integers(0, 1 << 20, size=500).astype(np.uint64))
+    c1 = rng.integers(1, 9, size=len(w1)).astype(np.uint32)
+    c2 = rng.integers(1, 9, size=len(w2)).astype(np.uint32)
+    write_list(str(tmp_path / "a.list"), 10, w1, c1)
+    write_list(str(tmp_path / "b.list"), 10, w2, c2)
+    r = run_reference(["glistcompare", str(tmp_path / "a.list"),
+                       str(tmp_path / "b.list"), "-u", "-i", "-d", "-dd",
+                       "-c", "2", "-o", str(tmp_path / "ref")])
+    assert r.returncode == 0, r.stderr
+    compare_pair(str(tmp_path / "a.list"), str(tmp_path / "b.list"),
+                 ["union", "intrsec", "diff1", "diff2"],
+                 str(tmp_path / "got"), cutoff=2)
+    for suffix in ("union", "intrsec", "0_diff1", "0_diff2"):
+        assert (tmp_path / f"got_10_{suffix}.list").read_bytes() == \
+            (tmp_path / f"ref_10_{suffix}.list").read_bytes(), (impl, suffix)
+
+
+@pytest.mark.parametrize("impl", ["host", "device"])
+def test_multi_ops_impl_twins_identical(tmp_path, rng, impl, monkeypatch):
+    monkeypatch.setenv("GT4_TPU_SETOPS_IMPL", impl)
+    import numpy as np
+    from genometester4_tpu.formats.list_format import write_list
+    from genometester4_tpu.pipelines.listcompare import compare_multi
+    paths = []
+    for i in range(3):
+        w = np.unique(rng.integers(0, 1 << 14, size=400).astype(np.uint64))
+        c = rng.integers(1, 9, size=len(w)).astype(np.uint32)
+        p = tmp_path / f"l{i}.list"
+        write_list(str(p), 9, w, c)
+        paths.append(str(p))
+    for op, flag, name in (("union", "-u", "union"),
+                           ("intrsec", "-i", "intrsec")):
+        r = run_reference(["glistcompare"] + paths + [flag, "-c", "2",
+                          "-o", str(tmp_path / f"ref{op}")])
+        assert r.returncode == 0, r.stderr
+        compare_multi(paths, op, str(tmp_path / f"got{op}"), cutoff=2)
+        assert (tmp_path / f"got{op}_9_{name}.list").read_bytes() == \
+            (tmp_path / f"ref{op}_9_{name}.list").read_bytes(), (impl, op)
