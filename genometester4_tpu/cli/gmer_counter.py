@@ -18,11 +18,51 @@ VERSION_LINE = 'gmer_counter version 4.2.16 (stable)\n'
 HELP = 'gmer_counter version 4.2.16 (stable)\nUsage:\n  gmer_counter ARGUMENTS SEQUENCES...\nArguments:\n    -v | --version   - Print version information and exit\n    -db DATABASE     - SNP/KMER database file\n    -dbb DBBINARY    - binary database file\n    -w FILENAME      - write binary database to file\n    -32              - use 32-bit integeres for counts (default 16-bit)\n    --max_kmers NUM  - maximum number of kmers per node\n    --silent         - do not print kmer counts (default for index and binary database compilation)\n    --verbose        - print kmer counts (default for counting)\n    --header         - print header row\n    --total          - print the total number of kmers per node\n    --unique         - print the number of nonzero kmers per node\n    --kmers          - print individual kmer counts (default if no other output)\n    --compile_index FILENAME - Add read index to database and write it to file\n    --distribution NUM  - print kmer distribution (up to given number)\n    --num_threads    - number of worker threads (default 24)\n    --prefetch       - prefetch memory mapped files (faster on high-memory systems)\n    --recover        - recover from FastA/FastQ errors (useful for corrupted streams)\n    --stats          - print some statistics about sequence and kmers\n    -D               - increase debug level\n    -DDB             - increase database debug level\n'
 
 
+def _dump_db(path: str, db) -> None:
+    """--dump_index: debug dump of a binary DB + read index
+    (gt4_db_dump, src/database.c:543-572)."""
+    import struct
+    with open(path, "rb") as f:
+        hdr = f.read(48)
+    major, minor = struct.unpack_from("<HH", hdr, 4)
+    version = (major << 16) | minor
+    _, node_bits, kmer_bits, count_bits = struct.unpack_from(
+        "<IIII", hdr, 8)
+    if version < 4:
+        count_bits = 16  # load-time adjustment, mirrored by our parser
+    n_nodes, n_kmers, names_size = struct.unpack_from("<QQQ", hdr, 24)
+    out = sys.stdout
+    out.write("Database layout\n")
+    out.write("  Wordsize: %u\n".replace("%u", "%d") % db.wordsize)
+    out.write("  Node bits: %d\n" % node_bits)
+    out.write("  KMer bits: %d\n" % kmer_bits)
+    out.write("  Count bits: %d\n" % count_bits)
+    out.write("  Nodes: %d\n" % n_nodes)
+    out.write("  Kmers: %d\n" % n_kmers)
+    out.write("  Names size: %d\n" % names_size)
+    out.write("  Compatibility: %s\n" % ("yes" if version < 4 else "no"))
+    idx = getattr(db, "index", None)
+    for i in range(db.n_nodes):
+        name = db.names[i].decode("latin1")
+        ks = int(db.node_kmers_start[i])
+        nk = int(db.node_nkmers[i])
+        out.write("Node %d %s kmers %d nkmers %d\n" % (i, name, ks, nk))
+        if idx is None:
+            continue
+        for j in range(nk):
+            codes = idx.kmer_reads(ks + j)
+            kmer_pos, name_pos, file_idx, dirs = idx.decode_reads(codes)
+            for k in range(len(codes)):
+                out.write("  %d %d %d %d %d\n" % (
+                    j, int(file_idx[k]), int(name_pos[k]),
+                    int(kmer_pos[k]), int(dirs[k])))
+
+
 def _main_impl(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     db_name = dbb = wdb = index_name = None
     max_kmers_per_node = 1000000000
-    silent = verbose = big = dm = 0
+    silent = verbose = big = dm = dump_index = 0
     header = total = unique = kmers = distro = 0
     stats = 0
     debug = 0
@@ -77,6 +117,13 @@ def _main_impl(argv=None) -> int:
                 pass
             elif a == "--recover":
                 pass
+            elif a == "--export_reads":
+                pass  # parsed but its action block is empty upstream
+                # (src/gmer_counter.c:217-218,430-431)
+            elif a == "--count_trie_allocations":
+                pass  # trie allocation counter (debug-only upstream)
+            elif a == "--dump_index":
+                dump_index = 1
             elif a in ("--stats", "-stat"):
                 stats = 1
             elif a == "-D":
@@ -134,6 +181,9 @@ def _main_impl(argv=None) -> int:
         if db is None:
             sys.stderr.write(f"Cannot read binary database {dbb}\n")
             return 1
+        if dump_index:
+            _dump_db(dbb, db)
+            return 0
     if db is None:
         sys.stderr.write("Nothing to do!\n" + HELP)
         return 1

@@ -321,3 +321,29 @@ def test_compile_index_streaming_tiny_slabs(tmp_path, rng):
     assert out == r.stdout.decode()
     assert (tmp_path / "ours.idx").read_bytes() == (
         tmp_path / "ref.idx").read_bytes()
+
+
+def test_dump_index_byte_identical(tmp_path, rng):
+    """--dump_index debug dump of a read-indexed binary DB
+    (gt4_db_dump, src/database.c:543-572)."""
+    w = 14
+    db_text, kmers = make_db(rng, 10, 2, w)
+    reads = make_reads(rng, kmers, w, n_reads=60, read_len=70)
+    (tmp_path / "db.txt").write_text(db_text)
+    (tmp_path / "reads.fa").write_text(reads)
+    r = run_reference(["gmer_counter", "-db", "db.txt", "--compile_index",
+                       "db.idx", "--num_threads", "1", "reads.fa"],
+                      cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    ref = run_reference(["gmer_counter", "-dbb", "db.idx", "--dump_index",
+                         "reads.fa"], cwd=tmp_path)
+    assert ref.returncode == 0, ref.stderr
+    import os
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        rc, out = run_ours(["-dbb", "db.idx", "--dump_index", "reads.fa"])
+    finally:
+        os.chdir(old)
+    assert rc == 0
+    assert out == ref.stdout.decode()
