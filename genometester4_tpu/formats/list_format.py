@@ -166,6 +166,15 @@ class ListWriter:
         self.n_words += len(words)
         self.total_count += int(np.asarray(counts, dtype=np.uint64).sum())
 
+    def append_records(self, rec_bytes: np.ndarray, n_words: int,
+                       total_count: int):
+        """Append pre-packed 12-byte records (native producers)."""
+        if n_words == 0:
+            return
+        rec_bytes.tofile(self._f)
+        self.n_words += n_words
+        self.total_count += int(total_count)
+
     def close(self) -> ListHeader:
         hdr = ListHeader(self.word_length, self.n_words, self.total_count)
         self._f.seek(0)

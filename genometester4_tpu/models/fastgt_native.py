@@ -66,6 +66,21 @@ def get_lib() -> ctypes.CDLL:
         lib.fgx_pair_align.argtypes = [
             u64p, u32p, ctypes.c_long, u64p, u32p, ctypes.c_long,
             u64p, u32p, u32p]
+        lp = ctypes.POINTER(ctypes.c_long)
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        u64sp = ctypes.POINTER(ctypes.c_ulonglong)
+        lib.fgx_pair_ops_rec.restype = None
+        lib.fgx_pair_ops_rec.argtypes = [
+            u8p, ctypes.c_long, u8p, ctypes.c_long,
+            ctypes.c_int, ctypes.c_uint, ctypes.c_uint, ctypes.c_int,
+            u8p, lp, u64sp, u8p, lp, u64sp, u8p, lp, u64sp,
+            u8p, lp, u64sp]
+        lib.fgx_pair_ops.restype = None
+        lib.fgx_pair_ops.argtypes = [
+            u64p, u32p, ctypes.c_long, u64p, u32p, ctypes.c_long,
+            ctypes.c_int, ctypes.c_uint, ctypes.c_uint, ctypes.c_int,
+            u64p, u32p, lp, u64p, u32p, lp, u64p, u32p, lp,
+            u64p, u32p, lp]
         lib.fgx_sw_traceback.restype = ctypes.c_int
         lib.fgx_sw_traceback.argtypes = [
             i16p, i8p, i8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,

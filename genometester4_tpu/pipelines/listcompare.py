@@ -243,13 +243,71 @@ def compare_pair(list1: str, list2: str, ops: list[str], outputname: str = "out"
                          count_only) for op in ops}
 
     if _setops_impl() == "host":
-        uw, f1, f2 = _host_pair_align(np.asarray(w1), np.asarray(c1),
-                                      np.asarray(w2), np.asarray(c2))
+        import ctypes
+        from genometester4_tpu.models.fastgt_native import get_lib
+        from genometester4_tpu.formats.list_format import pack_records
+        lib = get_lib()
+        RINT = {setops.RULE_DEFAULT: 0, setops.RULE_ADD: 1,
+                setops.RULE_SUBTRACT: 2, setops.RULE_MIN: 3,
+                setops.RULE_MAX: 4, setops.RULE_FIRST: 5,
+                setops.RULE_SECOND: 6, setops.RULE_NUMBER: 7}
+
+        def rec_view(w, c):
+            # .list mmaps expose 12-byte-strided record views: the raw
+            # record buffer feeds C directly, no strided gather copy.
+            # Other sources (indices) pack a temporary record stream.
+            w = np.asarray(w)
+            b = getattr(w, "base", None)
+            if (w.strides == (12,) and b is not None
+                    and getattr(b, "dtype", None) is not None
+                    and b.dtype.itemsize == 12):
+                bb = getattr(b, "base", None)
+                if (bb is not None and getattr(bb, "dtype", None)
+                        is not None and bb.dtype == np.uint8):
+                    return bb  # the raw u8 record buffer (mmap path)
+                return np.frombuffer(b.tobytes(), np.uint8)  # rare
+                # non-mmap path: one copy
+            return pack_records(np.asarray(w, np.uint64),
+                                np.asarray(c, np.uint32))
+
+        r1 = rec_view(w1, c1)
+        r2 = rec_view(w2, c2)
+        len1 = h1.n_words
+        len2 = h2.n_words
+        cap = len1 + len2
+        dummy = np.empty(12, np.uint8)
+        bufs, nptrs, sums = {}, {}, {}
+        for op in ("union", "intrsec", "diff1", "diff2"):
+            if op in sinks:
+                bufs[op] = np.empty(cap * 12, np.uint8)
+                nptrs[op] = ctypes.c_long(0)
+                sums[op] = ctypes.c_ulonglong(0)
+            else:
+                bufs[op] = dummy
+                nptrs[op] = None
+                sums[op] = ctypes.c_ulonglong(0)
+
+        def np_(op):
+            return (ctypes.byref(nptrs[op]) if nptrs[op] is not None
+                    else None)
+
+        lib.fgx_pair_ops_rec(
+            r1, len1, r2, len2,
+            RINT[RULES[rule]], cutoff, count_override, int(subtract),
+            bufs["union"], np_("union"), ctypes.byref(sums["union"]),
+            bufs["intrsec"], np_("intrsec"), ctypes.byref(sums["intrsec"]),
+            bufs["diff1"], np_("diff1"), ctypes.byref(sums["diff1"]),
+            bufs["diff2"], np_("diff2"), ctypes.byref(sums["diff2"]))
         for op, sink in sinks.items():
-            ow, oc = _host_apply_pair_op(uw, f1, f2, op, RULES[rule],
-                                         cutoff, count_override, subtract)
-            if len(ow):
-                sink.append(ow, oc)
+            m = nptrs[op].value
+            sink_bytes = bufs[op][: m * 12]
+            if sink.writer:
+                sink.writer.append_records(sink_bytes, m, sums[op].value)
+                sink.n_words += m
+                sink.total_count += int(sums[op].value)
+            else:
+                sink.n_words += m
+                sink.total_count += int(sums[op].value)
             sink.close()
         return {op: (sink.n_words, sink.total_count)
                 for op, sink in sinks.items()}

@@ -771,3 +771,180 @@ long fgx_pair_align (const unsigned long long *w1, const unsigned int *c1,
   for (; j < n2; j++, k++) { uw[k] = w2[j]; f1[k] = 0; f2[k] = c2[j]; }
   return k;
 }
+
+
+/* Fused two-list set operations (glistcompare host path): one merge
+ * pass over the sorted inputs evaluating all four outputs at once with
+ * exact include_in_* semantics (src/glistcompare.c:433-496) — the
+ * numpy mask/compaction passes over a materialized aligned table cost
+ * ~3x this. rule: 0 default 1 add 2 subtract 3 min 4 max 5 first
+ * 6 second 7 number. */
+static unsigned int fgx_rule_freq (unsigned int f1, unsigned int f2,
+                                   int rule, unsigned int override)
+{
+  switch (rule) {
+  case 1: return f1 + f2;
+  case 2: return (f1 > f2) ? f1 - f2 : 0;
+  case 3: return (f1 < f2) ? f1 : f2;
+  case 4: return (f1 > f2) ? f1 : f2;
+  case 5: return f1;
+  case 6: return f2;
+  case 7: return override;
+  default: return 0;
+  }
+}
+
+void fgx_pair_ops (const unsigned long long *w1, const unsigned int *c1,
+                   long n1, const unsigned long long *w2,
+                   const unsigned int *c2, long n2, int rule,
+                   unsigned int cutoff, unsigned int override,
+                   int subtract,
+                   unsigned long long *ouw, unsigned int *ouc, long *n_u,
+                   unsigned long long *oiw, unsigned int *oic, long *n_i,
+                   unsigned long long *d1w, unsigned int *d1c, long *n_d1,
+                   unsigned long long *d2w, unsigned int *d2c, long *n_d2)
+{
+  long i = 0, j = 0;
+  long ku = 0, ki = 0, k1 = 0, k2 = 0;
+  int r_u = (rule == 0) ? 1 : rule;   /* union default: add */
+  int r_i = (rule == 0) ? 3 : rule;   /* intersection default: min */
+  int r_d = (rule == 0) ? 2 : rule;   /* difference default: subtract */
+  while (i < n1 || j < n2) {
+    unsigned long long w;
+    unsigned int f1 = 0, f2 = 0;
+    if (i < n1 && (j >= n2 || w1[i] <= w2[j])) {
+      w = w1[i]; f1 = c1[i];
+      if (j < n2 && w2[j] == w) { f2 = c2[j]; j++; }
+      i++;
+    } else {
+      w = w2[j]; f2 = c2[j]; j++;
+    }
+    {
+      unsigned int ge1 = f1 >= cutoff, ge2 = f2 >= cutoff;
+      unsigned int p1 = f1 > 0, p2 = f2 > 0;
+      if (n_u) {
+        unsigned int fr = fgx_rule_freq (f1, f2, r_u, override);
+        if ((ge1 || ge2) && fr) { ouw[ku] = w; ouc[ku] = fr; ku++; }
+      }
+      if (n_i) {
+        unsigned int fr = fgx_rule_freq (f1, f2, r_i, override);
+        if (p1 && p2 && ge1 && ge2 && fr) {
+          oiw[ki] = w; oic[ki] = fr; ki++;
+        }
+      }
+      if (n_d1) {
+        if (subtract) {
+          if (p1 && p2 && (f1 == f2) && ge1) {
+            d1w[k1] = w; d1c[k1] = f1; k1++;
+          }
+        } else {
+          unsigned int fr = fgx_rule_freq (f1, f2, r_d, override);
+          if (p1 && ge1 && !ge2 && fr) { d1w[k1] = w; d1c[k1] = fr; k1++; }
+        }
+      }
+      if (n_d2) {
+        unsigned int fr = fgx_rule_freq (f2, f1, r_d, override);
+        if (p2 && ge2 && !ge1 && fr) { d2w[k2] = w; d2c[k2] = fr; k2++; }
+      }
+    }
+  }
+  if (n_u) *n_u = ku;
+  if (n_i) *n_i = ki;
+  if (n_d1) *n_d1 = k1;
+  if (n_d2) *n_d2 = k2;
+}
+
+
+/* Record-level variant: operates directly on the .list 12-byte record
+ * streams (u64 word + u32 count, unaligned), writing output records
+ * and per-op u64 count sums — no strided gather copies on either side. */
+static void fgx_rec_get (const unsigned char *r, long i,
+                         unsigned long long *w, unsigned int *c)
+{
+  __builtin_memcpy (w, r + 12 * i, 8);
+  __builtin_memcpy (c, r + 12 * i + 8, 4);
+}
+
+static void fgx_rec_put (unsigned char *r, long k, unsigned long long w,
+                         unsigned int c)
+{
+  __builtin_memcpy (r + 12 * k, &w, 8);
+  __builtin_memcpy (r + 12 * k + 8, &c, 4);
+}
+
+void fgx_pair_ops_rec (const unsigned char *r1, long n1,
+                       const unsigned char *r2, long n2, int rule,
+                       unsigned int cutoff, unsigned int override,
+                       int subtract,
+                       unsigned char *ou, long *n_u,
+                       unsigned long long *s_u,
+                       unsigned char *oi, long *n_i,
+                       unsigned long long *s_i,
+                       unsigned char *od1, long *n_d1,
+                       unsigned long long *s_d1,
+                       unsigned char *od2, long *n_d2,
+                       unsigned long long *s_d2)
+{
+  long i = 0, j = 0;
+  long ku = 0, ki = 0, k1 = 0, k2 = 0;
+  unsigned long long su = 0, si = 0, s1 = 0, s2 = 0;
+  int r_u = (rule == 0) ? 1 : rule;
+  int r_i = (rule == 0) ? 3 : rule;
+  int r_d = (rule == 0) ? 2 : rule;
+  unsigned long long wa = 0, wb = 0;
+  unsigned int ca = 0, cb = 0;
+  if (i < n1) fgx_rec_get (r1, i, &wa, &ca);
+  if (j < n2) fgx_rec_get (r2, j, &wb, &cb);
+  while (i < n1 || j < n2) {
+    unsigned long long w;
+    unsigned int f1 = 0, f2 = 0;
+    if (i < n1 && (j >= n2 || wa <= wb)) {
+      w = wa; f1 = ca;
+      if (j < n2 && wb == w) {
+        f2 = cb; j++;
+        if (j < n2) fgx_rec_get (r2, j, &wb, &cb);
+      }
+      i++;
+      if (i < n1) fgx_rec_get (r1, i, &wa, &ca);
+    } else {
+      w = wb; f2 = cb; j++;
+      if (j < n2) fgx_rec_get (r2, j, &wb, &cb);
+    }
+    {
+      unsigned int ge1 = f1 >= cutoff, ge2 = f2 >= cutoff;
+      unsigned int p1 = f1 > 0, p2 = f2 > 0;
+      if (n_u) {
+        unsigned int fr = fgx_rule_freq (f1, f2, r_u, override);
+        if ((ge1 || ge2) && fr) { fgx_rec_put (ou, ku, w, fr); ku++; su += fr; }
+      }
+      if (n_i) {
+        unsigned int fr = fgx_rule_freq (f1, f2, r_i, override);
+        if (p1 && p2 && ge1 && ge2 && fr) {
+          fgx_rec_put (oi, ki, w, fr); ki++; si += fr;
+        }
+      }
+      if (n_d1) {
+        if (subtract) {
+          if (p1 && p2 && (f1 == f2) && ge1) {
+            fgx_rec_put (od1, k1, w, f1); k1++; s1 += f1;
+          }
+        } else {
+          unsigned int fr = fgx_rule_freq (f1, f2, r_d, override);
+          if (p1 && ge1 && !ge2 && fr) {
+            fgx_rec_put (od1, k1, w, fr); k1++; s1 += fr;
+          }
+        }
+      }
+      if (n_d2) {
+        unsigned int fr = fgx_rule_freq (f2, f1, r_d, override);
+        if (p2 && ge2 && !ge1 && fr) {
+          fgx_rec_put (od2, k2, w, fr); k2++; s2 += fr;
+        }
+      }
+    }
+  }
+  if (n_u) { *n_u = ku; *s_u = su; }
+  if (n_i) { *n_i = ki; *s_i = si; }
+  if (n_d1) { *n_d1 = k1; *s_d1 = s1; }
+  if (n_d2) { *n_d2 = k2; *s_d2 = s2; }
+}
