@@ -19,6 +19,7 @@ import numpy as np
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
 _SRC = os.path.join(_NATIVE_DIR, "fastgt_exact.c")
+_SRC_LIST = os.path.join(_NATIVE_DIR, "listkernel.c")
 _SO = os.path.join(_NATIVE_DIR, "libfastgt_exact.so")
 
 _lock = threading.Lock()
@@ -33,7 +34,7 @@ def _build():
     # contraction exists to diverge from
     subprocess.run(
         ["cc", "-O2", "-Wall", "-shared", "-fPIC", "-fopenmp", _SRC,
-         "-o", _SO, "-lm"],
+         _SRC_LIST, "-o", _SO, "-lm"],
         check=True)
 
 
@@ -43,7 +44,8 @@ def get_lib() -> ctypes.CDLL:
         if _lib is not None:
             return _lib
         if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                or os.path.getmtime(_SO) < max(os.path.getmtime(_SRC),
+                                               os.path.getmtime(_SRC_LIST))):
             _build()
         lib = ctypes.CDLL(_SO)
         lib.fgx_init()
@@ -95,6 +97,30 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_float), ctypes.c_uint, ctypes.c_uint]
         lib.fgx_genotype_batch.argtypes = [
             u16p, ctypes.c_uint, ctypes.c_float, f32p, f64p, f64p, u32p]
+        # list-engine kernels (native/listkernel.c)
+        lib.fgx_extract_canonical.restype = ctypes.c_long
+        lib.fgx_extract_canonical.argtypes = [
+            u8p, ctypes.c_long, ctypes.c_int, u64p]
+        lib.fgx_extract_forward.restype = ctypes.c_long
+        lib.fgx_extract_forward.argtypes = [
+            u8p, ctypes.c_long, ctypes.c_int, u64p]
+        lib.fgx_count_kmers_list.restype = ctypes.c_long
+        lib.fgx_count_kmers_list.argtypes = [
+            u8p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+            ctypes.c_uint, ctypes.c_uint, u8p, u64sp]
+        lib.fgx_sort_count_emit.restype = ctypes.c_long
+        lib.fgx_sort_count_emit.argtypes = [
+            u64p, ctypes.c_long, ctypes.c_int,
+            ctypes.c_uint, ctypes.c_uint, u8p, u64sp]
+        lib.fgx_count_kmers_arrays.restype = ctypes.c_long
+        lib.fgx_count_kmers_arrays.argtypes = [
+            u8p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+            u64p, u32p, u64sp]
+        lib.fgx_merge_rec_shards.restype = ctypes.c_long
+        lib.fgx_merge_rec_shards.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_long), ctypes.c_int,
+            ctypes.c_uint, ctypes.c_uint, u8p, u64sp]
         _lib = lib
         return lib
 

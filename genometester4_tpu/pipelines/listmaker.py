@@ -22,6 +22,7 @@ byte-identical lists (SURVEY.md §7).
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -338,6 +339,150 @@ def make_index(input_files, word_length: int, output_path: str,
                      n_pos_bits)
 
 
+def _count_impl() -> str:
+    """Compute placement for the counting pipeline (CLAUDE.md cost
+    model): device when results can stay device-resident behind a fast
+    link, host-native when every record must cross a slow readback link
+    (the axon tunnel) or the default backend is already the CPU."""
+    impl = os.environ.get("GT4_TPU_COUNT_IMPL", "auto")
+    if impl != "auto":
+        return impl
+    import jax
+    return "host" if jax.default_backend() in ("cpu", "axon") else "device"
+
+
+def _make_list_host(input_files, word_length: int, output_path: str,
+                    min_count: int, max_count: int, canonical: bool,
+                    debug: int, spill_bytes: int,
+                    slab_bytes: int) -> ListHeader:
+    """Host-native glistmaker: slab streaming → C rolling extraction →
+    one LSD radix sort → run-length record emit (native/listkernel.c).
+
+    Replaces the reference's per-thread-table + k-way-merge architecture
+    (src/glistmaker.c:894-968, 1081-1154) with extract-all + sort-once;
+    beyond spill_bytes of extracted words, sorted record shards spill to
+    tmp .list files and a streaming k-way record merge produces the
+    final list (cutoffs applied only at the last stage, matching the
+    reference's final-merge cutoff semantics src/word-table.c:300-358).
+    """
+    import ctypes
+    import sys
+    import tempfile
+    import time
+
+    from genometester4_tpu.io.fasta import iter_code_slabs
+    from genometester4_tpu.models.fastgt_native import get_lib
+
+    lib = get_lib()
+    k = word_length
+    extract = (lib.fgx_extract_canonical if canonical
+               else lib.fgx_extract_forward)
+    tmpdir = os.environ.get("GT4_TPU_TMPDIR") or None
+
+    word_parts = []
+    acc_words = 0
+    tmp_files = []
+    t_parse = t_count = 0.0
+    n_words_in = 0
+
+    def sort_to_records(min_c, max_c):
+        nonlocal word_parts, acc_words
+        t0 = time.time()
+        if len(word_parts) == 1:
+            words = word_parts[0]
+        else:
+            words = (np.concatenate(word_parts) if word_parts
+                     else np.empty(0, np.uint64))
+        word_parts = []
+        acc_words = 0
+        recs = np.empty(12 * max(1, len(words)), np.uint8)
+        tot = ctypes.c_ulonglong(0)
+        m = lib.fgx_sort_count_emit(words, len(words), 2 * k,
+                                    min_c, max_c, recs, ctypes.byref(tot))
+        if m < 0:
+            raise MemoryError("native sort allocation failed")
+        dt = time.time() - t0
+        return recs, m, tot.value, dt
+
+    def spill():
+        nonlocal t_count
+        recs, m, tot, dt = sort_to_records(1, 0xFFFFFFFF)
+        t_count += dt
+        fd, tmp = tempfile.mkstemp(suffix=".list", dir=tmpdir)
+        os.close(fd)
+        with ListWriter(tmp, k) as w:
+            w.append_records(recs[: 12 * m], m, tot)
+        tmp_files.append(tmp)
+
+    for path in input_files:
+        slabs = iter_code_slabs(path, k, slab_bytes)
+        while True:
+            t0 = time.time()
+            item = next(slabs, None)
+            t_parse += time.time() - t0
+            if item is None:
+                break
+            codes, meta = item
+            t0 = time.time()
+            buf = np.empty(max(1, len(codes)), np.uint64)
+            m = extract(np.ascontiguousarray(codes), len(codes), k, buf)
+            if m:
+                word_parts.append(buf[:m])
+                acc_words += m
+            t_count += time.time() - t0
+            n_words_in += max(0, meta.total_bases - (word_length - 1)
+                              * meta.n_records)
+            if acc_words * 8 > spill_bytes:
+                spill()
+
+    t_w0 = time.time()
+    if not tmp_files:
+        recs, m, tot, dt = sort_to_records(min_count, max_count)
+        t_count += dt
+        t_w0 = time.time()
+        with ListWriter(output_path, k) as w:
+            w.append_records(recs[: 12 * m], m, tot)
+    else:
+        if acc_words:
+            spill()
+        t_w0 = time.time()
+        from genometester4_tpu.formats.list_format import read_list
+        maps = [read_list(t, mmap=True) for t in tmp_files]
+        shard_bufs = []
+        lens = (ctypes.c_long * len(maps))()
+        ptrs = (ctypes.c_void_p * len(maps))()
+        cap = 0
+        for i, (hdr, ws, cs) in enumerate(maps):
+            # raw mmap record bytes start at the header's list_start
+            raw = np.memmap(tmp_files[i], np.uint8, mode="r")[hdr.list_start:]
+            shard_bufs.append(raw)
+            ptrs[i] = raw.ctypes.data
+            lens[i] = hdr.n_words
+            cap += hdr.n_words
+        out = np.empty(12 * max(1, cap), np.uint8)
+        tot = ctypes.c_ulonglong(0)
+        m = lib.fgx_merge_rec_shards(ptrs, lens, len(maps), min_count,
+                                     max_count, out, ctypes.byref(tot))
+        with ListWriter(output_path, k) as w:
+            w.append_records(out[: 12 * m], m, tot.value)
+    t_write = time.time() - t_w0
+
+    hdr = ListHeader(word_length, w.n_words, w.total_count)
+    if debug:
+        for phase, nw, dt in (("Parse", n_words_in, t_parse),
+                              ("Count", hdr.total_count, t_count),
+                              ("Merge+write", hdr.n_words, t_write)):
+            rate = int(nw / dt) if dt > 0 else 0
+            sys.stderr.write("%s %d words at %.2f (%d words/s)\n"
+                             % (phase, nw, dt, rate))
+    for tmp in tmp_files:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+    return hdr
+
+
 def make_list(input_files, word_length: int, output_path: str,
               min_count: int = 1, max_count: int = 0xFFFFFFFF,
               chunk_bases: int = DEFAULT_CHUNK_BASES,
@@ -350,6 +495,10 @@ def make_list(input_files, word_length: int, output_path: str,
     reference's -D accounting (src/glistmaker.c:355-359), with phases
     renamed to this pipeline's stages (parse / device count / merge+write).
     """
+    if _count_impl() == "host":
+        return _make_list_host(input_files, word_length, output_path,
+                               min_count, max_count, canonical, debug,
+                               spill_bytes, slab_bytes)
     import os
     import sys
     import tempfile
