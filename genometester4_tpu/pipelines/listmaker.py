@@ -372,7 +372,9 @@ def _make_list_host(input_files, word_length: int, output_path: str,
 
     from genometester4_tpu.io.fasta import iter_code_slabs
     from genometester4_tpu.models.fastgt_native import get_lib
+    from genometester4_tpu.utils.backend import disable_numpy_thp
 
+    disable_numpy_thp()
     lib = get_lib()
     k = word_length
     extract = (lib.fgx_extract_canonical if canonical
@@ -384,10 +386,10 @@ def _make_list_host(input_files, word_length: int, output_path: str,
     tmp_files = []
     t_parse = t_count = 0.0
     n_words_in = 0
+    EMIT_CHUNK = 1 << 20   # records per emitted chunk (12 MB buffer)
 
-    def sort_to_records(min_c, max_c):
+    def take_words():
         nonlocal word_parts, acc_words
-        t0 = time.time()
         if len(word_parts) == 1:
             words = word_parts[0]
         else:
@@ -395,24 +397,61 @@ def _make_list_host(input_files, word_length: int, output_path: str,
                      else np.empty(0, np.uint64))
         word_parts = []
         acc_words = 0
-        recs = np.empty(12 * max(1, len(words)), np.uint8)
-        tot = ctypes.c_ulonglong(0)
-        m = lib.fgx_sort_count_emit(words, len(words), 2 * k,
-                                    min_c, max_c, recs, ctypes.byref(tot))
-        if m < 0:
+        return np.ascontiguousarray(words, np.uint64)
+
+    def stream_emit(writer, words, min_c, max_c):
+        """MSD-bucketed sort with chunked run emission: sorted records
+        stream straight into the writer, never materializing the full
+        record array (native fgx_sce_*). A writer thread overlaps the
+        file write with the next chunk's bucket sorts (ctypes releases
+        the GIL inside fgx_sce_next, write(2) releases it too)."""
+        import queue
+        import threading
+
+        h = lib.fgx_sce_start(words, len(words), 2 * k)
+        if not h:
             raise MemoryError("native sort allocation failed")
-        dt = time.time() - t0
-        return recs, m, tot.value, dt
+        bufs = [np.empty(12 * EMIT_CHUNK, np.uint8) for _ in range(2)]
+        tot = ctypes.c_ulonglong(0)
+        q = queue.Queue()
+        free = queue.Queue()
+        for i in range(len(bufs)):
+            free.put(i)
+
+        def pump():
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                bi, m, t = item
+                writer.append_records(bufs[bi][: 12 * m], m, t)
+                free.put(bi)
+
+        th = threading.Thread(target=pump, daemon=True)
+        th.start()
+        try:
+            while True:
+                bi = free.get()      # blocks until a buffer is writable
+                m = lib.fgx_sce_next(h, min_c, max_c, bufs[bi], EMIT_CHUNK,
+                                     ctypes.byref(tot))
+                if m <= 0:
+                    break
+                q.put((bi, m, tot.value))
+        finally:
+            q.put(None)
+            th.join()
+            lib.fgx_sce_free(h)
 
     def spill():
         nonlocal t_count
-        recs, m, tot, dt = sort_to_records(1, 0xFFFFFFFF)
-        t_count += dt
+        t0 = time.time()
+        words = take_words()
         fd, tmp = tempfile.mkstemp(suffix=".list", dir=tmpdir)
         os.close(fd)
         with ListWriter(tmp, k) as w:
-            w.append_records(recs[: 12 * m], m, tot)
+            stream_emit(w, words, 1, 0xFFFFFFFF)
         tmp_files.append(tmp)
+        t_count += time.time() - t0
 
     for path in input_files:
         slabs = iter_code_slabs(path, k, slab_bytes)
@@ -437,11 +476,9 @@ def _make_list_host(input_files, word_length: int, output_path: str,
 
     t_w0 = time.time()
     if not tmp_files:
-        recs, m, tot, dt = sort_to_records(min_count, max_count)
-        t_count += dt
-        t_w0 = time.time()
+        words = take_words()
         with ListWriter(output_path, k) as w:
-            w.append_records(recs[: 12 * m], m, tot)
+            stream_emit(w, words, min_count, max_count)
     else:
         if acc_words:
             spill()

@@ -28,6 +28,31 @@ def output_heavy_device():
     return None
 
 
+_thp_disabled = False
+
+
+def disable_numpy_thp():
+    """Turn off numpy's MADV_HUGEPAGE on large allocations.
+
+    Measured on this VM class: first-touch of a 400 MB buffer costs
+    1.5 s with transparent-huge-page madvise but 0.2 s with 4 KB pages
+    (THP zeroing/compaction is slow under virtualization). The host
+    counting pipelines allocate multi-hundred-MB buffers per run, so the
+    madvise is pure loss there. Safe to call any time; idempotent."""
+    global _thp_disabled
+    if _thp_disabled:
+        return
+    try:
+        try:
+            from numpy._core import multiarray as _ma
+        except ImportError:                      # numpy < 2
+            from numpy.core import multiarray as _ma
+        _ma._set_madvise_hugepage(False)
+    except Exception:
+        pass
+    _thp_disabled = True
+
+
 class output_heavy_compute:
     """Context manager: route jnp/jit work to the right backend."""
 

@@ -27,6 +27,77 @@
 #define RADIX_MASK (RADIX_SIZE - 1)
 
 /* ------------------------------------------------------------------ */
+/* FASTA slab parse: raw bytes -> 2-bit codes                          */
+/* ------------------------------------------------------------------ */
+
+/* Byte->code table: ACGTUacgtu map to 0..3, everything else is 255
+ * (invalid: resets the k-mer window, matching src/fasta.c:258-264 and
+ * the numpy NUCL_CODES twin in ops/encode.py). */
+static unsigned char nucl_codes[256];
+static int nucl_init_done = 0;
+
+static void nucl_init (void)
+{
+  if (nucl_init_done) return;
+  memset (nucl_codes, 255, 256);
+  nucl_codes['A'] = nucl_codes['a'] = 0;
+  nucl_codes['C'] = nucl_codes['c'] = 1;
+  nucl_codes['G'] = nucl_codes['g'] = 2;
+  nucl_codes['T'] = nucl_codes['t'] = 3;
+  nucl_codes['U'] = nucl_codes['u'] = 3;
+  nucl_init_done = 1;
+}
+
+/* Parse one newline-cut FASTA fragment whose leading lines may continue
+ * a record opened in a previous slab (exact twin of the vectorized
+ * _parse_fasta_slab in io/fasta.py; shared semantics: empty lines are
+ * dropped, one trailing \r per line is stripped, '>' only opens a
+ * header at line start, records are separated by one 255 sentinel with
+ * none after the final record, pre-header junk is ignored when not
+ * continuing).  codes must have capacity n + 1.  Returns the number of
+ * codes written, or -1 when the fragment contains no '>' line and no
+ * record is being continued (caller raises). */
+long fgx_parse_fasta_slab (const unsigned char *data, long n,
+                           int continuing, unsigned char *codes,
+                           long *n_headers, long *total_bases,
+                           long *count_n)
+{
+  nucl_init ();
+  long i = 0, m = 0;
+  long headers = 0, bases = 0, ncnt = 0;
+  int open_record = continuing ? 1 : 0;
+  while (i < n) {
+    /* find line end */
+    long e = i;
+    while (e < n && data[e] != '\n') e++;
+    long line_end = e;
+    if (line_end > i && data[line_end - 1] == '\r') line_end--;
+    if (line_end > i) {                 /* skip empty lines */
+      if (data[i] == '>') {
+        if (open_record) codes[m++] = 255;
+        headers++;
+        open_record = 1;
+      } else if (open_record) {
+        long j;
+        for (j = i; j < line_end; j++) {
+          unsigned char b = data[j];
+          codes[m++] = nucl_codes[b];
+          if (b == 'N' || b == 'n') ncnt++;
+        }
+        bases += line_end - i;
+      }
+      /* pre-header lines with no carried record: dropped */
+    }
+    i = e + 1;
+  }
+  if (headers == 0 && !continuing) return -1;
+  *n_headers = headers;
+  *total_bases = bases;
+  *count_n = ncnt;
+  return m;
+}
+
+/* ------------------------------------------------------------------ */
 /* extraction: 2-bit codes -> canonical k-mer words                    */
 /* ------------------------------------------------------------------ */
 
@@ -87,8 +158,9 @@ unsigned long long *fgx_radix_sort_u64 (unsigned long long *a,
   int n_digits = (key_bits + RADIX_BITS - 1) / RADIX_BITS;
   if (n_digits > 6) n_digits = 6;           /* 66 bits capacity */
   if (n_digits < 1) n_digits = 1;
-  /* one histogram pass for every digit at once */
-  static long hist[6][RADIX_SIZE];
+  /* one histogram pass for every digit at once (stack-local: callers
+   * may sort independent buckets from parallel threads) */
+  long hist[6][RADIX_SIZE];
   memset (hist, 0, n_digits * RADIX_SIZE * sizeof (long));
   long i;
   for (i = 0; i < n; i++) {
@@ -156,6 +228,124 @@ long fgx_emit_runs (const unsigned long long *sorted, long n,
   }
   *total = tot;
   return m;
+}
+
+/* ------------------------------------------------------------------ */
+/* MSD-bucketed sort with streaming run emission                       */
+/* ------------------------------------------------------------------ */
+
+/* The flat LSD sort above streams the full array every pass; for large
+ * n an MSD first pass into ~n/32k buckets makes every later pass
+ * L2-resident, and because bucket order IS word order, runs can be
+ * emitted (and written to the output file) bucket by bucket — no
+ * full-size record buffer, no second pass over 600 MB of records.
+ * This is also the natural OpenMP grain for multi-core hosts: buckets
+ * are independent and ordered, so parallel sorting with in-order
+ * retirement keeps the output byte-stable at any thread count. */
+
+typedef struct {
+  unsigned long long *words;    /* caller's buffer (clobbered) */
+  unsigned long long *tmp;      /* MSD-distributed copy (owned) */
+  long n;
+  int key_bits;
+  int msd_bits;                 /* top bits used for bucketing */
+  long n_buckets;
+  long *bucket_off;             /* [n_buckets + 1] offsets into tmp */
+  long cur_bucket;
+  long cur_pos;                 /* emit cursor within current bucket */
+  int cur_sorted;               /* current bucket already sorted? */
+} FgxSce;
+
+void *fgx_sce_start (unsigned long long *words, long n, int key_bits)
+{
+  FgxSce *st = (FgxSce *) calloc (1, sizeof (FgxSce));
+  if (!st) return NULL;
+  st->words = words;
+  st->n = n;
+  st->key_bits = key_bits;
+  /* target ~32k keys per bucket (256 KB: inner sorts run in L2) */
+  int b = 0;
+  while ((n >> b) > 32768 && b < key_bits && b < 14) b++;
+  if (b < 1) b = 1;
+  st->msd_bits = b;
+  st->n_buckets = 1L << b;
+  st->tmp = (unsigned long long *)
+    malloc ((size_t) (n > 0 ? n : 1) * sizeof (unsigned long long));
+  st->bucket_off = (long *) calloc (st->n_buckets + 1, sizeof (long));
+  if (!st->tmp || !st->bucket_off) {
+    free (st->tmp); free (st->bucket_off); free (st);
+    return NULL;
+  }
+  int sh = key_bits - b;
+  long i;
+  long *cnt = (long *) calloc (st->n_buckets, sizeof (long));
+  for (i = 0; i < n; i++) cnt[words[i] >> sh]++;
+  long acc = 0;
+  for (i = 0; i < st->n_buckets; i++) {
+    st->bucket_off[i] = acc;
+    acc += cnt[i];
+    cnt[i] = st->bucket_off[i];
+  }
+  st->bucket_off[st->n_buckets] = acc;
+  for (i = 0; i < n; i++) st->tmp[cnt[words[i] >> sh]++] = words[i];
+  free (cnt);
+  st->cur_bucket = 0;
+  st->cur_pos = 0;
+  st->cur_sorted = 0;
+  return st;
+}
+
+/* Emit up to cap_records records into buf; returns the record count
+ * (0 = exhausted).  chunk_total gets the sum of the emitted counts. */
+long fgx_sce_next (void *handle, unsigned int min_count,
+                   unsigned int max_count, unsigned char *buf,
+                   long cap_records, unsigned long long *chunk_total)
+{
+  FgxSce *st = (FgxSce *) handle;
+  long m = 0;
+  unsigned long long tot = 0;
+  while (st->cur_bucket < st->n_buckets && m < cap_records) {
+    long a = st->bucket_off[st->cur_bucket];
+    long z = st->bucket_off[st->cur_bucket + 1];
+    unsigned long long *seg = st->tmp + a;
+    long len = z - a;
+    if (len == 0) { st->cur_bucket++; st->cur_sorted = 0; continue; }
+    if (!st->cur_sorted) {
+      /* scratch: the matching segment of the caller's words buffer */
+      unsigned long long *sorted = fgx_radix_sort_u64 (
+        seg, st->words + a, len, st->key_bits - st->msd_bits);
+      if (sorted != seg)
+        memcpy (seg, sorted, (size_t) len * sizeof (unsigned long long));
+      st->cur_sorted = 1;
+      st->cur_pos = 0;
+    }
+    long i = st->cur_pos;
+    while (i < len && m < cap_records) {
+      unsigned long long w = seg[i];
+      long j = i + 1;
+      while (j < len && seg[j] == w) j++;
+      unsigned int c = (unsigned int) (j - i);
+      if (c >= min_count && c <= max_count) {
+        put_rec (buf, m, w, c);
+        tot += c;
+        m++;
+      }
+      i = j;
+    }
+    st->cur_pos = i;
+    if (i >= len) { st->cur_bucket++; st->cur_sorted = 0; }
+  }
+  *chunk_total = tot;
+  return m;
+}
+
+void fgx_sce_free (void *handle)
+{
+  FgxSce *st = (FgxSce *) handle;
+  if (!st) return;
+  free (st->tmp);
+  free (st->bucket_off);
+  free (st);
 }
 
 /* ------------------------------------------------------------------ */
