@@ -124,8 +124,8 @@ def _setops_impl() -> str:
     impl = os.environ.get("GT4_TPU_SETOPS_IMPL", "auto")
     if impl != "auto":
         return impl
-    import jax
-    return "host" if jax.default_backend() in ("cpu", "axon") else "device"
+    from genometester4_tpu.utils.backend import prefer_host_for_output_heavy
+    return "host" if prefer_host_for_output_heavy() else "device"
 
 
 def _host_pair_align(w1, c1, w2, c2):

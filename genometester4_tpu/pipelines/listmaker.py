@@ -347,8 +347,8 @@ def _count_impl() -> str:
     impl = os.environ.get("GT4_TPU_COUNT_IMPL", "auto")
     if impl != "auto":
         return impl
-    import jax
-    return "host" if jax.default_backend() in ("cpu", "axon") else "device"
+    from genometester4_tpu.utils.backend import prefer_host_for_output_heavy
+    return "host" if prefer_host_for_output_heavy() else "device"
 
 
 def _make_list_host(input_files, word_length: int, output_path: str,

@@ -19,11 +19,39 @@ way, so results are bit-identical.
 
 from __future__ import annotations
 
+import os
+
 import jax
 
 
+def accelerator_link_is_slow() -> bool:
+    """True when the accelerator sits behind the axon dev tunnel.
+
+    The tunnel registers under backend key "axon" but reports platform
+    "tpu" (so ``jax.default_backend()`` cannot distinguish it from a
+    real PCIe-attached chip); its PJRT ``platform_version`` string
+    carries the plugin identity. ``GT4_TPU_LINK=fast|slow`` overrides.
+    """
+    ov = os.environ.get("GT4_TPU_LINK")
+    if ov == "fast":
+        return False
+    if ov == "slow":
+        return True
+    try:
+        d = jax.devices()[0]
+        return "axon" in getattr(d.client, "platform_version", "")
+    except Exception:
+        return False
+
+
+def prefer_host_for_output_heavy() -> bool:
+    """Output-heavy pipelines run on the host when there is no
+    accelerator at all, or the accelerator's readback link is slow."""
+    return jax.default_backend() == "cpu" or accelerator_link_is_slow()
+
+
 def output_heavy_device():
-    if jax.default_backend() == "axon":
+    if jax.default_backend() != "cpu" and accelerator_link_is_slow():
         return jax.local_devices(backend="cpu")[0]
     return None
 
