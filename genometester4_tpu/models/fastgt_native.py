@@ -134,6 +134,17 @@ def get_lib() -> ctypes.CDLL:
         lib.fgx_count_kmers_arrays.argtypes = [
             u8p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
             u64p, u32p, u64sp]
+        lib.fgx_pair_stream_start.restype = ctypes.c_void_p
+        lib.fgx_pair_stream_start.argtypes = [
+            u8p, ctypes.c_long, u8p, ctypes.c_long,
+            ctypes.c_int, ctypes.c_uint, ctypes.c_uint, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.fgx_pair_stream_next.restype = ctypes.c_int
+        lib.fgx_pair_stream_next.argtypes = [
+            ctypes.c_void_p, u8p, u8p, u8p, u8p, ctypes.c_long, i64p, u64p]
+        lib.fgx_pair_stream_free.restype = None
+        lib.fgx_pair_stream_free.argtypes = [ctypes.c_void_p]
         lib.fgx_merge_rec_shards.restype = ctypes.c_long
         lib.fgx_merge_rec_shards.argtypes = [
             ctypes.POINTER(ctypes.c_void_p),

@@ -243,9 +243,13 @@ def compare_pair(list1: str, list2: str, ops: list[str], outputname: str = "out"
                          count_only) for op in ops}
 
     if _setops_impl() == "host":
-        import ctypes
-        from genometester4_tpu.models.fastgt_native import get_lib
+        import queue
+        import threading
+
         from genometester4_tpu.formats.list_format import pack_records
+        from genometester4_tpu.models.fastgt_native import get_lib
+        from genometester4_tpu.utils.backend import disable_numpy_thp
+        disable_numpy_thp()
         lib = get_lib()
         RINT = {setops.RULE_DEFAULT: 0, setops.RULE_ADD: 1,
                 setops.RULE_SUBTRACT: 2, setops.RULE_MIN: 3,
@@ -272,42 +276,64 @@ def compare_pair(list1: str, list2: str, ops: list[str], outputname: str = "out"
 
         r1 = rec_view(w1, c1)
         r2 = rec_view(w2, c2)
-        len1 = h1.n_words
-        len2 = h2.n_words
-        cap = len1 + len2
+        # Chunked resumable zipper (native fgx_pair_stream_*): output
+        # records stream to the writers in CHUNK-record pieces through a
+        # writer thread, so the file writes overlap the next chunk's
+        # merge and no output-sized buffer is ever materialized
+        # (the reference's one-pass-4-outputs structure,
+        # src/glistcompare.c:843-905, with the write moved off-thread).
+        CHUNK = 1 << 20
+        ALL_OPS = ("union", "intrsec", "diff1", "diff2")
+        active = [op in sinks for op in ALL_OPS]
+        st = lib.fgx_pair_stream_start(
+            r1, h1.n_words, r2, h2.n_words, RINT[RULES[rule]], cutoff,
+            count_override, int(subtract), *[int(a) for a in active])
+        if not st:
+            raise MemoryError("pair stream allocation failed")
         dummy = np.empty(12, np.uint8)
-        bufs, nptrs, sums = {}, {}, {}
-        for op in ("union", "intrsec", "diff1", "diff2"):
-            if op in sinks:
-                bufs[op] = np.empty(cap * 12, np.uint8)
-                nptrs[op] = ctypes.c_long(0)
-                sums[op] = ctypes.c_ulonglong(0)
-            else:
-                bufs[op] = dummy
-                nptrs[op] = None
-                sums[op] = ctypes.c_ulonglong(0)
+        bufsets = []
+        for _ in range(2):
+            bufsets.append([np.empty(12 * CHUNK, np.uint8) if a else dummy
+                            for a in active])
+        n_out = np.zeros(4, np.int64)
+        sums = np.zeros(4, np.uint64)
+        q = queue.Queue()
+        free = queue.Queue()
+        for i in range(len(bufsets)):
+            free.put(i)
 
-        def np_(op):
-            return (ctypes.byref(nptrs[op]) if nptrs[op] is not None
-                    else None)
+        def pump():
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                si, counts, csums = item
+                for t, op in enumerate(ALL_OPS):
+                    if active[t] and counts[t]:
+                        sink = sinks[op]
+                        m = int(counts[t])
+                        if sink.writer:
+                            sink.writer.append_records(
+                                bufsets[si][t][: 12 * m], m, int(csums[t]))
+                        sink.n_words += m
+                        sink.total_count += int(csums[t])
+                free.put(si)
 
-        lib.fgx_pair_ops_rec(
-            r1, len1, r2, len2,
-            RINT[RULES[rule]], cutoff, count_override, int(subtract),
-            bufs["union"], np_("union"), ctypes.byref(sums["union"]),
-            bufs["intrsec"], np_("intrsec"), ctypes.byref(sums["intrsec"]),
-            bufs["diff1"], np_("diff1"), ctypes.byref(sums["diff1"]),
-            bufs["diff2"], np_("diff2"), ctypes.byref(sums["diff2"]))
+        th = threading.Thread(target=pump, daemon=True)
+        th.start()
+        try:
+            more = 1
+            while more:
+                si = free.get()
+                bs = bufsets[si]
+                more = lib.fgx_pair_stream_next(
+                    st, bs[0], bs[1], bs[2], bs[3], CHUNK, n_out, sums)
+                q.put((si, n_out.copy(), sums.copy()))
+        finally:
+            q.put(None)
+            th.join()
+            lib.fgx_pair_stream_free(st)
         for op, sink in sinks.items():
-            m = nptrs[op].value
-            sink_bytes = bufs[op][: m * 12]
-            if sink.writer:
-                sink.writer.append_records(sink_bytes, m, sums[op].value)
-                sink.n_words += m
-                sink.total_count += int(sums[op].value)
-            else:
-                sink.n_words += m
-                sink.total_count += int(sums[op].value)
             sink.close()
         return {op: (sink.n_words, sink.total_count)
                 for op, sink in sinks.items()}

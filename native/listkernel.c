@@ -435,6 +435,142 @@ long fgx_count_kmers_arrays (const unsigned char *codes, long n, int k,
 }
 
 /* ------------------------------------------------------------------ */
+/* resumable two-list set operations (glistcompare host path)          */
+/* ------------------------------------------------------------------ */
+
+/* Chunked twin of fastgt_exact.c:fgx_pair_ops_rec (same include_in_*
+ * semantics, src/glistcompare.c:433-496): the zipper suspends whenever
+ * an active op's chunk buffer fills, so outputs stream to the .list
+ * writers in bounded memory and the file writes overlap the next
+ * chunk's merge work (the Python side double-buffers). */
+
+static void rec_get (const unsigned char *r, long i,
+                     unsigned long long *w, unsigned int *c)
+{
+  __builtin_memcpy (w, r + 12 * i, 8);
+  __builtin_memcpy (c, r + 12 * i + 8, 4);
+}
+
+typedef struct {
+  const unsigned char *r1, *r2;
+  long n1, n2, i, j;
+  int r_u, r_i, r_d;
+  unsigned int cutoff, override_;
+  int subtract;
+  int active[4];                /* union, intrsec, diff1, diff2 */
+} FgxPairStream;
+
+static unsigned int pair_rule_freq (unsigned int f1, unsigned int f2,
+                                    int rule, unsigned int override_)
+{
+  switch (rule) {
+  case 1: return f1 + f2;
+  case 2: return (f1 > f2) ? f1 - f2 : 0;
+  case 3: return (f1 < f2) ? f1 : f2;
+  case 4: return (f1 > f2) ? f1 : f2;
+  case 5: return f1;
+  case 6: return f2;
+  case 7: return override_;
+  default: return 0;
+  }
+}
+
+void *fgx_pair_stream_start (const unsigned char *r1, long n1,
+                             const unsigned char *r2, long n2, int rule,
+                             unsigned int cutoff, unsigned int override_,
+                             int subtract, int a_u, int a_i, int a_d1,
+                             int a_d2)
+{
+  FgxPairStream *st = (FgxPairStream *) calloc (1, sizeof (*st));
+  if (!st) return NULL;
+  st->r1 = r1; st->n1 = n1; st->r2 = r2; st->n2 = n2;
+  st->r_u = (rule == 0) ? 1 : rule;
+  st->r_i = (rule == 0) ? 3 : rule;
+  st->r_d = (rule == 0) ? 2 : rule;
+  st->cutoff = cutoff; st->override_ = override_; st->subtract = subtract;
+  st->active[0] = a_u; st->active[1] = a_i;
+  st->active[2] = a_d1; st->active[3] = a_d2;
+  return st;
+}
+
+/* Fills the active op buffers with up to cap records each.  n_out[4]
+ * gets per-op record counts, sums[4] per-op count sums.  Returns 1
+ * while input remains, 0 when exhausted. */
+int fgx_pair_stream_next (void *handle, unsigned char *bu,
+                          unsigned char *bi, unsigned char *bd1,
+                          unsigned char *bd2, long cap, long *n_out,
+                          unsigned long long *sums)
+{
+  FgxPairStream *st = (FgxPairStream *) handle;
+  unsigned char *bufs[4] = { bu, bi, bd1, bd2 };
+  long k_[4] = { 0, 0, 0, 0 };
+  unsigned long long s_[4] = { 0, 0, 0, 0 };
+  long i = st->i, j = st->j;
+  const unsigned char *r1 = st->r1, *r2 = st->r2;
+  long n1 = st->n1, n2 = st->n2;
+  unsigned int cutoff = st->cutoff;
+  while (i < n1 || j < n2) {
+    /* suspend when any active buffer is full */
+    if ((st->active[0] && k_[0] >= cap) || (st->active[1] && k_[1] >= cap)
+        || (st->active[2] && k_[2] >= cap)
+        || (st->active[3] && k_[3] >= cap))
+      break;
+    unsigned long long w, wa = 0, wb = 0;
+    unsigned int f1 = 0, f2 = 0, ca = 0, cb = 0;
+    if (i < n1) rec_get (r1, i, &wa, &ca);
+    if (j < n2) rec_get (r2, j, &wb, &cb);
+    if (i < n1 && (j >= n2 || wa <= wb)) {
+      w = wa; f1 = ca;
+      if (j < n2 && wb == w) { f2 = cb; j++; }
+      i++;
+    } else {
+      w = wb; f2 = cb; j++;
+    }
+    {
+      unsigned int ge1 = f1 >= cutoff, ge2 = f2 >= cutoff;
+      unsigned int p1 = f1 > 0, p2 = f2 > 0;
+      if (st->active[0]) {
+        unsigned int fr = pair_rule_freq (f1, f2, st->r_u, st->override_);
+        if ((ge1 || ge2) && fr) {
+          put_rec (bufs[0], k_[0], w, fr); k_[0]++; s_[0] += fr;
+        }
+      }
+      if (st->active[1]) {
+        unsigned int fr = pair_rule_freq (f1, f2, st->r_i, st->override_);
+        if (p1 && p2 && ge1 && ge2 && fr) {
+          put_rec (bufs[1], k_[1], w, fr); k_[1]++; s_[1] += fr;
+        }
+      }
+      if (st->active[2]) {
+        if (st->subtract) {
+          if (p1 && p2 && (f1 == f2) && ge1) {
+            put_rec (bufs[2], k_[2], w, f1); k_[2]++; s_[2] += f1;
+          }
+        } else {
+          unsigned int fr = pair_rule_freq (f1, f2, st->r_d, st->override_);
+          if (p1 && ge1 && !ge2 && fr) {
+            put_rec (bufs[2], k_[2], w, fr); k_[2]++; s_[2] += fr;
+          }
+        }
+      }
+      if (st->active[3]) {
+        unsigned int fr = pair_rule_freq (f2, f1, st->r_d, st->override_);
+        if (p2 && ge2 && !ge1 && fr) {
+          put_rec (bufs[3], k_[3], w, fr); k_[3]++; s_[3] += fr;
+        }
+      }
+    }
+  }
+  st->i = i; st->j = j;
+  int more = (i < n1 || j < n2);
+  int t;
+  for (t = 0; t < 4; t++) { n_out[t] = k_[t]; sums[t] = s_[t]; }
+  return more;
+}
+
+void fgx_pair_stream_free (void *handle) { free (handle); }
+
+/* ------------------------------------------------------------------ */
 /* k-way merge of sorted (word, count) record shards                   */
 /* ------------------------------------------------------------------ */
 
