@@ -89,6 +89,34 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int, ctypes.c_uint, ctypes.c_uint, ctypes.c_int,
             u64p, u32p, lp, u64p, u32p, lp, u64p, u32p, lp,
             u64p, u32p, lp]
+        i64p_ = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.fgx_call_batch.restype = None
+        lib.fgx_call_batch.argtypes = [
+            i64p_, i64p_, i32p, ctypes.c_long, ctypes.c_int, i8p,
+            ctypes.c_double, ctypes.c_double, ctypes.c_long,
+            ctypes.c_long, ctypes.c_double, ctypes.c_long, ctypes.c_int,
+            ctypes.c_double, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+            i32p, i32p, i32p, f64p, f64p, f64p, f64p,
+            i32p, i32p, f64p, f64p, f64p, f64p]
+        lib.fgx_group_merge.restype = ctypes.c_long
+        lib.fgx_group_merge.argtypes = [
+            u64p, u64p, i64p_, i64p_, i64p_, ctypes.c_long]
+        lib.fgx_gapped_alignment.restype = ctypes.c_long
+        lib.fgx_gapped_alignment.argtypes = [
+            i8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, i16p,
+            ctypes.c_long, ctypes.c_int, i32p, ctypes.c_int,
+            i32p, i32p, i16p, i64p_, i64p_]
+        lib.fgx_sw_align_region8.restype = ctypes.c_long
+        lib.fgx_sw_align_region8.argtypes = [
+            i8p, ctypes.c_int, i8p, ctypes.c_long, ctypes.c_int, i32p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_long, i32p, i32p, ctypes.POINTER(ctypes.c_int)]
+        lib.fgx_sw_align_region.restype = ctypes.c_long
+        lib.fgx_sw_align_region.argtypes = [
+            i8p, ctypes.c_int, i8p, ctypes.c_long, ctypes.c_int, i32p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_long, i32p, i32p, ctypes.POINTER(ctypes.c_int),
+            i16p, i8p, i8p, i16p, i8p, i32p, i32p]
         lib.fgx_sw_traceback.restype = ctypes.c_int
         lib.fgx_sw_traceback.argtypes = [
             i16p, i8p, i8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,

@@ -428,8 +428,35 @@ def align_reads(ref_codes: np.ndarray, reads: list, params: Params):
         score, sx, sy = sw_matrices_batch_device(
             ref_codes.astype(np.int8), batch)
     else:
-        score, sx, sy = swalign.sw_matrices_batch(
-            ref_codes.astype(np.int8), batch)
+        # host: one fused C call per region (fill + traceback + filters
+        # + row build, native fgx_sw_align_region) — the scratch matrix
+        # is reused read-to-read so the DP stays L2-resident, and the
+        # 20k-per-run ctypes round-trips of the per-read traceback path
+        # are gone
+        import ctypes
+
+        from genometester4_tpu.models.fastgt_native import get_lib
+        lib = get_lib()
+        B = len(reads)
+        read_lens = np.array([len(r.nucl) for r in reads], np.int32)
+        cap_rows = min(B, MAX_ALIGNED_READS)
+        rows = np.empty((max(1, cap_rows), n), np.int32)
+        keep_idx = np.empty(max(1, cap_rows), np.int32)
+        hit_cap = ctypes.c_int(0)
+        kept = lib.fgx_sw_align_region8(
+            np.ascontiguousarray(ref_codes, np.int8), n, batch, B, m_cap,
+            read_lens, params.max_divergent, params.min_align_len,
+            MAX_ENDGAP, MAX_GAPS, MAX_ALIGNED_READS, rows, keep_idx,
+            ctypes.byref(hit_cap))
+        if kept < 0:
+            raise MemoryError("sw align scratch allocation failed")
+        if hit_cap.value:
+            sys.stderr.write(
+                "align_reads_to_reference: maximum number of aligned reads "
+                "(%u) achieved\n" % MAX_ALIGNED_READS)
+        a_reads = [reads[keep_idx[i]] for i in range(kept)]
+        return a_reads, (rows[:kept].copy() if kept
+                         else np.zeros((0, n), np.int32))
     a_rows = []
     a_reads = []
     for i, r in enumerate(reads):
@@ -488,7 +515,37 @@ def create_gapped_alignment(ref_codes, ref_start, a_reads, a, params: Params):
 
     The per-read inner loops of the reference run vectorized over the
     read axis; only the reference-position walk stays sequential (it
-    carries the gap state)."""
+    carries the gap state). C-backed (fgx_gapped_alignment, exact twin);
+    the numpy walk below is the fallback + differential oracle."""
+    skip = params.skip_end_align
+    n = len(ref_codes)
+    na = len(a_reads)
+    max_p = 2 * params.max_reference_length
+    aligned_ref = np.zeros(max_p, np.int32)
+    ref_pos = np.zeros(max_p, np.int32)
+    ga = np.full((na, max_p), NONE, np.int16)
+    if na:
+        max_rl = max(len(r.nucl) for r in a_reads)
+        seq_mat = np.full((na, max_rl), NONE, np.int16)
+        for i, r in enumerate(a_reads):
+            seq_mat[i, :len(r.nucl)] = r.nucl
+        read_p = a[:, skip].astype(np.int64).copy()
+    else:
+        seq_mat = np.zeros((0, 1), np.int16)
+        read_p = np.zeros(0, np.int64)
+    from genometester4_tpu.models.fastgt_native import get_lib
+    lib = get_lib()
+    p_len = lib.fgx_gapped_alignment(
+        np.ascontiguousarray(ref_codes, np.int8), n, ref_start, skip,
+        seq_mat, na, seq_mat.shape[1],
+        np.ascontiguousarray(a, np.int32), max_p, aligned_ref, ref_pos,
+        ga, read_p, np.full(max(na, 1), UNKNOWN, np.int64))
+    return p_len, aligned_ref[:p_len], ref_pos[:p_len], ga[:, :p_len]
+
+
+def create_gapped_alignment_numpy(ref_codes, ref_start, a_reads, a,
+                                  params: Params):
+    """Numpy twin of create_gapped_alignment (differential oracle)."""
     skip = params.skip_end_align
     n = len(ref_codes)
     na = len(a_reads)
@@ -691,68 +748,15 @@ class Assembler:
         sizes = np.ones(na, np.int64)
         dirs = np.array([r.dir for r in a_reads], np.int64)
         group_of = np.arange(na)
-        n_groups = na
-
-        def popcount3(x):
-            # count non-zero 3-bit groups: project each group onto its
-            # low bit, then hardware popcount
-            y = (x | (x >> np.uint64(1)) | (x >> np.uint64(2))) \
-                & np.uint64(0x1249249249249249)
-            return np.bitwise_count(y).astype(np.int64)
-
-        # Greedy merging with INCREMENTAL pair state: the reference
+        # Greedy merging in C (native fgx_group_merge): the reference
         # rescans all O(n^2) pairs every round (src/gassembler.c:
-        # 1327-1591); recomputing compat/n_common matrices per round
-        # made this the pipeline's hottest loop (43 s of a 79 s profile
-        # at 60x coverage). Only the merged row/col and the swapped-in
-        # last row/col change between rounds, so the matrices update in
-        # O(n) and each round is one vectorized argmax. The selection
-        # key is lexicographic (n_common, size_sum) with first-pair-in-
-        # triangular-scan-order tie-breaking — np.argmax's first-max
-        # rule on key = n_common*C + size_sum reproduces the
-        # reference's "strictly greater" scan exactly.
-        common_m = masks[:, None] & masks[None, :]
-        compat_m = (tags[:, None] & common_m) == (tags[None, :] & common_m)
-        ncommon_m = popcount3(common_m)
-        KEY_C = np.int64(1) << 32
-        # strict upper triangle, row-major == the reference's pair scan
-        _UT_MASK = np.triu(np.ones((na, na), bool), k=1)
-
-        def _refresh(idx, n):
-            cm = masks[idx] & masks[:n]
-            common_m[idx, :n] = cm
-            common_m[:n, idx] = cm
-            cp = (tags[idx] & cm) == (tags[:n] & cm)
-            compat_m[idx, :n] = cp
-            compat_m[:n, idx] = cp
-            nc = popcount3(cm)
-            ncommon_m[idx, :n] = nc
-            ncommon_m[:n, idx] = nc
-
-        while n_groups > 1:
-            n = n_groups
-            key = np.where(compat_m[:n, :n] & _UT_MASK[:n, :n],
-                           ncommon_m[:n, :n] * KEY_C
-                           + (sizes[:n, None] + sizes[None, :n]), -1)
-            flat_best = int(np.argmax(key))
-            if key.flat[flat_best] < 0:
-                break
-            max_i, max_j = divmod(flat_best, n)
-            tags[max_i] = ((tags[max_i] & masks[max_i])
-                           | (tags[max_j] & masks[max_j]))
-            masks[max_i] = masks[max_i] | masks[max_j]
-            sizes[max_i] += sizes[max_j]
-            dirs[max_i] |= dirs[max_j]
-            group_of[group_of == max_j] = max_i
-            n_groups -= 1
-            tags[max_j] = tags[n_groups]
-            masks[max_j] = masks[n_groups]
-            sizes[max_j] = sizes[n_groups]
-            dirs[max_j] = dirs[n_groups]
-            group_of[group_of == n_groups] = max_j
-            _refresh(max_i, n_groups)
-            if max_j < n_groups:
-                _refresh(max_j, n_groups)
+        # 1327-1591) with strictly-greater (n_common, size_sum)
+        # selection over the row-major i<j scan; at <=1024 reads the C
+        # rescan beats both the reference and the former incremental
+        # numpy formulation.
+        from genometester4_tpu.models.fastgt_native import get_lib
+        n_groups = int(get_lib().fgx_group_merge(tags, masks, sizes, dirs,
+                                                 group_of, na))
 
         # per-group min/max coverage + compat count (vectorized: one
         # add.at over the (group, position) grid)
@@ -912,6 +916,47 @@ class Assembler:
 
         last_call_pos = 0
         sub = 0
+        # Batched numeric core (native fgx_call_batch): nucleotide
+        # ranking, logistic quality models, exome multinomials — one C
+        # call per region instead of per-position Python evaluation
+        # (math and branch structure mirrored exactly; _call_one remains
+        # as the scalar twin / differential oracle).
+        from genometester4_tpu.models.fastgt_native import get_lib
+        lib = get_lib()
+        fp_mask = np.zeros(max(p_len, 1), np.int8)
+        if self.fps is not None:
+            for i in range(p.skip_end_call, p_len - p.skip_end_call):
+                fp = lookup_snv(self.fps, region.chr, region.start + i)
+                if (fp < len(self.fps) and self.fps[fp][0] == region.chr
+                        and self.fps[fp][1] == int(ref_pos[i])):
+                    fp_mask[i] = 1
+        status = np.zeros(p_len, np.int32)
+        nucl0 = np.zeros(p_len, np.int32)
+        nucl1 = np.zeros(p_len, np.int32)
+        p_arr = np.zeros(p_len, np.float64)
+        q_arr = np.zeros(p_len, np.float64)
+        pdet_arr = np.zeros(p_len, np.float64)
+        rprob_arr = np.zeros(p_len, np.float64)
+        alt_valid = np.zeros(p_len, np.int32)
+        alt_nucl = np.zeros(p_len, np.int32)
+        alt_p = np.zeros(p_len, np.float64)
+        alt_q = np.zeros(p_len, np.float64)
+        alt_pdet = np.zeros(p_len, np.float64)
+        alt_rprob = np.zeros(p_len, np.float64)
+        if p_len > 2 * p.skip_end_call:
+            lib.fgx_call_batch(
+                np.ascontiguousarray(nucl_counts, np.int64),
+                np.ascontiguousarray(coverage, np.int64),
+                np.ascontiguousarray(aligned_ref[:p_len], np.int32),
+                p_len, p.skip_end_call, fp_mask,
+                float(extra_base["compat_both"]),
+                float(extra_base["compat_0"]),
+                extra_base["n_groups_total"], extra_base["n_groups"],
+                p.error_prob, p.min_confirming, int(p.exome),
+                float(self.coverage), chr_coverage, int(cb.haploid),
+                int(p.alternative_calls),
+                status, nucl0, nucl1, p_arr, q_arr, pdet_arr, rprob_arr,
+                alt_valid, alt_nucl, alt_p, alt_q, alt_pdet, alt_rprob)
         for i in range(p.skip_end_call, p_len - p.skip_end_call):
             if int(ref_pos[i]) == last_call_pos:
                 sub += 1
@@ -920,17 +965,42 @@ class Assembler:
             last_call_pos = int(ref_pos[i])
             extra = dict(extra_base)
             extra["end_dist"] = min(i, p_len - 1 - i)
-            call = self._call_one(region, i, sub, extra, aligned_ref,
-                                  ref_pos, nucl_counts, coverage,
-                                  chr_coverage, haploid, cb.haploid,
-                                  force_homozygote=False)
+            call = Call(counts=nucl_counts[i].copy(),
+                        pos=int(ref_pos[i]), sub=sub,
+                        ref=int(aligned_ref[i]), cov=int(coverage[i]),
+                        extra=extra)
+            if call.ref == GAP:
+                call.prev_ref = region.ref[call.pos - region.start]
+            elif call.pos > region.start:
+                call.prev_ref = region.ref[call.pos - region.start - 1]
+            else:
+                call.prev_ref = "!"
+            if status[i] == 0:
+                call.nucl = (int(nucl0[i]), int(nucl1[i]))
+                call.p = float(p_arr[i])
+                call.q = float(q_arr[i])
+                call.p_det = float(pdet_arr[i])
+                call.poly = int(call.nucl[0] != aligned_ref[i]
+                                or call.nucl[1] != aligned_ref[i])
+                extra["prob"] = 1.0
+                extra["rprob"] = float(rprob_arr[i])
+                extra["hzprob"] = 1.0
             cb.calls.append(call)
-            hz = call.nucl[0] != call.nucl[1]
-            if p.alternative_calls and hz:
-                call2 = self._call_one(region, i, sub, dict(extra),
-                                       aligned_ref, ref_pos, nucl_counts,
-                                       coverage, chr_coverage, haploid,
-                                       cb.haploid, force_homozygote=True)
+            if alt_valid[i]:
+                extra2 = dict(extra_base)
+                extra2["end_dist"] = extra["end_dist"]
+                call2 = Call(counts=nucl_counts[i].copy(),
+                             pos=call.pos, sub=sub, ref=call.ref,
+                             cov=call.cov, extra=extra2,
+                             prev_ref=call.prev_ref,
+                             nucl=(int(alt_nucl[i]), int(alt_nucl[i])),
+                             p=float(alt_p[i]), q=float(alt_q[i]),
+                             p_det=float(alt_pdet[i]))
+                call2.poly = int(call2.nucl[0] != aligned_ref[i]
+                                 or call2.nucl[1] != aligned_ref[i])
+                extra2["prob"] = 1.0
+                extra2["rprob"] = float(alt_rprob[i])
+                extra2["hzprob"] = 1.0
                 cb.calls.append(call2)
 
     def _call_one(self, region, a_pos, sub, extra, aligned_ref, ref_pos,

@@ -636,113 +636,371 @@ int fgx_train_model (const unsigned short *counts /* 2*ncalls */,
 }
 
 
-/* ---- Smith-Waterman matrix fill (gassembler twin) -------------------
- *
- * Exact integer port of src/gassembler.c:2185-2321's DP as expressed in
- * ops/swalign.py (same tie-breaks, same int8 gap-length wraparound).
- * Row-major fill: the left-gap state carries as scalars along the row,
- * the top-gap state as per-column arrays. ~30x the numpy wavefront on
- * one host core.
- */
-#define SW_M 2
-#define SW_MM (-3)
-#define SW_GO (-4)
-#define SW_GE (-2)
-#define SW_NEG (-1000)
-#define SW_NUCL_N 4
+/* ------------------------------------------------------------------ */
+/* gassembler call phase (src/gassembler.c:1593-1855 + 2803-3027)      */
+/* ------------------------------------------------------------------ */
 
-void fgx_sw_batch (const signed char *ref, int n, const signed char *reads,
-                   int B, int m, short *score, signed char *sx,
-                   signed char *sy, short *tg_s_buf, signed char *tg_l_buf)
+/* The per-position genotype call: nucleotide ranking, the trained
+ * logistic-regression quality models (calc_p_*), and the exome
+ * multinomial models (gt1/gt2_prob).  Batched per region: one call
+ * evaluates every position, replacing ~90k Python-level evaluations
+ * per 200-region run.  Exact-math rules as the rest of this file:
+ * every formula keeps the reference's term order and float/double
+ * mix ((double)(float) where the reference stores through float). */
+
+double fgx_lgamma (double x);
+
+static double sigmoid_or_1 (double p)
 {
-  int b, i, j;
-  int stride = (n + 1) * (m + 1);
-  for (b = 0; b < B; b++) {
-    const signed char *rd = reads + (long) b * m;
-    short *sc = score + (long) b * stride;
-    signed char *sxb = sx + (long) b * stride;
-    signed char *syb = sy + (long) b * stride;
-    for (j = 0; j <= m; j++) { tg_s_buf[j] = SW_NEG; tg_l_buf[j] = 0; }
-    for (i = 1; i <= n; i++) {
-      short lg_s = SW_NEG;
-      signed char lg_l = 0;
-      int a_n = ref[i - 1];
-      short *row = sc + i * (m + 1);
-      short *prow = sc + (i - 1) * (m + 1);
-      signed char *sxr = sxb + i * (m + 1);
-      signed char *syr = syb + i * (m + 1);
-      for (j = 1; j <= m; j++) {
-        int b_n = rd[j - 1];
-        short sub = (a_n >= SW_NUCL_N || b_n >= SW_NUCL_N) ? 0
-                    : (a_n == b_n ? SW_M : SW_MM);
-        short dsc = (short) (prow[j - 1] + sub);
-        short cell; signed char csx, csy;
-        if (dsc > 0) { cell = dsc; csx = -1; csy = -1; }
-        else { cell = 0; csx = 0; csy = 0; }
-        /* left gap from (i, j-1) */
-        {
-          short ls = (short) (cell + SW_GO);
-          signed char ll = 0;
-          if ((short) (lg_s + SW_GE) > ls) {
-            ls = (short) (lg_s + SW_GE);
-            ll = (signed char) (lg_l + 1);
-          }
-          if (ls >= cell) {
-            cell = ls; csx = (signed char) (-ll); csy = 0;
-          }
-          lg_s = ls; lg_l = ll;
+  p = exp (p);
+  return isfinite (p) ? p / (1 + p) : 1.0;
+}
+
+/* shared feature block for the diploid select/qual formulas */
+typedef struct {
+  double COMP_2, G0_COMP, katvus, EDIST, EDIST0, EDIST1, EDIST2;
+  double alternatiiv, mitualternatiivi, ignoreeri;
+  double kaugus1;
+  long n_groups_total, n_groups;
+} CallFeat;
+
+static double calc_p_select_diploid_c (const long *counts, long cov,
+                                       const CallFeat *f, int n0, int n1)
+{
+  double mx = (double) (counts[n0] > counts[n1] ? counts[n0] : counts[n1]);
+  double allc = (double) (counts[0] + counts[1] + counts[2] + counts[3]
+                          + counts[5]);
+  double kaugus1 = f->kaugus1;
+  double kaugus2 = ((mx - 0.5 * allc) / sqrt ((double) cov))
+    * (f->n_groups >= 2 ? 1.0 : 0.0);
+  double suhe = mx / allc * (f->n_groups != 1 ? 1.0 : 0.0);
+  double deletsioon2 = (n0 == 5 && n1 == 5) ? 1.0 : 0.0;
+  double deletsioon1 = ((n0 != 5 && n1 == 5) || (n0 == 5 && n1 != 5))
+    ? 1.0 : 0.0;
+  double HET = (n0 == n1 && n0 != 5) ? 1.0 : 0.0;
+  double EDIST = f->EDIST, katvus = f->katvus;
+  double p = (1.549817e+01
+    + f->COMP_2 / f->G0_COMP * 3.214268e+00
+    + HET * -1.603723e+01
+    + deletsioon1 * 4.057173e+00
+    + deletsioon2 * -1.295838e+01
+    + katvus * 3.327203e-01
+    + f->EDIST0 * -2.055305e+00
+    + f->EDIST1 * -1.914959e+00
+    + f->EDIST2 * -5.105844e-01
+    + EDIST * 5.987854e-02
+    + f->alternatiiv * -7.634908e-01
+    + kaugus1 * 1.563516e+00
+    + kaugus2 * -1.233070e+01
+    + (kaugus1 + 0.5) * (kaugus1 > -0.5 ? 1.0 : 0.0) * -3.456876e-01
+    + (kaugus1 - 2) * (kaugus1 > 2 ? 1.0 : 0.0) * -1.089758e-01
+    + (kaugus1 - 3) * (kaugus1 > 3 ? 1.0 : 0.0) * -8.686674e-01
+    + kaugus2 * kaugus2 * -6.547970e-01
+    + f->G0_COMP / katvus * -1.655326e+00
+    + f->G0_COMP * f->G0_COMP / (katvus * katvus) * 2.113226e-01
+    + (EDIST - 40) * (EDIST - 40) * (EDIST - 40)
+      * (EDIST > 40 ? 1.0 : 0.0) * 2.992796e-03
+    + (EDIST - 45) * (EDIST - 45) * (EDIST - 45)
+      * (EDIST > 45 ? 1.0 : 0.0) * -6.197973e-03
+    + f->ignoreeri * -2.224370e-01
+    + suhe * -1.255600e+02
+    + suhe * suhe * 3.233437e+02
+    + suhe * suhe * suhe * -2.755079e+02
+    + suhe * suhe * suhe * suhe * 7.897496e+01
+    + EDIST * EDIST * -8.887499e-04
+    + HET * (EDIST <= 5 ? 1.0 : 0.0) * -2.998684e-01
+    + f->COMP_2 / f->G0_COMP * katvus * -1.062955e-01
+    + HET * katvus * -2.855130e-01
+    + deletsioon1 * katvus * -9.098014e-02
+    + deletsioon2 * katvus * -2.018754e-01
+    + deletsioon2 * EDIST * 7.388170e-02
+    + deletsioon2 * f->alternatiiv * -4.950726e+00
+    + deletsioon2 * kaugus1 * -6.573440e-01
+    + deletsioon2 * kaugus2 * 1.337017e+01
+    + HET * kaugus2 * kaugus2 * 2.234410e+00
+    + HET * f->G0_COMP / katvus * 2.994476e+00
+    + HET * f->G0_COMP * f->G0_COMP / (katvus * katvus) * -4.286640e-01
+    + HET * kaugus1 * -8.026551e-01
+    + HET * kaugus2 * 9.614824e+00
+    + deletsioon1 * EDIST * -1.301157e-01
+    + EDIST * kaugus1 * -1.017782e-02
+    + kaugus1 * EDIST * EDIST * 1.413317e-04
+    + deletsioon1 * EDIST * EDIST * 2.472375e-03);
+  return sigmoid_or_1 (p);
+}
+
+static double calc_p_qual_diploid_c (const long *counts, long cov,
+                                     const CallFeat *f, int nu0, int nu1)
+{
+  double mx = (double) (counts[nu0] > counts[nu1] ? counts[nu0]
+                        : counts[nu1]);
+  double allc = (double) (counts[0] + counts[1] + counts[2] + counts[3]
+                          + counts[5]);
+  double kaugus1 = f->kaugus1;
+  double kaugus2 = ((mx - 0.5 * allc) / sqrt ((double) cov))
+    * (f->n_groups >= 2 ? 1.0 : 0.0);
+  double suhe = mx / allc * (f->n_groups != 1 ? 1.0 : 0.0);
+  double deletsioon2 = (nu0 == 5 && nu1 == 5) ? 1.0 : 0.0;
+  double deletsioon1 = ((nu0 != 5 && nu1 == 5) || (nu0 == 5 && nu1 != 5))
+    ? 1.0 : 0.0;
+  double HET = (nu0 == nu1 && nu0 != 5) ? 1.0 : 0.0;
+  double EDIST = f->EDIST, katvus = f->katvus;
+  double p = (5.625990e+00
+    + HET * -1.926639e+00
+    + deletsioon2 * -4.149465e+00
+    + kaugus1 * 1.976799e+00
+    + deletsioon1 * -3.674773e-01
+    + katvus * 2.505259e-01
+    + f->COMP_2 / f->G0_COMP * 3.530792e+00
+    + f->mitualternatiivi * 2.384205e-01
+    + f->alternatiiv * -1.893987e+00
+    + f->EDIST0 * 2.488365e+00
+    + f->EDIST1 * 3.614451e+00
+    + f->EDIST2 * -8.343540e-01
+    + (kaugus1 + 2) * (kaugus1 > -2 ? 1.0 : 0.0) * -3.608020e-01
+    + (kaugus1 - 2) * (kaugus1 > 2 ? 1.0 : 0.0) * -1.369033e+00
+    + kaugus2 * -8.717219e-01
+    + (kaugus1 + 1) * (kaugus1 > -1 ? 1.0 : 0.0) * -5.990449e-01
+    + f->G0_COMP / katvus * -5.090870e-01
+    + (EDIST - 35) * (EDIST > 35 ? 1.0 : 0.0) * 7.200000e-02
+    + (EDIST - 30) * (EDIST > 30 ? 1.0 : 0.0) * -6.277709e-02
+    + (EDIST - 45) * (EDIST > 45 ? 1.0 : 0.0) * 1.407460e-01
+    + katvus * katvus * -3.807892e-03
+    + f->ignoreeri * -5.524936e-01
+    + HET * (EDIST < 5 ? 1.0 : 0.0) * 1.155368e+00
+    + suhe * -1.489082e+02
+    + suhe * suhe * 6.542650e+02
+    + suhe * suhe * suhe * -9.392902e+02
+    + suhe * suhe * suhe * suhe * 4.360459e+02
+    + kaugus1 * deletsioon1 * -2.069432e-01
+    + HET * katvus * 1.598539e-01
+    + deletsioon2 * katvus * 2.304383e-01
+    + kaugus1 * katvus * -1.981619e-02
+    + deletsioon1 * katvus * 5.554233e-02
+    + deletsioon2 * f->alternatiiv * -5.609686e-01
+    + deletsioon2 * kaugus1 * 7.001617e-01
+    + deletsioon1 * kaugus1 * kaugus1 * 1.859963e-01
+    + HET * kaugus1 * 6.971654e-01
+    + HET * kaugus2 * -1.003972e-01
+    + HET * f->G0_COMP / katvus * -6.196470e-01
+    + HET * f->G0_COMP * f->G0_COMP / (katvus * katvus) * 1.267673e-01
+    + HET * kaugus2 * kaugus2 * 2.281341e-01
+    + kaugus1 * deletsioon1 * katvus * 1.536606e-02);
+  return sigmoid_or_1 (p);
+}
+
+static double calc_p_select_haploid_c (const CallFeat *f)
+{
+  double EDIST = f->EDIST;
+  double p = (2.734031375
+    + f->EDIST0 * -8.395304525
+    + ((EDIST == 1 || EDIST == 2) ? 1.0 : 0.0) * -2.292773866
+    + (EDIST - 45) * (EDIST > 45 ? 1.0 : 0.0) * 1.502826728
+    + f->kaugus1 * 0.617528244
+    + EDIST * f->kaugus1 * -0.009752782);
+  return sigmoid_or_1 (p);
+}
+
+static double calc_p_qual_haploid_c (const CallFeat *f, int nu0, int nu1)
+{
+  double EDIST = f->EDIST;
+  double HET = (nu0 == nu1 && nu0 != 5) ? 1.0 : 0.0;
+  double p = (7.7911387
+    + (EDIST - 45) * (EDIST > 45 ? 1.0 : 0.0) * 0.7390936
+    + HET * (EDIST < 5 ? 1.0 : 0.0) * -0.9447409);
+  return sigmoid_or_1 (p);
+}
+
+static double calc_p_mdetect_c (const long *counts, long cov,
+                                const CallFeat *f, int exome)
+{
+  if (exome) return (double) cov / ((double) cov + 8.0);
+  double EDIST = f->EDIST, katvus = f->katvus;
+  double COV = (double) cov;
+  double kaugus1 = f->kaugus1;
+  double p = (-7.339851e+00
+    + kaugus1 * 2.457963e+00
+    + kaugus1 * kaugus1 * -2.092731e-01
+    + kaugus1 * kaugus1 * kaugus1 * 1.757365e-02
+    + EDIST * 1.174253e+00
+    + COV * 2.189787e-01
+    + katvus * 7.489705e-01
+    + COV * COV * -1.873808e-02
+    + COV * COV * COV * 2.716039e-04
+    + (kaugus1 + 0.5) * (kaugus1 > -0.5 ? 1.0 : 0.0) * -5.814003e-01
+    + (kaugus1 - 3) * (kaugus1 > 3 ? 1.0 : 0.0) * -8.967198e-02
+    + f->EDIST2 * 1.881940e+00
+    + EDIST * EDIST * -1.146688e-01
+    + EDIST * EDIST * EDIST * 4.807719e-03
+    + EDIST * EDIST * EDIST * EDIST * -9.036972e-05
+    + EDIST * EDIST * EDIST * EDIST * EDIST * 6.263128e-07
+    + kaugus1 * EDIST * -4.384856e-03
+    + COV * katvus * -3.309976e-02
+    + katvus * COV * COV * 9.086561e-04
+    + katvus * COV * COV * COV * -9.727565e-06
+    + EDIST * katvus * -9.141201e-05);
+  return sigmoid_or_1 (p);
+}
+
+static double gt1_prob_c (const long *counts, int n0, long coverage,
+                          double error_prob)
+{
+  double log_p = fgx_lgamma ((double) coverage);
+  int i;
+  for (i = 0; i <= 5; i++) {
+    log_p -= fgx_lgamma ((double) (counts[i] + 1));
+    if (i == n0) log_p += log (1 - error_prob) * counts[i];
+    else log_p += log (error_prob / 4) * counts[i];
+  }
+  return exp (log_p);
+}
+
+static double gt2_prob_c (const long *counts, int n0, int n1,
+                          long coverage, double error_prob)
+{
+  double log_p = fgx_lgamma ((double) coverage);
+  int i;
+  for (i = 0; i <= 5; i++) {
+    log_p -= fgx_lgamma ((double) (counts[i] + 1));
+    if (i == n0 || i == n1) log_p += log (0.5 - error_prob / 2) * counts[i];
+    else log_p += log (error_prob / 3) * counts[i];
+  }
+  return (double) (float) exp (log_p);
+}
+
+/* One region's calls (the numeric body of the reference's call(),
+ * src/gassembler.c:1594-1855).  i runs over [skip_end_call,
+ * p_len - skip_end_call); outputs are indexed by i directly.
+ * status: 0 = called, 1 = early return (fp hit or below
+ * min_confirming; the caller leaves Call defaults untouched).
+ * When alternative != 0 and the call is heterozygous, the
+ * force-homozygote variant is evaluated into the alt_* arrays and
+ * alt_valid[i] = 1. */
+void fgx_call_batch (const long *counts, const long *coverage,
+                     const int *aligned_ref, long p_len,
+                     int skip_end_call, const signed char *fp_mask,
+                     double compat_both, double compat_0,
+                     long n_groups_total, long n_groups,
+                     double error_prob, long min_confirming, int exome,
+                     double coverage_arg, long chr_cov, int cb_haploid,
+                     int alternative,
+                     int *status, int *nucl0, int *nucl1, double *p_out,
+                     double *q_out, double *pdet_out, double *rprob_out,
+                     int *alt_valid, int *alt_nucl, double *alt_p,
+                     double *alt_q, double *alt_pdet, double *alt_rprob)
+{
+  long i;
+  for (i = skip_end_call; i < p_len - skip_end_call; i++) {
+    const long *cnt = counts + i * 6;       /* A,C,G,T,N,GAP */
+    long cov = coverage[i];
+    int pass;
+    alt_valid[i] = 0;
+    status[i] = 1;
+    nucl0[i] = 6; nucl1[i] = 6;                        /* NONE */
+    if (fp_mask && fp_mask[i]) continue;
+    /* best two nucleotides over A,C,G,T,GAP (N skipped), first wins */
+    {
+      long best0 = 0, best1 = 0;
+      int best_n0 = 0, best_n1 = 0, n;
+      for (n = 0; n <= 5; n++) {
+        if (n == 4) continue;                          /* N */
+        long c = cnt[n];
+        if (c > best0) {
+          best1 = best0; best_n1 = best_n0;
+          best0 = c; best_n0 = n;
+        } else if (c > best1) {
+          best1 = c; best_n1 = n;
         }
-        /* top gap from (i-1, j), uses the updated cell */
-        {
-          short ts = (short) (cell + SW_GO);
-          signed char tl = 0;
-          if ((short) (tg_s_buf[j] + SW_GE) > ts) {
-            ts = (short) (tg_s_buf[j] + SW_GE);
-            tl = (signed char) (tg_l_buf[j] + 1);
-          }
-          if (ts >= cell) {
-            cell = ts; csx = 0; csy = (signed char) (-tl);
-          }
-          tg_s_buf[j] = ts; tg_l_buf[j] = tl;
+      }
+      if (best0 < min_confirming) continue;
+      status[i] = 0;
+      {
+        CallFeat f;
+        long edist_i = i < p_len - 1 - i ? i : p_len - 1 - i;
+        long local_cov = chr_cov;
+        double p_hom, p_het, sum_probs;
+        f.COMP_2 = compat_both;
+        f.G0_COMP = compat_0;
+        f.katvus = (double) local_cov;
+        f.EDIST = (double) edist_i;
+        f.EDIST0 = edist_i == 0 ? 1.0 : 0.0;
+        f.EDIST1 = edist_i == 1 ? 1.0 : 0.0;
+        f.EDIST2 = edist_i == 2 ? 1.0 : 0.0;
+        f.alternatiiv = n_groups_total > 1 ? 1.0 : 0.0;
+        f.mitualternatiivi = n_groups_total > 2 ? 1.0 : 0.0;
+        f.ignoreeri = n_groups_total != n_groups ? 1.0 : 0.0;
+        f.kaugus1 = ((double) cov - f.katvus) / sqrt (f.katvus);
+        f.n_groups_total = n_groups_total;
+        f.n_groups = n_groups;
+        if (!exome) {
+          p_hom = calc_p_select_diploid_c (cnt, cov, &f, best_n0, best_n0);
+          p_het = calc_p_select_diploid_c (cnt, cov, &f, best_n0, best_n1);
+        } else {
+          p_hom = gt1_prob_c (cnt, best_n0, cov - cnt[4], error_prob);
+          p_het = (best1 >= min_confirming)
+            ? gt2_prob_c (cnt, best_n0, best_n1, cov - cnt[4], error_prob)
+            : 0.0;
         }
-        row[j] = cell; sxr[j] = csx; syr[j] = csy;
+        sum_probs = p_hom + p_het;
+        if (sum_probs == 0) sum_probs = 1.0;
+        p_hom /= sum_probs;
+        p_het /= sum_probs;
+        if (coverage_arg == -2) {
+          local_cov = cov;
+          f.katvus = (double) local_cov;
+          f.kaugus1 = ((double) cov - f.katvus) / sqrt (f.katvus);
+        }
+        for (pass = 0; pass < 2; pass++) {
+          int force_hz = pass;
+          int nu0, nu1;
+          double pv, qv;
+          if (cb_haploid) {
+            nu0 = best_n0; nu1 = best_n0;
+            if (!exome) {
+              pv = calc_p_select_haploid_c (&f);
+              qv = calc_p_qual_haploid_c (&f, nu0, nu1);
+            } else { pv = p_hom; qv = p_hom; }
+          } else if (!best1 || force_hz) {
+            nu0 = best_n0; nu1 = best_n0;
+            if (!exome) {
+              pv = calc_p_select_diploid_c (cnt, cov, &f, best_n0, best_n0);
+              qv = calc_p_qual_diploid_c (cnt, cov, &f, nu0, nu1);
+            } else { pv = p_hom; qv = p_hom; }
+          } else {
+            if (p_het >= p_hom) {
+              nu0 = best_n0 < best_n1 ? best_n0 : best_n1;
+              nu1 = best_n0 > best_n1 ? best_n0 : best_n1;
+              pv = p_het;
+            } else {
+              nu0 = best_n0; nu1 = best_n0;
+              pv = p_hom;
+            }
+            if (!exome) qv = calc_p_qual_diploid_c (cnt, cov, &f, nu0, nu1);
+            else qv = pv;
+          }
+          {
+            double pdet = calc_p_mdetect_c (cnt, cov, &f, exome);
+            double pf = (double) (float) pv;
+            double qf = (double) (float) qv;
+            double pdf = (double) (float) pdet;
+            double rp = (double) (float) (qf / sum_probs);
+            if (pass == 0) {
+              nucl0[i] = nu0; nucl1[i] = nu1;
+              p_out[i] = pf; q_out[i] = qf; pdet_out[i] = pdf;
+              rprob_out[i] = rp;
+              /* alternative pass only for heterozygous primary calls */
+              if (!(alternative && nu0 != nu1)) break;
+            } else {
+              alt_valid[i] = 1;
+              alt_nucl[i] = nu0;
+              alt_p[i] = pf; alt_q[i] = qf; alt_pdet[i] = pdf;
+              alt_rprob[i] = rp;
+            }
+          }
+        }
       }
     }
   }
-}
-
-
-/* Traceback one read's SW matrices (src/gassembler.c:2298-2320): first
- * row-major maximum over columns 0..m_valid, then walk sx/sy. Returns
- * the number of aligned pairs; a_pos/b_pos are filled in ascending
- * order (capacity >= n1 + m1). */
-int fgx_sw_traceback (const short *score, const signed char *sx,
-                      const signed char *sy, int n1, int m1, int m_valid,
-                      int *a_pos, int *b_pos)
-{
-  int i, j, mi = 0, mj = 0, cnt = 0, half;
-  short best = score[0];
-  for (i = 0; i < n1; i++) {
-    const short *row = score + (long) i * m1;
-    for (j = 0; j <= m_valid; j++) {
-      if (row[j] > best) { best = row[j]; mi = i; mj = j; }
-    }
-  }
-  while (mi > 0 && mj > 0) {
-    signed char cx = sx[(long) mi * m1 + mj];
-    signed char cy = sy[(long) mi * m1 + mj];
-    if (cx == 0 && cy == 0) break;
-    if (score[(long) mi * m1 + mj] < 1) break;
-    if (cx && cy) { a_pos[cnt] = mi - 1; b_pos[cnt] = mj - 1; cnt++; }
-    mi += cy;
-    mj += cx;
-  }
-  half = cnt / 2;
-  for (i = 0; i < half; i++) {
-    int t = a_pos[i]; a_pos[i] = a_pos[cnt - 1 - i]; a_pos[cnt - 1 - i] = t;
-    t = b_pos[i]; b_pos[i] = b_pos[cnt - 1 - i]; b_pos[cnt - 1 - i] = t;
-  }
-  return cnt;
 }
 
 

@@ -624,3 +624,547 @@ long fgx_merge_rec_shards (const unsigned char **shards, const long *lens,
   *total_count = tot;
   return m;
 }
+
+/* ------------------------------------------------------------------ */
+/* gapped multi-alignment build (gassembler)                           */
+/* ------------------------------------------------------------------ */
+
+/* Exact twin of create_gapped_alignment in pipelines/gassemble.py
+ * (reference walk: src/gassembler.c:2008-2077).  Sequential over
+ * reference positions (the gap state carries), linear over reads.
+ * Nucleotide codes: GAP=5, NONE=6; position sentinels BEFORE=-1,
+ * AFTER=-2, UNKNOWN=-3.  Returns p_len. */
+long fgx_gapped_alignment (const signed char *ref, int n, int ref_start,
+                           int skip, const short *seq_mat, long na,
+                           int max_rl, const int *a, int max_p,
+                           int *aligned_ref, int *ref_pos, short *ga,
+                           long *read_p, long *last_read_p)
+{
+  long i;
+  int ref_p = skip;
+  int last_ref_p = -3;
+  long p_len = 0;
+  for (i = 0; i < na; i++) {
+    read_p[i] = a[i * (long) n + skip];
+    last_read_p[i] = -3;
+  }
+  while (ref_p < n - skip) {
+    if (last_ref_p < 0 || ref_p > last_ref_p) {
+      aligned_ref[p_len] = ref[ref_p];
+      last_ref_p = ref_p;
+    } else {
+      aligned_ref[p_len] = 5;                      /* GAP */
+    }
+    ref_pos[p_len] = ref_start + ref_p;
+    for (i = 0; i < na; i++) {
+      long rp = read_p[i];
+      short col;
+      if (rp >= 0 && (last_read_p[i] < 0 || rp > last_read_p[i])) {
+        long idx = rp < 0 ? 0 : rp;
+        col = seq_mat[i * (long) max_rl + idx];
+        last_read_p[i] = rp;
+      } else {
+        col = rp >= 0 ? 5 : 6;                     /* GAP : NONE */
+      }
+      ga[i * (long) max_p + p_len] = col;
+    }
+    {
+      int rgap = 1;
+      if (ref_p < n - skip - 1 && na) {
+        long g, any = 0;
+        long best = 1;
+        for (i = 0; i < na; i++) {
+          int nrp = a[i * (long) n + ref_p + 1];
+          if (read_p[i] >= 0 && nrp >= 0) {
+            g = nrp - read_p[i];
+            if (!any || g > best) best = g;
+            any = 1;
+          }
+        }
+        if (any && best > 1) rgap = (int) best;
+        for (i = 0; i < na; i++) {
+          int nrp = a[i * (long) n + ref_p + 1];
+          long adv;
+          if (nrp >= 0) {
+            if (read_p[i] < 0) adv = (rgap == 1) ? nrp : read_p[i];
+            else adv = (read_p[i] < nrp && nrp - read_p[i] == rgap)
+                       ? read_p[i] + 1 : read_p[i];
+          } else {
+            adv = nrp;
+          }
+          read_p[i] = adv;
+        }
+      }
+      if (rgap == 1) ref_p++;
+    }
+    p_len++;
+  }
+  return p_len;
+}
+
+/* ------------------------------------------------------------------ */
+/* lane-parallel Smith-Waterman align phase                            */
+/* ------------------------------------------------------------------ */
+
+/* 8 reads fill in parallel: lanes are independent reads over the same
+ * reference, so every op in the recurrence is lane-wise and the
+ * compiler vectorizes the lane loop onto SSE2 int16 lanes (measured
+ * 2.5x the scalar fill).  Layout: score/sx/sy[(i*(m+1)+j)*8 + lane].
+ * The recurrence and tie-breaks are the exact integer semantics of
+ * src/gassembler.c:2185-2321 (see ops/swalign.py). */
+
+#define SW_LANES 8
+
+static void sw_fill_lanes (const signed char *ref, int n,
+                           const signed char *rd /* [8][m] */, int m,
+                           short *sc, short *sx, short *sy,
+                           short *tgs /* [(m+1)*8] */, short *tgl)
+{
+  int i, j, l;
+  for (j = 0; j <= m; j++)
+    for (l = 0; l < SW_LANES; l++) {
+      tgs[j * SW_LANES + l] = -1000;
+      tgl[j * SW_LANES + l] = 0;
+    }
+  for (i = 1; i <= n; i++) {
+    short lgs[SW_LANES], lgl[SW_LANES];
+    int a_n = ref[i - 1];
+    short *row = sc + ((long) i * (m + 1)) * SW_LANES;
+    short *prow = sc + ((long) (i - 1) * (m + 1)) * SW_LANES;
+    short *sxr = sx + ((long) i * (m + 1)) * SW_LANES;
+    short *syr = sy + ((long) i * (m + 1)) * SW_LANES;
+    for (l = 0; l < SW_LANES; l++) { lgs[l] = -1000; lgl[l] = 0; }
+    for (j = 1; j <= m; j++) {
+      short *tgsj = tgs + j * SW_LANES;
+      short *tglj = tgl + j * SW_LANES;
+      for (l = 0; l < SW_LANES; l++) {
+        int b_n = rd[l * m + j - 1];
+        short sub = (a_n >= 4 || b_n >= 4) ? 0 : (a_n == b_n ? 2 : -3);
+        short dsc = (short) (prow[(j - 1) * SW_LANES + l] + sub);
+        int take = dsc > 0;
+        short cell = take ? dsc : 0;
+        short csx = take ? -1 : 0, csy = take ? -1 : 0;
+        short ls = (short) (cell - 4), lse = (short) (lgs[l] - 2);
+        int ext = lse > ls;
+        short ll = ext ? (short) (lgl[l] + 1) : 0;
+        ls = ext ? lse : ls;
+        {
+          int sel = ls >= cell;
+          cell = sel ? ls : cell;
+          csx = sel ? (short) (-ll) : csx;
+          csy = sel ? 0 : csy;
+        }
+        lgs[l] = ls; lgl[l] = ll;
+        {
+          short ts = (short) (cell - 4), tse = (short) (tgsj[l] - 2);
+          int ext2 = tse > ts;
+          short tl = ext2 ? (short) (tglj[l] + 1) : 0;
+          ts = ext2 ? tse : ts;
+          {
+            int sel2 = ts >= cell;
+            cell = sel2 ? ts : cell;
+            csx = sel2 ? 0 : csx;
+            csy = sel2 ? (short) (-tl) : csy;
+          }
+          tgsj[l] = ts; tglj[l] = tl;
+        }
+        row[j * SW_LANES + l] = cell;
+        sxr[j * SW_LANES + l] = csx;
+        syr[j * SW_LANES + l] = csy;
+      }
+    }
+  }
+}
+
+/* Strided traceback of one lane (semantics of fgx_sw_traceback). */
+static int sw_traceback_lane (const short *sc, const short *sx,
+                              const short *sy, int n, int m, int lane,
+                              int m_valid, int *a_pos, int *b_pos)
+{
+  int i, j, mi = 0, mj = 0, cnt = 0, half;
+  int W = m + 1;
+  short best = sc[lane];
+  for (i = 0; i <= n; i++) {
+    const short *row = sc + ((long) i * W) * SW_LANES;
+    for (j = 0; j <= m_valid; j++) {
+      short v = row[j * SW_LANES + lane];
+      if (v > best) { best = v; mi = i; mj = j; }
+    }
+  }
+  while (mi > 0 && mj > 0) {
+    long at = ((long) mi * W + mj) * SW_LANES + lane;
+    short cx = sx[at], cy = sy[at];
+    if (cx == 0 && cy == 0) break;
+    if (sc[at] < 1) break;
+    if (cx && cy) { a_pos[cnt] = mi - 1; b_pos[cnt] = mj - 1; cnt++; }
+    mi += cy;
+    mj += cx;
+  }
+  half = cnt / 2;
+  for (i = 0; i < half; i++) {
+    int t = a_pos[i]; a_pos[i] = a_pos[cnt - 1 - i]; a_pos[cnt - 1 - i] = t;
+    t = b_pos[i]; b_pos[i] = b_pos[cnt - 1 - i]; b_pos[cnt - 1 - i] = t;
+  }
+  return cnt;
+}
+
+/* Lane-parallel version of fgx_sw_align_region (fastgt_exact.c): same
+ * filters, same row semantics, internal scratch.  Returns kept count,
+ * -1 on allocation failure. */
+long fgx_sw_align_region8 (const signed char *ref, int n,
+                           const signed char *reads, long B, int m,
+                           const int *read_lens,
+                           int max_divergent, int min_align_len,
+                           int max_endgap, int max_gaps, long max_aligned,
+                           int *rows, int *keep_idx, int *hit_cap)
+{
+  long blk = (long) (n + 1) * (m + 1) * SW_LANES;
+  short *sc = (short *) calloc (blk, sizeof (short));
+  short *sx = (short *) calloc (blk, sizeof (short));
+  short *sy = (short *) calloc (blk, sizeof (short));
+  short *tgs = (short *) malloc ((size_t) (m + 1) * SW_LANES
+                                 * sizeof (short));
+  short *tgl = (short *) malloc ((size_t) (m + 1) * SW_LANES
+                                 * sizeof (short));
+  signed char *rblk = (signed char *) malloc ((size_t) SW_LANES * m);
+  int *a_pos = (int *) malloc ((size_t) (n + m + 2) * sizeof (int));
+  int *b_pos = (int *) malloc ((size_t) (n + m + 2) * sizeof (int));
+  long b0, kept = 0;
+  *hit_cap = 0;
+  if (!sc || !sx || !sy || !tgs || !tgl || !rblk || !a_pos || !b_pos) {
+    free (sc); free (sx); free (sy); free (tgs); free (tgl);
+    free (rblk); free (a_pos); free (b_pos);
+    return -1;
+  }
+  for (b0 = 0; b0 < B && !*hit_cap; b0 += SW_LANES) {
+    int nl = (B - b0 < SW_LANES) ? (int) (B - b0) : SW_LANES;
+    int l;
+    /* pad the partial block with NONE(6): zero-substitution lanes never
+     * score above 0, so their traceback is empty and they are skipped */
+    memset (rblk, 6, (size_t) SW_LANES * m);
+    for (l = 0; l < nl; l++)
+      memcpy (rblk + (size_t) l * m, reads + (b0 + l) * (long) m, m);
+    sw_fill_lanes (ref, n, rblk, m, sc, sx, sy, tgs, tgl);
+    for (l = 0; l < nl; l++) {
+      long b = b0 + l;
+      const signed char *rd = reads + b * (long) m;
+      int rl = read_lens[b];
+      int cnt = sw_traceback_lane (sc, sx, sy, n, m, l, rl, a_pos, b_pos);
+      if (cnt == 0) continue;
+      {
+        int n_gaps = 0, gaps_total = 0, s_gap = 0, e_gap = 0, n_div, t;
+        if (a_pos[0] > 0 && b_pos[0] > 0) {
+          int mn = a_pos[0] < b_pos[0] ? a_pos[0] : b_pos[0];
+          n_gaps++; s_gap = mn; gaps_total += mn;
+        }
+        if (a_pos[cnt - 1] < n - 1 && b_pos[cnt - 1] < rl - 1) {
+          int ga = n - 1 - a_pos[cnt - 1];
+          int gb = rl - 1 - b_pos[cnt - 1];
+          int mn = ga < gb ? ga : gb;
+          n_gaps++; e_gap = mn; gaps_total += mn;
+        }
+        n_div = n_gaps;
+        for (t = 0; t < cnt; t++)
+          if (ref[a_pos[t]] != rd[b_pos[t]]) n_div++;
+        if (n_div > max_divergent) continue;
+        if (cnt < min_align_len) continue;
+        if (s_gap > max_endgap || e_gap > max_endgap) continue;
+        if (gaps_total > max_gaps) continue;
+      }
+      {
+        int *row = rows + kept * n;
+        int a0 = a_pos[0], bp0 = b_pos[0];
+        int a_last = a_pos[cnt - 1], b_last = b_pos[cnt - 1];
+        int p, before_end = a0 - bp0;
+        if (before_end > a0) before_end = a0;
+        if (before_end < 0) before_end = 0;
+        for (p = 0; p < before_end; p++) row[p] = -1;          /* BEFORE */
+        for (p = before_end; p < a0; p++) row[p] = -3;         /* UNKNOWN */
+        {
+          int t = 0, cur = 0;
+          for (p = a0; p <= a_last; p++) {
+            if (t < cnt && a_pos[t] == p) { cur = b_pos[t]; t++; }
+            row[p] = cur;
+          }
+        }
+        {
+          int cut = a_last + rl - b_last;
+          int unk_end = cut > a_last + 1 ? cut : a_last + 1;
+          if (unk_end > n) unk_end = n;
+          for (p = a_last + 1; p < unk_end; p++) row[p] = -3;  /* UNKNOWN */
+          for (p = unk_end; p < n; p++) row[p] = -2;           /* AFTER */
+        }
+        keep_idx[kept] = (int) b;
+        kept++;
+        if (kept >= max_aligned) { *hit_cap = 1; break; }
+      }
+    }
+  }
+  free (sc); free (sx); free (sy); free (tgs); free (tgl);
+  free (rblk); free (a_pos); free (b_pos);
+  return kept;
+}
+
+/* ------------------------------------------------------------------ */
+/* greedy read-group merging (gassembler)                              */
+/* ------------------------------------------------------------------ */
+
+/* Count non-zero 3-bit groups of a divergent-position tag. */
+static long popcount3 (unsigned long long x)
+{
+  unsigned long long y = (x | (x >> 1) | (x >> 2))
+    & 0x1249249249249249ULL;
+  return __builtin_popcountll (y);
+}
+
+/* Greedy merge of tag-compatible read groups (src/gassembler.c:
+ * 1327-1591 selection semantics: best pair by strictly-greater
+ * (n_common_positions, size_sum) over the row-major i<j scan; merged
+ * group keeps slot i, last row swaps into slot j).  Arrays are
+ * modified in place; group_of has one entry per READ (length na) and
+ * is relabeled on merge/swap exactly like the reference.  The
+ * reference rescans all pairs each round; at gassembler scales
+ * (<=1024 reads, typically ~100) the rescan is cheaper in C than any
+ * incremental bookkeeping.  Returns the final group count. */
+long fgx_group_merge (unsigned long long *tags, unsigned long long *masks,
+                      long *sizes, long *dirs, long *group_of, long na)
+{
+  long n = na, r;
+  while (n > 1) {
+    long best_i = -1, best_j = -1, best_nc = -1, best_sz = -1;
+    long i, j;
+    for (i = 0; i < n; i++) {
+      for (j = i + 1; j < n; j++) {
+        unsigned long long cm = masks[i] & masks[j];
+        if ((tags[i] & cm) != (tags[j] & cm)) continue;
+        long nc = popcount3 (cm);
+        long sz = sizes[i] + sizes[j];
+        if (nc > best_nc || (nc == best_nc && sz > best_sz)) {
+          best_nc = nc; best_sz = sz; best_i = i; best_j = j;
+        }
+      }
+    }
+    if (best_i < 0) break;
+    i = best_i; j = best_j;
+    tags[i] = (tags[i] & masks[i]) | (tags[j] & masks[j]);
+    masks[i] |= masks[j];
+    sizes[i] += sizes[j];
+    dirs[i] |= dirs[j];
+    for (r = 0; r < na; r++) if (group_of[r] == j) group_of[r] = i;
+    n--;
+    tags[j] = tags[n]; masks[j] = masks[n];
+    sizes[j] = sizes[n]; dirs[j] = dirs[n];
+    for (r = 0; r < na; r++) if (group_of[r] == n) group_of[r] = j;
+  }
+  return n;
+}
+
+/* ------------------------------------------------------------------ */
+/* Smith-Waterman (integer-only, moved here for the -O3 object)       */
+/* ------------------------------------------------------------------ */
+
+/* ---- Smith-Waterman matrix fill (gassembler twin) -------------------
+ *
+ * Exact integer port of src/gassembler.c:2185-2321's DP as expressed in
+ * ops/swalign.py (same tie-breaks, same int8 gap-length wraparound).
+ * Row-major fill: the left-gap state carries as scalars along the row,
+ * the top-gap state as per-column arrays. ~30x the numpy wavefront on
+ * one host core.
+ */
+#define SW_M 2
+#define SW_MM (-3)
+#define SW_GO (-4)
+#define SW_GE (-2)
+#define SW_NEG (-1000)
+#define SW_NUCL_N 4
+
+void fgx_sw_batch (const signed char *ref, int n, const signed char *reads,
+                   int B, int m, short *score, signed char *sx,
+                   signed char *sy, short *tg_s_buf, signed char *tg_l_buf)
+{
+  int b, i, j;
+  int stride = (n + 1) * (m + 1);
+  for (b = 0; b < B; b++) {
+    const signed char *rd = reads + (long) b * m;
+    short *sc = score + (long) b * stride;
+    signed char *sxb = sx + (long) b * stride;
+    signed char *syb = sy + (long) b * stride;
+    for (j = 0; j <= m; j++) { tg_s_buf[j] = SW_NEG; tg_l_buf[j] = 0; }
+    for (i = 1; i <= n; i++) {
+      short lg_s = SW_NEG;
+      signed char lg_l = 0;
+      int a_n = ref[i - 1];
+      short *row = sc + i * (m + 1);
+      short *prow = sc + (i - 1) * (m + 1);
+      signed char *sxr = sxb + i * (m + 1);
+      signed char *syr = syb + i * (m + 1);
+      for (j = 1; j <= m; j++) {
+        int b_n = rd[j - 1];
+        short sub = (a_n >= SW_NUCL_N || b_n >= SW_NUCL_N) ? 0
+                    : (a_n == b_n ? SW_M : SW_MM);
+        short dsc = (short) (prow[j - 1] + sub);
+        short cell; signed char csx, csy;
+        if (dsc > 0) { cell = dsc; csx = -1; csy = -1; }
+        else { cell = 0; csx = 0; csy = 0; }
+        /* left gap from (i, j-1) */
+        {
+          short ls = (short) (cell + SW_GO);
+          signed char ll = 0;
+          if ((short) (lg_s + SW_GE) > ls) {
+            ls = (short) (lg_s + SW_GE);
+            ll = (signed char) (lg_l + 1);
+          }
+          if (ls >= cell) {
+            cell = ls; csx = (signed char) (-ll); csy = 0;
+          }
+          lg_s = ls; lg_l = ll;
+        }
+        /* top gap from (i-1, j), uses the updated cell */
+        {
+          short ts = (short) (cell + SW_GO);
+          signed char tl = 0;
+          if ((short) (tg_s_buf[j] + SW_GE) > ts) {
+            ts = (short) (tg_s_buf[j] + SW_GE);
+            tl = (signed char) (tg_l_buf[j] + 1);
+          }
+          if (ts >= cell) {
+            cell = ts; csx = 0; csy = (signed char) (-tl);
+          }
+          tg_s_buf[j] = ts; tg_l_buf[j] = tl;
+        }
+        row[j] = cell; sxr[j] = csx; syr[j] = csy;
+      }
+    }
+  }
+}
+
+
+/* Traceback one read's SW matrices (src/gassembler.c:2298-2320): first
+ * row-major maximum over columns 0..m_valid, then walk sx/sy. Returns
+ * the number of aligned pairs; a_pos/b_pos are filled in ascending
+ * order (capacity >= n1 + m1). */
+int fgx_sw_traceback (const short *score, const signed char *sx,
+                      const signed char *sy, int n1, int m1, int m_valid,
+                      int *a_pos, int *b_pos)
+{
+  int i, j, mi = 0, mj = 0, cnt = 0, half;
+  short best = score[0];
+  for (i = 0; i < n1; i++) {
+    const short *row = score + (long) i * m1;
+    for (j = 0; j <= m_valid; j++) {
+      if (row[j] > best) { best = row[j]; mi = i; mj = j; }
+    }
+  }
+  while (mi > 0 && mj > 0) {
+    signed char cx = sx[(long) mi * m1 + mj];
+    signed char cy = sy[(long) mi * m1 + mj];
+    if (cx == 0 && cy == 0) break;
+    if (score[(long) mi * m1 + mj] < 1) break;
+    if (cx && cy) { a_pos[cnt] = mi - 1; b_pos[cnt] = mj - 1; cnt++; }
+    mi += cy;
+    mj += cx;
+  }
+  half = cnt / 2;
+  for (i = 0; i < half; i++) {
+    int t = a_pos[i]; a_pos[i] = a_pos[cnt - 1 - i]; a_pos[cnt - 1 - i] = t;
+    t = b_pos[i]; b_pos[i] = b_pos[cnt - 1 - i]; b_pos[cnt - 1 - i] = t;
+  }
+  return cnt;
+}
+
+
+/* Fused align phase for one region (src/gassembler.c:1912-2006 with the
+ * divergence count of :1162-1196): per read, SW fill into an
+ * L2-resident scratch matrix (reused across reads, unlike the batched
+ * fill above which streams B full matrices through RAM), traceback,
+ * divergence filters, and the per-reference-position read-position row.
+ * Row semantics match align_reads in pipelines/gassemble.py exactly
+ * (BEFORE=-1, AFTER=-2, UNKNOWN=-3, untouched=-1000).
+ *
+ * rows is int32[max_aligned, n]; keep_idx[r] records which input read
+ * produced kept row r. Returns the kept count; *hit_cap is set when
+ * the max_aligned cap stopped the scan early (caller prints the
+ * reference's stderr message). Scratch (score/sx/sy/tg) is caller-
+ * provided so repeated calls do not churn the allocator:
+ * score (n+1)*(m+1) shorts, sx/sy same in bytes, tg_s m+1 shorts,
+ * tg_l m+1 bytes, a_pos/b_pos n+m+2 ints. */
+long fgx_sw_align_region (const signed char *ref, int n,
+                          const signed char *reads, long B, int m,
+                          const int *read_lens,
+                          int max_divergent, int min_align_len,
+                          int max_endgap, int max_gaps, long max_aligned,
+                          int *rows, int *keep_idx, int *hit_cap,
+                          short *score, signed char *sx, signed char *sy,
+                          short *tg_s, signed char *tg_l,
+                          int *a_pos, int *b_pos)
+{
+  long b, kept = 0;
+  *hit_cap = 0;
+  /* the DP only writes interior cells; row 0 / col 0 must read as zero
+   * for the argmax and traceback (the batched path allocates zeroed) */
+  memset (score, 0, (size_t) (n + 1) * (m + 1) * sizeof (short));
+  memset (sx, 0, (size_t) (n + 1) * (m + 1));
+  memset (sy, 0, (size_t) (n + 1) * (m + 1));
+  for (b = 0; b < B; b++) {
+    const signed char *rd = reads + b * m;
+    int rl = read_lens[b];
+    fgx_sw_batch (ref, n, rd, 1, m, score, sx, sy, tg_s, tg_l);
+    int cnt = fgx_sw_traceback (score, sx, sy, n + 1, m + 1, rl,
+                                a_pos, b_pos);
+    if (cnt == 0) continue;
+    /* divergence count (src/gassembler.c:1162-1196) */
+    {
+      int n_gaps = 0, gaps_total = 0, s_gap = 0, e_gap = 0, n_div, t;
+      if (a_pos[0] > 0 && b_pos[0] > 0) {
+        int mn = a_pos[0] < b_pos[0] ? a_pos[0] : b_pos[0];
+        n_gaps++; s_gap = mn; gaps_total += mn;
+      }
+      if (a_pos[cnt - 1] < n - 1 && b_pos[cnt - 1] < rl - 1) {
+        int ga = n - 1 - a_pos[cnt - 1];
+        int gb = rl - 1 - b_pos[cnt - 1];
+        int mn = ga < gb ? ga : gb;
+        n_gaps++; e_gap = mn; gaps_total += mn;
+      }
+      n_div = n_gaps;
+      for (t = 0; t < cnt; t++)
+        if (ref[a_pos[t]] != rd[b_pos[t]]) n_div++;
+      if (n_div > max_divergent) continue;
+      if (cnt < min_align_len) continue;
+      if (s_gap > max_endgap || e_gap > max_endgap) continue;
+      if (gaps_total > max_gaps) continue;
+    }
+    /* alignment row */
+    {
+      int *row = rows + kept * n;
+      int a0 = a_pos[0], b0 = b_pos[0];
+      int a_last = a_pos[cnt - 1], b_last = b_pos[cnt - 1];
+      int p, before_end = a0 - b0;
+      if (before_end > a0) before_end = a0;
+      if (before_end < 0) before_end = 0;
+      for (p = 0; p < before_end; p++) row[p] = -1;            /* BEFORE */
+      for (p = before_end; p < a0; p++) row[p] = -3;           /* UNKNOWN */
+      {
+        int t = 0, cur = 0;
+        for (p = a0; p <= a_last; p++) {
+          if (t < cnt && a_pos[t] == p) { cur = b_pos[t]; t++; }
+          row[p] = cur;
+        }
+      }
+      {
+        int cut = a_last + rl - b_last;
+        int unk_end = cut > a_last + 1 ? cut : a_last + 1;
+        if (unk_end > n) unk_end = n;
+        for (p = a_last + 1; p < unk_end; p++) row[p] = -3;    /* UNKNOWN */
+        for (p = unk_end; p < n; p++) row[p] = -2;             /* AFTER */
+      }
+      keep_idx[kept] = (int) b;
+      kept++;
+      /* the reference prints its cap warning and stops the moment the
+       * cap is reached, even on the final read (gassembler.c:1990-1998) */
+      if (kept >= max_aligned) { *hit_cap = 1; break; }
+    }
+  }
+  return kept;
+}
+
+
