@@ -569,6 +569,29 @@ def make_list(input_files, word_length: int, output_path: str,
 
     from genometester4_tpu.io.fasta import iter_code_slabs
 
+    # With more than one visible device, the production count path IS
+    # the ("dp", "kp") mesh (parallel/sharding.py): per-slab SPMD
+    # extract+count with all_to_all prefix routing, yielding already
+    # globally sorted per-slab results. Shard-by-most-significant-bits
+    # keeps the final merge and the .list bytes identical to the
+    # 1-device path at any mesh shape. GT4_TPU_MESH=0 opts out.
+    import jax
+    mesh = None
+    if (canonical and len(jax.devices()) > 1
+            and os.environ.get("GT4_TPU_MESH", "1") != "0"):
+        from genometester4_tpu.parallel.sharding import (
+            count_kmers_sharded, make_mesh)
+        mesh = make_mesh()
+
+    def slab_shards(codes):
+        if mesh is not None:
+            w, c = count_kmers_sharded(codes, word_length, mesh)
+            if len(w):
+                yield w, c
+            return
+        yield from count_chunks(codes, word_length, chunk_bases,
+                                canonical=canonical)
+
     tmpdir = os.environ.get("GT4_TPU_TMPDIR") or None
     for path in input_files:
         # streaming slab ingestion: peak RAM is O(slab_bytes), not
@@ -585,8 +608,7 @@ def make_list(input_files, word_length: int, output_path: str,
                 break
             codes, meta = item
             t0 = time.time()
-            for w, c in count_chunks(codes, word_length, chunk_bases,
-                                     canonical=canonical):
+            for w, c in slab_shards(codes):
                 shards.append((w, c))
                 ram_bytes += w.nbytes + c.nbytes
                 if ram_bytes > spill_bytes:
