@@ -203,19 +203,13 @@ class DBCounter:
         if self.build_index:
             # FASTQ (the KATK read format) streams: records never span
             # slabs and SlabMeta carries absolute name offsets. FASTA
-            # records can span slabs, so that (rare for read sets) case
-            # loads whole-file for its record registry.
+            # records CAN span slabs; iter_slabs_indexed carries the
+            # record/position segment maps across seams, so that path
+            # streams too (O(slab) raw bytes).
             if self._sniff_fastq(path):
                 self._add_file_indexed_stream(path, slab_bytes)
-                return
-            parsed = load_file(path)
-            if self.collect_stats:
-                st = self.result.stats
-                st.n_nucl += int((parsed.codes < 4).sum())
-                st.n_gc += int(((parsed.codes == 1)
-                                | (parsed.codes == 2)).sum())
-                st.n_seq = st.n_nucl + parsed.count_n
-            self._add_codes_indexed(parsed)
+            else:
+                self._add_file_indexed_stream_fasta(path, slab_bytes)
             return
         # count mode streams: peak RAM O(slab), matching the reference's
         # block-at-a-time read pipeline (src/gmer_counter.c:713-748)
@@ -313,6 +307,81 @@ class DBCounter:
                               subseq=rec.astype(np.int64),
                               kmer_pos=kmer_pos.astype(np.int64),
                               name_pos=name_pos,
+                              dir=dirs.astype(np.uint64)))
+
+    def _add_file_indexed_stream_fasta(self, path: str, slab_bytes: int):
+        """Index-mode FASTA ingestion in bounded memory: per-slab
+        record/position maps from iter_slabs_indexed replace the former
+        whole-file parse (same hit table, same stats quirks as
+        _add_codes_indexed — n_seq is SET to n_nucl + this file's N
+        count, reproducing the whole-file path's behavior)."""
+        from genometester4_tpu.io.fasta import iter_slabs_indexed
+
+        k = self.db.wordsize
+        file_idx = len(self.hits)
+        name_starts_l = []
+        rec_l, lpos_l, code_l, dir_l = [], [], [], []
+        file_count_n = 0
+        for codes, meta in iter_slabs_indexed(path, k, slab_bytes):
+            if codes is None:
+                break
+            name_starts_l.append(meta.name_spans[:, 0])
+            file_count_n += meta.count_n
+            if self.collect_stats:
+                st = self.result.stats
+                fresh = codes[meta.prefix_len:]
+                st.n_nucl += int((fresh < 4).sum())
+                st.n_gc += int(((fresh == 1) | (fresh == 2)).sum())
+            n = len(codes)
+            if n < k:
+                continue
+            step = self.chunk_bases - (k - 1)
+            for start in range(0, max(n - (k - 1), 1), step):
+                chunk = pad_pow2_chunk(codes[start:start + self.chunk_bases],
+                                       self.chunk_bases)
+                n_hit, hcode, hpos, hdir, n_valid = self._run_idx(
+                    jnp.asarray(chunk), self._thi, self._tlo, self._tcode,
+                    self._n)
+                m = int(n_hit)
+                if self.collect_stats:
+                    self.result.stats.n_kmers_total += int(n_valid)
+                if not m:
+                    continue
+                spos = np.asarray(hpos[:m]).astype(np.int64) + start
+                seg = np.searchsorted(meta.seg_starts, spos,
+                                      side="right") - 1
+                rec_l.append(meta.seg_rec[seg])
+                lpos_l.append(spos - meta.seg_starts[seg]
+                              + meta.seg_lpos0[seg])
+                code_l.append(np.asarray(hcode[:m]))
+                dir_l.append(np.asarray(hdir[:m]))
+        if self.collect_stats:
+            st = self.result.stats
+            st.n_seq = st.n_nucl + file_count_n
+        name_starts = (np.concatenate(name_starts_l) if name_starts_l
+                       else np.zeros(0, np.int64))
+        code_a = (np.concatenate(code_l) if code_l
+                  else np.empty(0, np.uint32))
+        rec = (np.concatenate(rec_l) if rec_l else np.empty(0, np.int64))
+        kmer_pos = ((np.concatenate(lpos_l) if lpos_l
+                     else np.empty(0, np.int64)) & 0x3FFFF)
+        dirs = (np.concatenate(dir_l) if dir_l else np.empty(0, np.uint8))
+        node, kmer, ok = self.db.decode(code_a)
+        if not ok.all():
+            sys.stderr.write("DB inconsistency: invalid code in index mode\n")
+            rec, kmer_pos, dirs = rec[ok], kmer_pos[ok], dirs[ok]
+            node, kmer = node[ok], kmer[ok]
+        slots = self.db.flat_slot(node, kmer)
+        np.add.at(self.result.counts, slots, 1)
+        if self.collect_stats:
+            st = self.result.stats
+            st.n_kmers += len(slots)
+            st.n_kmer_gc += int(self._slot_gc[slots].sum())
+        self.hits.append(dict(file_idx=file_idx, slot=slots,
+                              subseq=rec.astype(np.int64),
+                              kmer_pos=kmer_pos.astype(np.int64),
+                              name_pos=(name_starts[rec] if len(rec)
+                                        else np.empty(0, np.int64)),
                               dir=dirs.astype(np.uint64)))
 
     def _add_codes_indexed(self, parsed):

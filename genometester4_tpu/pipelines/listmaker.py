@@ -205,75 +205,94 @@ def _make_index_chunk_fn(k: int):
 
 def make_index(input_files, word_length: int, output_path: str,
                min_count: int = 1, max_count: int = 0xFFFFFFFF,
-               chunk_bases: int = DEFAULT_CHUNK_BASES):
+               chunk_bases: int = DEFAULT_CHUNK_BASES,
+               slab_bytes: int = 1 << 28):
     """glistmaker --index: FASTA/FASTQ -> .index location file
     (reference writer: src/glistmaker.c:366-782).
 
     Location semantics (src/glistmaker.c:1052-1068): pos counts printable
     sequence characters (seq_npos), subseq is the record index within the
     file, dir means the canonical word is the reverse complement.
+
+    Ingestion is O(slab): raw bytes never reside whole-file
+    (iter_slabs_indexed streams codes with per-slab record/position
+    segment maps — the role of the reference's 100 MB block registry,
+    src/sequence-block.c:148-206). The location table itself is O(total
+    windows), as in the reference.
     """
     from genometester4_tpu.formats.index_format import (IndexFile,
                                                         get_bitsize,
                                                         write_index_file)
-    from genometester4_tpu.io.fasta import load_file, open_source
+    from genometester4_tpu.io.fasta import iter_slabs_indexed
 
     k = word_length
     run = _make_index_chunk_fn(k)
-    all_words, all_codes_parts = [], []
     files_meta = []
-    per_file = []  # (words, file_idx, subseq, pos, dir)
+    per_file = []  # (words, rec, lpos, dirs)
     max_lpos = 0
     max_subseq = 0
     for file_idx, path in enumerate(input_files):
-        raw = open_source(path)
-        parsed = load_file(path)
+        span_parts = []
+        len_parts = []       # FASTQ per-record char lengths
+        is_fastq = False
+        w_l, r_l, p_l, d_l = [], [], [], []
+        stream_size = 0
+        n_rec = 0
+        for codes, meta in iter_slabs_indexed(path, k, slab_bytes):
+            if codes is None:
+                stream_size = meta.stream_size
+                n_rec = meta.n_records
+                break
+            span_parts.append(meta.name_spans)
+            if meta.rec_lengths is not None:
+                is_fastq = True
+                len_parts.append(meta.rec_lengths)
+            n = len(codes)
+            if n < k:
+                continue
+            step = chunk_bases - (k - 1)
+            for start in range(0, max(n - (k - 1), 1), step):
+                chunk = pad_pow2_chunk(codes[start:start + chunk_bases],
+                                       chunk_bases)
+                n_v, hi, lo, pos, dirs = run(jnp.asarray(chunk))
+                m = int(n_v)
+                if not m:
+                    continue
+                w_l.append(join_u64(np.asarray(hi[:m]), np.asarray(lo[:m])))
+                spos = np.asarray(pos[:m]).astype(np.int64) + start
+                seg = np.searchsorted(meta.seg_starts, spos,
+                                      side="right") - 1
+                r_l.append(meta.seg_rec[seg])
+                p_l.append(spos - meta.seg_starts[seg]
+                           + meta.seg_lpos0[seg])
+                d_l.append(np.asarray(dirs[:m]))
+
         # byte-level subsequence registry (src/glistmaker.c:1030-1050):
         # name_pos/name_len from the record header, seq span in BYTES up
         # to the next record start (FASTA) or the sequence line (FASTQ)
-        ns = parsed._name_spans
-        n_rec = parsed.n_records
+        ns = (np.concatenate(span_parts) if span_parts
+              else np.zeros((0, 2), np.int64))
         subseqs = np.zeros((n_rec, 4), np.int64)
         subseqs[:, 0] = ns[:, 0]
         subseqs[:, 1] = ns[:, 1] - ns[:, 0]
         seq_pos = ns[:, 1] + 1
         subseqs[:, 2] = seq_pos
-        first = raw.lstrip(b" \t\r\n")[:1]
-        if first == b">":
-            nxt = np.concatenate([ns[1:, 0] - 1, [len(raw)]])
+        if not is_fastq:
+            nxt = np.concatenate([ns[1:, 0] - 1, [stream_size]])
             subseqs[:, 3] = nxt - seq_pos
         else:
-            # FASTQ: sequence line length (no newline)
-            data = np.frombuffer(raw, np.uint8)
-            for j in range(n_rec):
-                e = seq_pos[j]
-                while e < len(data) and data[e] != 0x0A:
-                    e += 1
-                subseqs[j, 3] = e - seq_pos[j]
-        files_meta.append(IndexFile(path.encode(), len(raw), subseqs))
+            subseqs[:, 3] = (np.concatenate(len_parts) if len_parts
+                             else np.zeros(0, np.int64))
+        files_meta.append(IndexFile(path.encode(), stream_size, subseqs))
         if n_rec:
             max_subseq = max(max_subseq, n_rec - 1)
-        # windows
-        codes = parsed.codes
-        n = len(codes)
-        if n < k:
+        if not w_l:
             per_file.append(None)
             continue
-        w_l, p_l, d_l = [], [], []
-        step = chunk_bases - (k - 1)
-        for start in range(0, max(n - (k - 1), 1), step):
-            chunk = pad_pow2_chunk(codes[start:start + chunk_bases],
-                                   chunk_bases)
-            n_v, hi, lo, pos, dirs = run(jnp.asarray(chunk))
-            m = int(n_v)
-            w_l.append(join_u64(np.asarray(hi[:m]), np.asarray(lo[:m])))
-            p_l.append(np.asarray(pos[:m]).astype(np.int64) + start)
-            d_l.append(np.asarray(dirs[:m]))
         words = np.concatenate(w_l)
-        gpos = np.concatenate(p_l)
+        rec = np.concatenate(r_l)
+        lpos = np.concatenate(p_l)
         dirs = np.concatenate(d_l)
-        rec = np.searchsorted(parsed.rec_starts, gpos, side="right") - 1
-        lpos = gpos - parsed.rec_starts[rec]
         if len(lpos):
             max_lpos = max(max_lpos, int(lpos.max()))
         per_file.append((words, rec, lpos, dirs))

@@ -196,3 +196,25 @@ def test_header_only_index_zero_words(tmp_path):
     from genometester4_tpu.formats.index_format import read_index_map
     im = read_index_map(tmp_path / "tpu_21.index")
     assert len(im.words) == 0 and len(im.files) == 0
+
+
+def test_make_index_streaming_slabs_byte_identical(rng, tmp_path):
+    """glistmaker --index in O(slab) ingestion: tiny slabs (records
+    spanning many seams) must produce the same .index bytes as the
+    one-slab path and the reference (round-1 VERDICT missing #5)."""
+    from tests.conftest import random_fasta, run_reference
+    from genometester4_tpu.pipelines.listmaker import make_index
+
+    text = random_fasta(rng, n_records=5, min_len=800, max_len=4000,
+                        n_prob=0.02)
+    fa = tmp_path / "in.fa"
+    fa.write_text(text)
+    r = run_reference(["glistmaker", str(fa), "-w", "12", "--index",
+                       "-o", str(tmp_path / "ref")])
+    assert r.returncode == 0, r.stderr
+    make_index([str(fa)], 12, str(tmp_path / "tiny.index"),
+               slab_bytes=1 << 10)
+    make_index([str(fa)], 12, str(tmp_path / "big.index"))
+    ref = (tmp_path / "ref_12.index").read_bytes()
+    assert (tmp_path / "big.index").read_bytes() == ref
+    assert (tmp_path / "tiny.index").read_bytes() == ref
