@@ -161,22 +161,35 @@ def _main_impl(argv=None) -> int:
     from genometester4_tpu.pipelines.gmercount import (
         DBCounter, format_counts, pair_median, write_index_db)
 
+    # -D phase timing chatter, format-matched to the reference
+    # (src/gmer_counter.c:284-446) with this pipeline's timings
+    import time
+    start_time = last_time = time.time()
+
     db = None
     if db_name:
         if not os.path.exists(db_name):
             sys.stderr.write(f"Cannot mmap database file {db_name}\n")
             return 1
+        if debug:
+            sys.stderr.write(f"Loading text database {db_name}\n")
         db = load_text_db(db_name, max_kmers_per_node, 32 if big else 16)
         if db is None:
             # the reference prints the (NULL) -dbb pointer here, which
             # glibc renders as "(null)" (src/gmer_counter.c:305)
             sys.stderr.write("Cannot read text database (null)\n")
             return 1
+        if debug:
+            sys.stderr.write("Loading time (text): %.1fs\n"
+                             % (time.time() - last_time))
+        last_time = time.time()
     if dbb:
         from genometester4_tpu.formats.gmerdb_binary import load_binary_db
         if not os.path.exists(dbb):
             sys.stderr.write(f"Cannot mmap {dbb}\n")
             return 1
+        if debug:
+            sys.stderr.write(f"Loading binary database {dbb}\n")
         db = load_binary_db(dbb)
         if db is None:
             sys.stderr.write(f"Cannot read binary database {dbb}\n")
@@ -184,6 +197,10 @@ def _main_impl(argv=None) -> int:
         if dump_index:
             _dump_db(dbb, db)
             return 0
+        if debug:
+            sys.stderr.write("Loading time (binary): %.1fs\n"
+                             % (time.time() - last_time))
+        last_time = time.time()
     if db is None:
         sys.stderr.write("Nothing to do!\n" + HELP)
         return 1
@@ -192,6 +209,11 @@ def _main_impl(argv=None) -> int:
         from genometester4_tpu.formats.gmerdb_binary import write_binary_db
         with open(wdb, "wb") as f:
             write_binary_db(db, f)
+        if debug:
+            sys.stderr.write("Done\n")
+            sys.stderr.write("Writing time (database): %.1fs\n"
+                             % (time.time() - last_time))
+        last_time = time.time()
 
     if seqnames:
         counter = DBCounter(db, collect_stats=bool(stats),
@@ -203,10 +225,19 @@ def _main_impl(argv=None) -> int:
             counter.add_file(path)
         counter.finalize()
         counts = counter.result.clamped(db.count_bits)
+        if debug:
+            sys.stderr.write("Reading time: %.1fs\n"
+                             % (time.time() - last_time))
+        last_time = time.time()
 
         read_index = None
         if index_name:
-            read_index = write_index_db(db, counter, seqnames, index_name)
+            read_index = write_index_db(db, counter, seqnames, index_name,
+                                        debug=debug)
+            if debug:
+                sys.stderr.write("Index writing time: %.1fs\n"
+                                 % (time.time() - last_time))
+            last_time = time.time()
 
         if not silent:
             out = sys.stdout
@@ -230,6 +261,8 @@ def _main_impl(argv=None) -> int:
                                                      if denom else float("nan")))
             format_counts(db, counts, bool(total), bool(unique), bool(kmers),
                           distro, bool(header), out, read_index=read_index)
+    if debug:
+        sys.stderr.write("Total time: %.1fs\n" % (time.time() - start_time))
     return 0
 
 

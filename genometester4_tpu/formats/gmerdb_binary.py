@@ -164,12 +164,17 @@ class _TrieSim:
         return self._branch_add(new_ref, word, nbits, code)
 
     # -- serialization (src/trie.c:177-203) ---------------------------------
-    def serialize(self) -> bytes:
-        out = [struct.pack("<IIQ", self.nbits, self.nbits_root, self.nbranches)]
+    def serialize_parts(self):
+        """Zero-copy serialization: (parts, total_bytes) where parts are
+        buffer-protocol objects written straight to the file. The root
+        table is 2^nbits_root u64 slots (2 GB at the default 28 bits) —
+        mostly untouched zero pages; materializing it as bytes cost two
+        extra 2 GB copies, which dominated --compile_index wall time."""
+        hdr = struct.pack("<IIQ", self.nbits, self.nbits_root,
+                          self.nbranches)
         roots = np.zeros(1 << self.nbits_root, np.uint64)
         for k, v in self.roots.items():
             roots[k] = v
-        out.append(roots.tobytes())
         branches = np.zeros((self.nbranches, 3), np.uint64)
         n = min(len(self.bits0), self.nbranches)
         if n:
@@ -177,14 +182,19 @@ class _TrieSim:
             ch = np.asarray(self.child[:n], np.uint64)
             branches[:n, 1] = ch[:, 0]
             branches[:n, 2] = ch[:, 1]
-        out.append(branches.tobytes())
-        return b"".join(out)
+        parts = [hdr, roots, branches]
+        total = len(hdr) + roots.nbytes + branches.nbytes
+        return parts, total
+
+    def serialize(self) -> bytes:
+        parts, _ = self.serialize_parts()
+        return b"".join(bytes(memoryview(p)) for p in parts)
 
 
-def build_trie_blob(db: GmerDB) -> bytes:
-    """Build the serialized trie for ``db`` exactly as the reference's
-    text-DB load does (src/database.c:155,203-243): insert canonical
-    words node by node, single allocator."""
+def build_trie_sim(db: GmerDB) -> "_TrieSim":
+    """Build the trie for ``db`` exactly as the reference's text-DB load
+    does (src/database.c:155,203-243): insert canonical words node by
+    node, single allocator."""
     sim = _TrieSim(db.wordsize * 2, 28)
     starts = db.node_kmers_start.astype(np.int64)
     nks = db.node_nkmers.astype(np.int64)
@@ -197,7 +207,11 @@ def build_trie_blob(db: GmerDB) -> bytes:
             code = ((0x80000000 if dirs[s] else 0)
                     | ((node + 1) << kb) | i) & 0xFFFFFFFF
             sim.add_word(int(words[s]), code)
-    return sim.serialize()
+    return sim
+
+
+def build_trie_blob(db: GmerDB) -> bytes:
+    return build_trie_sim(db).serialize()
 
 
 # ---------------------------------------------------------------------------
@@ -279,7 +293,7 @@ def write_binary_db(db: GmerDB, f, write_counts: bool = False,
     nodes[:, 1] = db.node_kmers_start.astype(np.uint32)
     nodes[:, 2] = db.node_nkmers
 
-    trie_blob = build_trie_blob(db)
+    trie_parts, trie_len = build_trie_sim(db).serialize_parts()
     if index_blob is None:
         index_blob, index_physical, _bbs = _empty_index_blob()
     elif index_physical is None:
@@ -306,6 +320,20 @@ def write_binary_db(db: GmerDB, f, write_counts: bool = False,
         written += 8 + bs
         f.seek(written)
 
+    def block_parts(parts, total: int):
+        # zero-copy variant: buffer-protocol pieces written directly
+        # (the trie's 2 GB root table must not round-trip through bytes)
+        nonlocal written
+        starts.append(written)
+        bs = _pad16(total)
+        f.write(struct.pack("<Q", bs))
+        for p in parts:
+            mv = memoryview(p)
+            if mv.nbytes:
+                f.write(mv)
+        written += 8 + bs
+        f.seek(written)
+
     block(nodes.tobytes())
     if write_counts and counts is not None:
         dt = np.uint16 if db.count_bits == 16 else np.uint32
@@ -313,7 +341,7 @@ def write_binary_db(db: GmerDB, f, write_counts: bool = False,
     else:
         block(b"", blocksize=0)
     block(names_blob)
-    block(trie_blob)
+    block_parts(trie_parts, trie_len)
     # final block: the reference never materializes the trailing
     # alignment pad (it is a seek hole at EOF), so write only the
     # physical bytes while recording the (possibly buggy) blocksize

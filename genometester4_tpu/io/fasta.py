@@ -322,6 +322,34 @@ def _parse_fasta_slab_np(head: bytes, continuing: bool):
     return out, n_headers, count_n, int(rec_lengths.sum()), True
 
 
+def _parse_fastq_slab_fast(head: bytes, abs_off: int):
+    """Native FASTQ slab parse (twin of parse_fastq for the slab path;
+    tests/test_listmaker.py + test_gmercounter.py lock the behavior).
+    Returns (codes, SlabMeta) or None to fall back to numpy."""
+    try:
+        import ctypes
+
+        from genometester4_tpu.models.fastgt_native import get_lib
+        lib = get_lib()
+    except Exception:
+        return None
+    data = np.frombuffer(head, np.uint8)
+    codes = np.empty(len(data) + 1, np.uint8)
+    cap = len(data) // 4 + 2
+    rs = np.empty(cap, np.int64)
+    npos = np.empty(cap, np.int64)
+    m = ctypes.c_long(0)
+    tb = ctypes.c_long(0)
+    cn = ctypes.c_long(0)
+    nrec = lib.fgx_parse_fastq_slab(data, len(data), codes,
+                                    ctypes.byref(m), rs, npos,
+                                    ctypes.byref(tb), ctypes.byref(cn))
+    return codes[: m.value], SlabMeta(
+        int(nrec), int(tb.value), int(cn.value),
+        rec_starts=rs[:nrec].copy(),
+        name_pos=npos[:nrec] + abs_off)
+
+
 def iter_code_slabs(path: str, k: int, slab_bytes: int = 1 << 28):
     """Stream a FASTA/FASTQ file as ready-to-count code slabs.
 
@@ -405,14 +433,19 @@ def iter_code_slabs(path: str, k: int, slab_bytes: int = 1 << 28):
                 continue
             cut = int(nl[4 * n_groups - 1]) + 1
             head, carry = buf[:cut], buf[cut:]
-            parsed = parse_fastq(head)
-            meta = SlabMeta(parsed.n_records, parsed.total_bases,
-                            parsed.count_n,
-                            rec_starts=parsed.rec_starts,
-                            name_pos=(parsed._name_spans[:, 0]
-                                      .astype(np.int64) + abs_off))
+            fast = _parse_fastq_slab_fast(head, abs_off)
+            if fast is not None:
+                codes_fq, meta = fast
+            else:
+                parsed = parse_fastq(head)
+                codes_fq = parsed.codes
+                meta = SlabMeta(parsed.n_records, parsed.total_bases,
+                                parsed.count_n,
+                                rec_starts=parsed.rec_starts,
+                                name_pos=(parsed._name_spans[:, 0]
+                                          .astype(np.int64) + abs_off))
             abs_off += len(head)
-            yield parsed.codes, meta
+            yield codes_fq, meta
     # EOF: flush whatever remains as final (possibly unterminated) lines
     if carry.strip():
         if fmt == "fasta":

@@ -146,6 +146,15 @@ def get_lib() -> ctypes.CDLL:
         lib.fgx_parse_fasta_slab.restype = ctypes.c_long
         lib.fgx_parse_fasta_slab.argtypes = [
             u8p, ctypes.c_long, ctypes.c_int, u8p, lp_, lp_, lp_]
+        i64b = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.fgx_parse_fastq_slab.restype = ctypes.c_long
+        lib.fgx_parse_fastq_slab.argtypes = [
+            u8p, ctypes.c_long, u8p, lp_, i64b, i64b, lp_, lp_]
+        i64a = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.fgx_parse_text_db.restype = ctypes.c_long
+        lib.fgx_parse_text_db.argtypes = [
+            u8p, ctypes.c_long, ctypes.c_long, i64a, i64a, i64a, u64p,
+            lp_, ctypes.POINTER(ctypes.c_int)]
         lib.fgx_sce_start.restype = ctypes.c_void_p
         lib.fgx_sce_start.argtypes = [u64p, ctypes.c_long, ctypes.c_int]
         lib.fgx_sce_next.restype = ctypes.c_long
@@ -154,6 +163,8 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_long, u64sp]
         lib.fgx_sce_free.restype = None
         lib.fgx_sce_free.argtypes = [ctypes.c_void_p]
+        lib.fgx_sort_u64.restype = ctypes.c_int
+        lib.fgx_sort_u64.argtypes = [u64p, ctypes.c_long, ctypes.c_int]
         lib.fgx_sort_count_emit.restype = ctypes.c_long
         lib.fgx_sort_count_emit.argtypes = [
             u64p, ctypes.c_long, ctypes.c_int,

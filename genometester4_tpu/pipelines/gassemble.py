@@ -404,8 +404,21 @@ def count_divergent(ref_codes, read_codes, a_p, b_p):
 
 
 def _device_sw_enabled() -> bool:
+    """Cost model (CLAUDE.md): the lane-batched Pallas SW pays only when
+    the accelerator link is low-latency — default ON on a real TPU link,
+    OFF on the CPU backend and behind the axon tunnel (traceback pulls
+    full matrices back to the host). GT4_TPU_DEVICE_SW=0|1 overrides
+    (forked parallel workers pin it to 0: fork + live backend threads
+    deadlock, cli/gassembler._parallel_worker)."""
     import os
-    return os.environ.get("GT4_TPU_DEVICE_SW", "0") == "1"
+    v = os.environ.get("GT4_TPU_DEVICE_SW")
+    if v is not None:
+        return v == "1"
+    import jax
+
+    from genometester4_tpu.utils.backend import accelerator_link_is_slow
+    return (jax.default_backend() not in ("cpu",)
+            and not accelerator_link_is_slow())
 
 
 def align_reads(ref_codes: np.ndarray, reads: list, params: Params):

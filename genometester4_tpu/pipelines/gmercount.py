@@ -177,6 +177,19 @@ class DBCounter:
         self._slot_of_unique = np.zeros(n, np.int64)
         self._slot_of_unique[ok] = db.flat_slot(node[ok], kmer[ok])
         self._run_cache: dict = {}
+        # count-mode placement: with no accelerator at all, the native
+        # host kernels (extract + radix sort + searchsorted bounds) beat
+        # the jnp pipeline on the XLA CPU backend several-fold; with a
+        # device (even behind the tunnel — readback here is DB-sized,
+        # not output-sized) the device pipeline wins.
+        import os
+
+        impl = os.environ.get("GT4_TPU_COUNT_IMPL", "auto")
+        if impl == "auto":
+            impl = "host" if jax.default_backend() == "cpu" else "device"
+        self._count_impl = impl
+        if impl == "host":
+            self._host_acc = np.zeros(n, np.uint64)
         # index mode: per-window DB lookup (needs positions; padded table)
         if build_index:
             cap = 1 << max(10, math.ceil(math.log2(max(n, 2))))
@@ -447,6 +460,28 @@ class DBCounter:
         n = len(codes)
         if n < k:
             return
+        if self._count_impl == "host":
+            import ctypes
+
+            from genometester4_tpu.models.fastgt_native import get_lib
+            from genometester4_tpu.utils.backend import disable_numpy_thp
+            disable_numpy_thp()
+            lib = get_lib()
+            buf = np.empty(n, np.uint64)
+            m = lib.fgx_extract_canonical(np.ascontiguousarray(codes), n,
+                                          k, buf)
+            if self.collect_stats:
+                self.result.stats.n_kmers_total += int(m)
+            if not m:
+                return
+            words = np.ascontiguousarray(buf[:m])
+            if lib.fgx_sort_u64(words, m, 2 * k) != 0:
+                raise MemoryError("sort scratch allocation failed")
+            dbw = self.db.sorted_words
+            lo = np.searchsorted(words, dbw, side="left")
+            hi = np.searchsorted(words, dbw, side="right")
+            self._host_acc += (hi - lo).astype(np.uint64)
+            return
         step = self.chunk_bases - (k - 1)
         for start in range(0, max(n - (k - 1), 1), step):
             chunk = pad_pow2_chunk(codes[start:start + self.chunk_bases],
@@ -469,9 +504,12 @@ class DBCounter:
         self._finalized = True
         if self.build_index:
             return
-        lo = np.asarray(self._acc_lo).astype(np.uint64)
-        hi = np.asarray(self._acc_hi).astype(np.uint64)
-        totals = (hi << np.uint64(32)) | lo
+        if self._count_impl == "host":
+            totals = self._host_acc
+        else:
+            lo = np.asarray(self._acc_lo).astype(np.uint64)
+            hi = np.asarray(self._acc_hi).astype(np.uint64)
+            totals = (hi << np.uint64(32)) | lo
         ok = self._slot_ok
         if not ok.all() and totals[~ok].any():
             sys.stderr.write(
@@ -551,11 +589,33 @@ def build_read_index(db: GmerDB, counter: DBCounter, file_names: list[str]):
 
 
 def write_index_db(db: GmerDB, counter: DBCounter, file_names: list[str],
-                   path: str):
-    """gmer_counter --compile_index: GMDB (no counts) + read index."""
+                   path: str, debug: int = 0):
+    """gmer_counter --compile_index: GMDB (no counts) + read index.
+
+    ``debug`` reproduces the reference's -D phase chatter and timing
+    lines (src/gmer_counter.c:523-623) with this pipeline's timings.
+    """
+    import time
+
     from genometester4_tpu.formats.read_index import pack_read_index
     from genometester4_tpu.formats.gmerdb_binary import write_binary_db
+    t0 = time.time()
+    if debug:
+        sys.stderr.write("Calculate bitsizes\n")
     ri = build_read_index(db, counter, file_names)
+    if debug:
+        sys.stderr.write("Bitsize time: %.1fs\n" % (time.time() - t0))
+        t0 = time.time()
+        mnp = max((int(h["name_pos"].max(initial=0)) for h in counter.hits),
+                  default=0)
+        mkp = max((int(h["kmer_pos"].max(initial=0)) for h in counter.hits),
+                  default=0)
+        sys.stderr.write("Num files %u Max name pos %llu Max sequence pos"
+                         " %u\n".replace("%u", "%d").replace("%llu", "%d")
+                         % (len(file_names), mnp, mkp))
+        sys.stderr.write("NBits file %d npos %d kmer %d\n"
+                         % (ri.nbits_file, ri.nbits_npos, ri.nbits_kmer))
+        sys.stderr.write("Writing index database to %s\n" % path)
     blob, physical, buggy_bs = pack_read_index(ri.nbits_file, ri.nbits_npos,
                                                ri.nbits_kmer, ri.files,
                                                ri.read_blocks, ri.reads)
@@ -564,6 +624,10 @@ def write_index_db(db: GmerDB, counter: DBCounter, file_names: list[str],
         # expected, so the recorded blocksize is too small — reproduced
         write_binary_db(db, f, index_blob=blob, index_physical=physical,
                         index_blocksize=buggy_bs)
+    if debug:
+        sys.stderr.write("Done\n")
+        sys.stderr.write("Writing time (reads): %.1fs\n"
+                         % (time.time() - t0))
     return ri
 
 

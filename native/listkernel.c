@@ -97,6 +97,69 @@ long fgx_parse_fasta_slab (const unsigned char *data, long n,
   return m;
 }
 
+/* FASTQ slab parse: 4-line records (name/seq/+/quality). Twin of
+ * parse_fastq in io/fasta.py: EMPTY lines are dropped before grouping,
+ * one trailing \r per line is stripped, records trailing beyond the
+ * last complete 4-line group are ignored, and one 255 sentinel follows
+ * every record's codes (including the last). Outputs: codes (capacity
+ * n+1), rec_starts = code offset of each record's first base,
+ * name_pos = byte offset of the name (line start + 1, past '@').
+ * Returns the record count. */
+long fgx_parse_fastq_slab (const unsigned char *data, long n,
+                           unsigned char *codes, long *m_out,
+                           long *rec_starts, long *name_pos,
+                           long *total_bases, long *count_n)
+{
+  nucl_init ();
+  long i = 0, m = 0, nrec = 0, bases = 0, ncnt = 0;
+  long n_lines = 0, n_full;
+  int line_in_group = 0;
+  long pending_name = -1;
+  /* pass 1: count NON-EMPTY lines (parse_fastq groups those by 4 and
+   * drops any trailing partial group outright, even one holding a
+   * sequence line) */
+  while (i < n) {
+    long e = i;
+    while (e < n && data[e] != '\n') e++;
+    long le = e;
+    if (le > i && data[le - 1] == '\r') le--;
+    if (le > i) n_lines++;
+    i = e + 1;
+  }
+  n_full = n_lines / 4;
+  i = 0;
+  while (i < n && nrec < n_full) {
+    long e = i;
+    while (e < n && data[e] != '\n') e++;
+    long line_end = e;
+    if (line_end > i && data[line_end - 1] == '\r') line_end--;
+    if (line_end > i) {                   /* skip empty lines */
+      if (line_in_group == 0) {
+        pending_name = i + 1;             /* past '@' */
+      } else if (line_in_group == 1) {
+        long j;
+        rec_starts[nrec] = m;
+        name_pos[nrec] = pending_name;
+        for (j = i; j < line_end; j++) {
+          unsigned char b = data[j];
+          codes[m++] = nucl_codes[b];
+          if (b == 'N' || b == 'n') ncnt++;
+        }
+        codes[m++] = 255;                 /* sentinel */
+        bases += line_end - i;
+        nrec++;
+      }
+      /* lines 2 (+) and 3 (quality) are skipped */
+      line_in_group = (line_in_group + 1) & 3;
+    }
+    i = e + 1;
+  }
+  *m_out = m;
+  *total_bases = bases;
+  *count_n = ncnt;
+  return nrec;
+}
+
 /* ------------------------------------------------------------------ */
 /* extraction: 2-bit codes -> canonical k-mer words                    */
 /* ------------------------------------------------------------------ */
@@ -378,6 +441,19 @@ long fgx_count_kmers_list (const unsigned char *codes, long n, int k,
   return n_rec;
 }
 
+/* In-place convenience sort (scratch managed internally). */
+int fgx_sort_u64 (unsigned long long *a, long n, int key_bits)
+{
+  unsigned long long *tmp = (unsigned long long *)
+    malloc ((size_t) (n > 0 ? n : 1) * sizeof (unsigned long long));
+  if (!tmp) return -1;
+  unsigned long long *res = fgx_radix_sort_u64 (a, tmp, n, key_bits);
+  if (res != a)
+    memcpy (a, res, (size_t) n * sizeof (unsigned long long));
+  free (tmp);
+  return 0;
+}
+
 /* Sort-then-emit over a caller-accumulated word buffer: the multi-slab
  * ingestion path extracts every slab into one buffer and sorts ONCE
  * (cheaper than per-slab sorts plus a k-way merge when the buffer fits
@@ -623,6 +699,90 @@ long fgx_merge_rec_shards (const unsigned char **shards, const long *lens,
   free (pos);
   *total_count = tot;
   return m;
+}
+
+/* ------------------------------------------------------------------ */
+/* text SNV database fast-path parse (gmer_counter -db)                */
+/* ------------------------------------------------------------------ */
+
+/* Strictly clean databases only: every line is
+ *   NAME \t COUNT \t KMER ( \t KMER )* \n
+ * with COUNT plain digits matching the kmer token count, every kmer
+ * token exactly `wordsize` ACGTUacgtu bytes, and no other control
+ * bytes. '#' comment lines are skipped. Returns the number of node
+ * lines parsed, or -1 when ANY line deviates — the caller then falls
+ * back to the exact bug-compatible Python parser (formats/gmerdb.py),
+ * which reproduces src/database.c:94-260 quirk for quirk. wordsize is
+ * taken from the first node line's first kmer token; *wordsize_out
+ * receives it. Outputs per line: name_off, name_len, nkmers; words
+ * receives the packed forward 2-bit kmers in file order (capacity
+ * >= n / (wordsize+1) + 1). */
+long fgx_parse_text_db (const unsigned char *data, long n,
+                        long max_kmers_per_node,
+                        long *name_off, long *name_len, long *nkmers,
+                        unsigned long long *words, long *n_words_out,
+                        int *wordsize_out)
+{
+  nucl_init ();
+  long pos = 0, n_lines = 0, n_words = 0;
+  int wordsize = 0;
+  if (n < 256) return -1;      /* reference's byte<csize bug territory */
+  while (pos < n) {
+    if (data[pos] == '#') {
+      while (pos < n && data[pos] != '\n') pos++;
+      pos++;
+      continue;
+    }
+    if (data[pos] == '\n') return -1;        /* empty line: not clean */
+    /* NAME token */
+    long ns = pos;
+    while (pos < n && data[pos] >= 0x20) pos++;
+    if (pos >= n || data[pos] != '\t') return -1;
+    long ne = pos;
+    pos++;
+    /* COUNT token: digits only */
+    long nk = 0;
+    if (pos >= n || data[pos] < '0' || data[pos] > '9') return -1;
+    while (pos < n && data[pos] >= '0' && data[pos] <= '9') {
+      nk = nk * 10 + (data[pos] - '0');
+      pos++;
+    }
+    if (nk <= 0 || nk > max_kmers_per_node) return -1;
+    /* kmer tokens */
+    long t;
+    for (t = 0; t < nk; t++) {
+      if (pos >= n || data[pos] != '\t') return -1;
+      pos++;
+      long ks = pos;
+      unsigned long long w = 0;
+      while (pos < n && data[pos] >= 0x20) {
+        unsigned char c = nucl_codes[data[pos]];
+        if (c > 3) return -1;
+        w = (w << 2) | c;
+        pos++;
+      }
+      long wl = pos - ks;
+      if (wordsize == 0) {
+        if (wl < 1 || wl > 32) return -1;
+        wordsize = (int) wl;
+      }
+      if (wl != wordsize) return -1;
+      words[n_words++] = w;
+    }
+    if (pos < n && data[pos] == '\r') return -1;
+    if (pos < n) {
+      if (data[pos] != '\n') return -1;
+      pos++;
+    }
+    name_off[n_lines] = ns;
+    name_len[n_lines] = ne - ns;
+    nkmers[n_lines] = nk;
+    n_lines++;
+  }
+  if (n_lines == 0) return -1;
+  *n_words_out = n_words;
+  *wordsize_out = wordsize;
+  return n_lines;
 }
 
 /* ------------------------------------------------------------------ */
