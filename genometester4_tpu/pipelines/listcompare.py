@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import math
 import os
+import sys
 
 import numpy as np
 import jax.numpy as jnp
@@ -379,15 +380,26 @@ def compare_multi(paths: list[str], op: str, outputname: str = "out",
     data = [read_word_source(p) for p in paths]
     wlen = data[0][0].word_length
     n_lists = len(data)
-    # reference validates rules per op (src/glistcompare.c:518-523,617-623)
+    # reference validates rules per op with its enum number in the
+    # message and exit code 1 (src/glistcompare.c:518-523,617-623)
+    _REF_RULE_NUM = {setops.RULE_DEFAULT: 0, setops.RULE_ADD: 1,
+                     setops.RULE_SUBTRACT: 2, setops.RULE_MIN: 3,
+                     setops.RULE_MAX: 4, setops.RULE_FIRST: 5,
+                     setops.RULE_SECOND: 6, setops.RULE_NUMBER: 7}
     eff = RULES[rule] if rule in RULES else setops.RULE_NUMBER
     if op == "union" and eff not in (setops.RULE_DEFAULT, setops.RULE_ADD,
                                      setops.RULE_MAX, setops.RULE_NUMBER):
-        raise ValueError("union_multi: only add, max and N rules allowed")
+        sys.stderr.write(
+            "union_multi: Invalid rule %d (only ADD, MAX and NUMBER "
+            "allowed)\n" % _REF_RULE_NUM[eff])
+        raise SystemExit(1)
     if op == "intrsec" and eff not in (setops.RULE_DEFAULT, setops.RULE_ADD,
                                        setops.RULE_MIN, setops.RULE_MAX,
                                        setops.RULE_NUMBER):
-        raise ValueError("intersect_multi: only add, min, max and N rules allowed")
+        sys.stderr.write(
+            "intersect_multi: Invalid rule %d (only ADD, MIN, MAX and "
+            "NUMBER allowed)\n" % _REF_RULE_NUM[eff])
+        raise SystemExit(1)
 
     sink = _OpSink(op, _op_filename(outputname, wlen, op), wlen, count_only)
 

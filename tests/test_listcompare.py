@@ -196,3 +196,36 @@ def test_multi_ops_impl_twins_identical(tmp_path, rng, impl, monkeypatch):
         compare_multi(paths, op, str(tmp_path / f"got{op}"), cutoff=2)
         assert (tmp_path / f"got{op}_9_{name}.list").read_bytes() == \
             (tmp_path / f"ref{op}_9_{name}.list").read_bytes(), (impl, op)
+
+
+def test_multi_invalid_rule_error_chrome(tmp_path, rng):
+    """Fuzz regression (round 2): invalid rule x multi-list op must
+    print the reference's exact stderr line (with its enum number) and
+    exit 1 — not raise (src/glistcompare.c:518-523,617-623)."""
+    import io
+    import contextlib
+
+    from tests.conftest import random_fasta, run_reference
+    from genometester4_tpu.cli.glistcompare import main
+
+    paths = []
+    for i in range(3):
+        fa = tmp_path / f"in{i}.fa"
+        fa.write_text(random_fasta(rng, 2, 500, 1500))
+        r = run_reference(["glistmaker", str(fa), "-w", "10", "-o",
+                           str(tmp_path / f"l{i}")])
+        assert r.returncode == 0
+        paths.append(str(tmp_path / f"l{i}_10.list"))
+    for op, rule in (("-i", "first"), ("-u", "subtract"), ("-u", "min"),
+                     ("-i", "second")):
+        ref = run_reference(["glistcompare"] + paths + [op, "-r", rule,
+                            "-o", str(tmp_path / "r")])
+        err = io.StringIO()
+        with contextlib.redirect_stderr(err):
+            try:
+                rc = main(paths + [op, "-r", rule, "-o",
+                                   str(tmp_path / "t")])
+            except SystemExit as e:
+                rc = e.code
+        assert rc == ref.returncode
+        assert err.getvalue() == ref.stderr.decode()
