@@ -111,6 +111,26 @@ def read_list(path: str | os.PathLike, mmap: bool = True):
     return hdr, recs["word"], recs["count"]
 
 
+def raw_record_view(words: np.ndarray) -> np.ndarray | None:
+    """Recover the raw 12-byte record buffer behind a read_list(mmap)
+    word view, or None when the array is not such a view. Native
+    kernels take the raw stream directly — no strided gather copy."""
+    w = np.asarray(words)
+    if w.strides != (RECORD_SIZE,):
+        return None
+    b = getattr(w, "base", None)
+    while b is not None:
+        if (getattr(b, "dtype", None) is not None and b.dtype == np.uint8
+                and b.ndim == 1 and b.size >= RECORD_SIZE * len(w)):
+            return b
+        if (getattr(b, "dtype", None) is not None
+                and b.dtype.itemsize == RECORD_SIZE):
+            b = getattr(b, "base", None)
+            continue
+        break
+    return None
+
+
 def pack_records(words: np.ndarray, counts: np.ndarray) -> np.ndarray:
     """Pack parallel (u64, u32) arrays into the 12-byte record byte stream."""
     recs = np.empty(len(words), dtype=RECORD_DTYPE)

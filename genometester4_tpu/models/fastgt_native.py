@@ -173,6 +173,8 @@ def get_lib() -> ctypes.CDLL:
         lib.fgx_count_kmers_arrays.argtypes = [
             u8p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
             u64p, u32p, u64sp]
+        lib.fgx_gc_rec.restype = None
+        lib.fgx_gc_rec.argtypes = [u8p, ctypes.c_long, u64sp, u64sp]
         lib.fgx_pair_stream_start.restype = ctypes.c_void_p
         lib.fgx_pair_stream_start.argtypes = [
             u8p, ctypes.c_long, u8p, ctypes.c_long,

@@ -261,17 +261,11 @@ def compare_pair(list1: str, list2: str, ops: list[str], outputname: str = "out"
             # .list mmaps expose 12-byte-strided record views: the raw
             # record buffer feeds C directly, no strided gather copy.
             # Other sources (indices) pack a temporary record stream.
-            w = np.asarray(w)
-            b = getattr(w, "base", None)
-            if (w.strides == (12,) and b is not None
-                    and getattr(b, "dtype", None) is not None
-                    and b.dtype.itemsize == 12):
-                bb = getattr(b, "base", None)
-                if (bb is not None and getattr(bb, "dtype", None)
-                        is not None and bb.dtype == np.uint8):
-                    return bb  # the raw u8 record buffer (mmap path)
-                return np.frombuffer(b.tobytes(), np.uint8)  # rare
-                # non-mmap path: one copy
+            from genometester4_tpu.formats.list_format import \
+                raw_record_view
+            raw = raw_record_view(w)
+            if raw is not None:
+                return raw
             return pack_records(np.asarray(w, np.uint64),
                                 np.asarray(c, np.uint32))
 

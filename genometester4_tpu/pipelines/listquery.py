@@ -479,14 +479,29 @@ def print_distro(lst: ListQuery, max_count: int):
 
 
 def print_gc(lst: ListQuery):
-    words = np.asarray(lst.words)
-    counts = np.asarray(lst.counts).astype(np.uint64)
-    k = lst.k
-    gc_bases = np.zeros(len(words), np.uint64)
-    w = words.copy()
-    for _ in range(k):
-        gc_bases += (w ^ (w >> np.uint64(1))) & np.uint64(1)
-        w >>= np.uint64(2)
-    total = int((gc_bases * counts).sum())
-    denom = int(counts.sum()) * k
+    # a base is G or C iff its two bits differ: (w ^ (w >> 1)) has a 1
+    # at the even position of every GC base — one popcount per word.
+    # Over mmap'd lists the native one-pass record kernel avoids the
+    # strided gather copy entirely (fgx_gc_rec).
+    from genometester4_tpu.formats.list_format import raw_record_view
+    raw = raw_record_view(lst.words)
+    if raw is not None:
+        import ctypes
+
+        from genometester4_tpu.models.fastgt_native import get_lib
+        lib = get_lib()
+        gt = ctypes.c_ulonglong(0)
+        ct = ctypes.c_ulonglong(0)
+        lib.fgx_gc_rec(raw, len(lst.words), ctypes.byref(gt),
+                       ctypes.byref(ct))
+        total, csum = int(gt.value), int(ct.value)
+    else:
+        words = np.ascontiguousarray(np.asarray(lst.words))
+        counts = np.asarray(lst.counts).astype(np.uint64)
+        x = ((words ^ (words >> np.uint64(1)))
+             & np.uint64(0x5555555555555555))
+        gc_bases = np.bitwise_count(x).astype(np.uint64)
+        total = int((gc_bases * counts).sum())
+        csum = int(counts.sum())
+    denom = csum * lst.k
     sys.stdout.write("GC\t%g\n" % (total / denom if denom else float("nan")))

@@ -85,6 +85,7 @@ class output_heavy_compute:
     """Context manager: route jnp/jit work to the right backend."""
 
     def __init__(self):
+        disable_numpy_thp()   # large host temporaries: see its docstring
         self._dev = output_heavy_device()
         self._ctx = None
 

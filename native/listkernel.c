@@ -511,6 +511,32 @@ long fgx_count_kmers_arrays (const unsigned char *codes, long n, int k,
 }
 
 /* ------------------------------------------------------------------ */
+/* list statistics (glistquery --gc)                                   */
+/* ------------------------------------------------------------------ */
+
+/* One pass over raw 12-byte records: GC-weighted base count and count
+ * sum (a base is G or C iff its two bits differ; popcount of the
+ * even-position difference mask counts them per word). */
+void fgx_gc_rec (const unsigned char *r, long n,
+                 unsigned long long *gc_total,
+                 unsigned long long *count_total)
+{
+  long i;
+  unsigned long long gt = 0, ct = 0;
+  for (i = 0; i < n; i++) {
+    unsigned long long w;
+    unsigned int c;
+    __builtin_memcpy (&w, r + 12 * i, 8);
+    __builtin_memcpy (&c, r + 12 * i + 8, 4);
+    gt += (unsigned long long) __builtin_popcountll (
+      (w ^ (w >> 1)) & 0x5555555555555555ULL) * c;
+    ct += c;
+  }
+  *gc_total = gt;
+  *count_total = ct;
+}
+
+/* ------------------------------------------------------------------ */
 /* resumable two-list set operations (glistcompare host path)          */
 /* ------------------------------------------------------------------ */
 
