@@ -22,6 +22,10 @@
 #include <stdlib.h>
 #include <string.h>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 #define RADIX_BITS 11
 #define RADIX_SIZE (1 << RADIX_BITS)
 #define RADIX_MASK (RADIX_SIZE - 1)
@@ -317,6 +321,7 @@ typedef struct {
   long cur_bucket;
   long cur_pos;                 /* emit cursor within current bucket */
   int cur_sorted;               /* current bucket already sorted? */
+  int presorted;                /* all buckets sorted up front (OpenMP) */
 } FgxSce;
 
 void *fgx_sce_start (unsigned long long *words, long n, int key_bits)
@@ -355,6 +360,27 @@ void *fgx_sce_start (unsigned long long *words, long n, int key_bits)
   st->cur_bucket = 0;
   st->cur_pos = 0;
   st->cur_sorted = 0;
+#ifdef _OPENMP
+  /* multi-core hosts: buckets are independent, so presort them all in
+   * parallel (scratch = the matching segment of the caller's words
+   * buffer, disjoint per bucket; the radix sort is reentrant). Emission
+   * order — and therefore the output byte stream — is unchanged at any
+   * thread count: parallelism only moves WHEN a bucket gets sorted. */
+  if (omp_get_max_threads () > 1) {
+    long b;
+#pragma omp parallel for schedule(dynamic, 4)
+    for (b = 0; b < st->n_buckets; b++) {
+      long a = st->bucket_off[b], z = st->bucket_off[b + 1];
+      if (z <= a) continue;
+      unsigned long long *sorted = fgx_radix_sort_u64 (
+        st->tmp + a, st->words + a, z - a, st->key_bits - st->msd_bits);
+      if (sorted != st->tmp + a)
+        memcpy (st->tmp + a, sorted,
+                (size_t) (z - a) * sizeof (unsigned long long));
+    }
+    st->presorted = 1;
+  }
+#endif
   return st;
 }
 
@@ -374,11 +400,13 @@ long fgx_sce_next (void *handle, unsigned int min_count,
     long len = z - a;
     if (len == 0) { st->cur_bucket++; st->cur_sorted = 0; continue; }
     if (!st->cur_sorted) {
-      /* scratch: the matching segment of the caller's words buffer */
-      unsigned long long *sorted = fgx_radix_sort_u64 (
-        seg, st->words + a, len, st->key_bits - st->msd_bits);
-      if (sorted != seg)
-        memcpy (seg, sorted, (size_t) len * sizeof (unsigned long long));
+      if (!st->presorted) {
+        /* scratch: the matching segment of the caller's words buffer */
+        unsigned long long *sorted = fgx_radix_sort_u64 (
+          seg, st->words + a, len, st->key_bits - st->msd_bits);
+        if (sorted != seg)
+          memcpy (seg, sorted, (size_t) len * sizeof (unsigned long long));
+      }
       st->cur_sorted = 1;
       st->cur_pos = 0;
     }

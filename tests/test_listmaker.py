@@ -219,3 +219,28 @@ def test_streaming_crlf_single_line_records(tmp_path, rng):
                       slab_bytes=slab, chunk_bases=1 << 12)
             assert (tmp_path / "t.list").read_bytes() == (
                 tmp_path / f"ref_{k}.list").read_bytes()
+
+
+def test_omp_threads_byte_identical(tmp_path, rng):
+    """The MSD-bucket presort parallelizes across OpenMP threads; output
+    bytes must be identical at any OMP_NUM_THREADS (parallelism only
+    moves WHEN a bucket is sorted, never the emission order)."""
+    import subprocess
+    import sys as _sys
+
+    text = random_fasta(rng, 3, 30000, 50000, n_prob=0.01)
+    fa = tmp_path / "in.fa"
+    fa.write_text(text)
+    outs = []
+    for nt in ("1", "4"):
+        out = tmp_path / f"o{nt}.list"
+        code = (
+            "import jax, sys; jax.config.update('jax_platforms','cpu')\n"
+            "from genometester4_tpu.pipelines.listmaker import make_list\n"
+            f"make_list([{str(fa)!r}], 16, {str(out)!r})\n")
+        env = dict(__import__('os').environ, OMP_NUM_THREADS=nt)
+        r = subprocess.run([_sys.executable, "-c", code], env=env,
+                           capture_output=True)
+        assert r.returncode == 0, r.stderr
+        outs.append(out.read_bytes())
+    assert outs[0] == outs[1]
