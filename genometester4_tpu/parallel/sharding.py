@@ -23,6 +23,17 @@ formulation replaces every one of those stages with SPMD collectives:
       route to owner column  — all_to_all over kp
       merge row partials     — all_gather over dp + dedupe+count
 
+Multi-host (DCN) story: the mesh axes are laid out so collectives ride
+ICI — "kp" (the all_to_all prefix exchange) should map onto a slice's
+ICI ring, while "dp" rows are the natural host axis: each host's input
+pipeline feeds its own dp row, and the only cross-row collective is the
+final all_gather of already-deduplicated per-shard partials (orders of
+magnitude smaller than the raw window stream). Under
+jax.distributed.initialize the same shard_map program runs unchanged
+(jax.devices() becomes the global device list); this container exposes
+one physical chip, so multi-host execution is validated only in shape
+(virtual meshes) — see BASELINE.md "Multi-chip".
+
 All shapes are static: the all_to_all exchanges fixed-capacity buckets
 (CAP_FACTOR slack over the uniform share) with per-bucket valid counts.
 Canonical words are NOT uniform over the prefix space — canonical =
