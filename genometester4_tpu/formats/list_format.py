@@ -116,18 +116,23 @@ def raw_record_view(words: np.ndarray) -> np.ndarray | None:
     word view, or None when the array is not such a view. Native
     kernels take the raw stream directly — no strided gather copy."""
     w = np.asarray(words)
-    if w.strides != (RECORD_SIZE,):
+    if w.strides != (RECORD_SIZE,) or w.dtype.itemsize != 8:
         return None
+    # walk to the deepest ndarray base holding the raw bytes; the view
+    # chain's shape varies across numpy versions, so the reliable check
+    # is POINTER equality: the words array's data must start exactly at
+    # the buffer's first byte and the buffer must cover every record
     b = getattr(w, "base", None)
-    while b is not None:
-        if (getattr(b, "dtype", None) is not None and b.dtype == np.uint8
-                and b.ndim == 1 and b.size >= RECORD_SIZE * len(w)):
-            return b
-        if (getattr(b, "dtype", None) is not None
-                and b.dtype.itemsize == RECORD_SIZE):
-            b = getattr(b, "base", None)
-            continue
-        break
+    deepest = None
+    while isinstance(b, np.ndarray):
+        deepest = b
+        b = getattr(b, "base", None)
+    if deepest is None:
+        return None
+    raw = deepest.reshape(-1).view(np.uint8)
+    if (raw.ctypes.data == w.ctypes.data
+            and raw.nbytes >= RECORD_SIZE * len(w)):
+        return raw
     return None
 
 
@@ -178,11 +183,23 @@ class ListWriter:
         self.n_words = 0
         self.total_count = 0
 
+    # single write(2) calls above ~1 MB stall in the kernel's dirty-page
+    # throttling (measured on this host: 600 MB in 12 MB calls = 5.8 s,
+    # in 1 MB calls = 1.3 s); split large appends accordingly
+    _WRITE_CHUNK = 1 << 20
+
+    def _write_pieces(self, buf: np.ndarray):
+        mv = memoryview(np.ascontiguousarray(buf).view(np.uint8)
+                        .reshape(-1))
+        for off in range(0, len(mv), self._WRITE_CHUNK):
+            self._f.write(mv[off: off + self._WRITE_CHUNK])
+
     def append(self, words: np.ndarray, counts: np.ndarray):
         if len(words) == 0:
             return
-        pack_records(np.asarray(words, dtype=np.uint64),
-                     np.asarray(counts, dtype=np.uint32)).tofile(self._f)
+        self._write_pieces(pack_records(
+            np.asarray(words, dtype=np.uint64),
+            np.asarray(counts, dtype=np.uint32)).reshape(-1))
         self.n_words += len(words)
         self.total_count += int(np.asarray(counts, dtype=np.uint64).sum())
 
@@ -191,7 +208,7 @@ class ListWriter:
         """Append pre-packed 12-byte records (native producers)."""
         if n_words == 0:
             return
-        rec_bytes.tofile(self._f)
+        self._write_pieces(rec_bytes)
         self.n_words += n_words
         self.total_count += int(total_count)
 

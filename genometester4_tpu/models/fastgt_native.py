@@ -186,6 +186,16 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_void_p, u8p, u8p, u8p, u8p, ctypes.c_long, i64p, u64p]
         lib.fgx_pair_stream_free.restype = None
         lib.fgx_pair_stream_free.argtypes = [ctypes.c_void_p]
+        lib.fgx_multi_stream_start.restype = ctypes.c_void_p
+        lib.fgx_multi_stream_start.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_long), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_uint, ctypes.c_uint]
+        lib.fgx_multi_stream_next.restype = ctypes.c_int
+        lib.fgx_multi_stream_next.argtypes = [
+            ctypes.c_void_p, u8p, ctypes.c_long, lp_, u64sp]
+        lib.fgx_multi_stream_free.restype = None
+        lib.fgx_multi_stream_free.argtypes = [ctypes.c_void_p]
         lib.fgx_merge_rec_shards.restype = ctypes.c_long
         lib.fgx_merge_rec_shards.argtypes = [
             ctypes.POINTER(ctypes.c_void_p),

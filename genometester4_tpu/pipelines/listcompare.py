@@ -398,17 +398,82 @@ def compare_multi(paths: list[str], op: str, outputname: str = "out",
     sink = _OpSink(op, _op_filename(outputname, wlen, op), wlen, count_only)
 
     if _setops_impl() == "host":
-        w_cat = np.concatenate([np.asarray(w) for _, w, _ in data])
-        c_cat = np.concatenate([np.asarray(c) for _, _, c in data])
-        s_cat = np.concatenate(
-            [np.full(len(w), si, np.uint32)
-             for si, (_, w, _) in enumerate(data)])
-        ow, oc = _host_apply_multi_op(
-            w_cat, c_cat, s_cat, n_lists, op, RULES.get(rule,
-                                                        setops.RULE_NUMBER),
-            cutoff, count_override)
-        if len(ow):
-            sink.append(ow, oc)
+        # streaming k-way merge over the raw record streams (native
+        # fgx_multi_stream_*): no concatenation, no argsort — one pass,
+        # chunked output (the former argsort formulation cost ~14x the
+        # reference at 3x20M records)
+        import ctypes
+
+        from genometester4_tpu.formats.list_format import (pack_records,
+                                                           raw_record_view)
+        from genometester4_tpu.models.fastgt_native import get_lib
+        from genometester4_tpu.utils.backend import disable_numpy_thp
+        disable_numpy_thp()
+        lib = get_lib()
+        eff2 = RULES.get(rule, setops.RULE_NUMBER)
+        if eff2 == setops.RULE_DEFAULT:
+            eff2 = setops.RULE_ADD if op == "union" else setops.RULE_MIN
+        RINT = {setops.RULE_ADD: 1, setops.RULE_MIN: 3,
+                setops.RULE_MAX: 4, setops.RULE_NUMBER: 7}
+        bufs_keepalive = []
+        ptrs = (ctypes.c_void_p * n_lists)()
+        lens = (ctypes.c_long * n_lists)()
+        for i, (h, w, c) in enumerate(data):
+            raw = raw_record_view(w)
+            if raw is None:
+                raw = pack_records(np.asarray(w, np.uint64),
+                                   np.asarray(c, np.uint32))
+            bufs_keepalive.append(raw)
+            ptrs[i] = raw.ctypes.data
+            lens[i] = len(w)
+        st = lib.fgx_multi_stream_start(ptrs, lens, n_lists,
+                                        int(op == "intrsec"), RINT[eff2],
+                                        cutoff, count_override)
+        if not st:
+            raise MemoryError("multi stream allocation failed")
+        # double-buffered writer thread: the file write overlaps the
+        # next chunk's merge (same pattern as the pair path)
+        import queue
+        import threading
+        CHUNK = 1 << 20
+        bufs2 = [np.empty(12 * CHUNK, np.uint8) for _ in range(2)]
+        n_out = ctypes.c_long(0)
+        s_out = ctypes.c_ulonglong(0)
+        q = queue.Queue()
+        free_q = queue.Queue()
+        for i in range(len(bufs2)):
+            free_q.put(i)
+
+        def pump():
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                bi, m, t = item
+                if sink.writer:
+                    sink.writer.append_records(bufs2[bi][: 12 * m], m, t)
+                sink.n_words += m
+                sink.total_count += t
+                free_q.put(bi)
+
+        th = threading.Thread(target=pump, daemon=True)
+        th.start()
+        try:
+            more = 1
+            while more:
+                bi = free_q.get()
+                more = lib.fgx_multi_stream_next(
+                    st, bufs2[bi], CHUNK, ctypes.byref(n_out),
+                    ctypes.byref(s_out))
+                m = n_out.value
+                if m:
+                    q.put((bi, m, int(s_out.value)))
+                else:
+                    free_q.put(bi)
+        finally:
+            q.put(None)
+            th.join()
+            lib.fgx_multi_stream_free(st)
         sink.close()
         return {op: (sink.n_words, sink.total_count)}
 

@@ -701,6 +701,135 @@ int fgx_pair_stream_next (void *handle, unsigned char *bu,
 void fgx_pair_stream_free (void *handle) { free (handle); }
 
 /* ------------------------------------------------------------------ */
+/* resumable N-list union/intersection (glistcompare multi host path)  */
+/* ------------------------------------------------------------------ */
+
+/* Streaming k-way merge over N sorted unique record streams with the
+ * reference's combination semantics (src/glistcompare.c:500-717):
+ * per word, the rule combines counts over the lists CONTAINING it
+ * (ADD with u32 wrap / MIN / MAX / NUMBER override), the cutoff
+ * applies to the combined frequency, and intersection additionally
+ * requires presence in every list. */
+
+typedef struct {
+  const unsigned char **streams;
+  long *lens;
+  long *pos;
+  unsigned long long *head_w;   /* cached head word per stream */
+  unsigned int *head_c;         /* cached head count */
+  int n;
+  int intersect;
+  int rule;                     /* 1 ADD, 3 MIN, 4 MAX, 7 NUMBER */
+  unsigned int cutoff, override_;
+} FgxMulti;
+
+static void multi_load_head (FgxMulti *st, int s)
+{
+  if (st->pos[s] < st->lens[s]) {
+    __builtin_memcpy (&st->head_w[s], st->streams[s] + 12 * st->pos[s], 8);
+    __builtin_memcpy (&st->head_c[s], st->streams[s] + 12 * st->pos[s] + 8,
+                      4);
+  } else {
+    st->head_w[s] = 0xFFFFFFFFFFFFFFFFULL;  /* exhausted sentinel */
+    st->head_c[s] = 0;
+  }
+}
+
+void *fgx_multi_stream_start (const unsigned char **streams,
+                              const long *lens, int n, int intersect,
+                              int rule, unsigned int cutoff,
+                              unsigned int override_)
+{
+  FgxMulti *st = (FgxMulti *) calloc (1, sizeof (*st));
+  if (!st) return NULL;
+  st->streams = (const unsigned char **) malloc (n * sizeof (void *));
+  st->lens = (long *) malloc (n * sizeof (long));
+  st->pos = (long *) calloc (n, sizeof (long));
+  st->head_w = (unsigned long long *) malloc (n * sizeof (long long));
+  st->head_c = (unsigned int *) malloc (n * sizeof (int));
+  if (!st->streams || !st->lens || !st->pos || !st->head_w
+      || !st->head_c) {
+    free (st->streams); free (st->lens); free (st->pos);
+    free (st->head_w); free (st->head_c); free (st);
+    return NULL;
+  }
+  memcpy (st->streams, streams, n * sizeof (void *));
+  memcpy (st->lens, lens, n * sizeof (long));
+  st->n = n;
+  st->intersect = intersect;
+  st->rule = rule;
+  st->cutoff = cutoff;
+  st->override_ = override_;
+  {
+    int s;
+    for (s = 0; s < n; s++) multi_load_head (st, s);
+  }
+  return st;
+}
+
+int fgx_multi_stream_next (void *handle, unsigned char *buf, long cap,
+                           long *n_out, unsigned long long *sum_out)
+{
+  FgxMulti *st = (FgxMulti *) handle;
+  long m = 0;
+  unsigned long long tot = 0;
+  int s;
+  while (m < cap) {
+    int best = -1, n_src = 0;
+    unsigned long long bw = 0;
+    for (s = 0; s < st->n; s++) {
+      if (st->pos[s] >= st->lens[s]) continue;
+      if (best < 0 || st->head_w[s] < bw) { best = s; bw = st->head_w[s]; }
+    }
+    if (best < 0) break;
+    {
+      unsigned int f_add = 0, f_min = 0xFFFFFFFFu, f_max = 0;
+      for (s = 0; s < st->n; s++) {
+        if (st->pos[s] >= st->lens[s] || st->head_w[s] != bw) continue;
+        unsigned int c = st->head_c[s];
+        f_add += c;                      /* u32 wrap */
+        if (c < f_min) f_min = c;
+        if (c > f_max) f_max = c;
+        n_src++;
+        st->pos[s]++;
+        multi_load_head (st, s);
+      }
+      {
+        unsigned int fr =
+          (st->rule == 1) ? f_add :
+          (st->rule == 3) ? f_min :
+          (st->rule == 4) ? f_max : st->override_;
+        int inc = fr >= st->cutoff;
+        if (st->intersect && n_src != st->n) inc = 0;
+        if (inc) {
+          put_rec (buf, m, bw, fr);
+          tot += fr;
+          m++;
+        }
+      }
+    }
+  }
+  *n_out = m;
+  *sum_out = tot;
+  /* more input remains? */
+  for (s = 0; s < st->n; s++)
+    if (st->pos[s] < st->lens[s]) return 1;
+  return 0;
+}
+
+void fgx_multi_stream_free (void *handle)
+{
+  FgxMulti *st = (FgxMulti *) handle;
+  if (!st) return;
+  free (st->streams);
+  free (st->lens);
+  free (st->pos);
+  free (st->head_w);
+  free (st->head_c);
+  free (st);
+}
+
+/* ------------------------------------------------------------------ */
 /* k-way merge of sorted (word, count) record shards                   */
 /* ------------------------------------------------------------------ */
 
