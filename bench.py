@@ -93,31 +93,11 @@ def run_e2e():
     return e2e, ref_e2e
 
 
-def main():
-    ensure_input()
-    if not tunnel_alive():
-        # accelerator unreachable (dev-tunnel outage): report the honest
-        # end-to-end host numbers so the driver still gets a real line
-        import jax
-        jax.config.update("jax_platforms", "cpu")
-        e2e, ref_e2e = run_e2e()
-        n_inst = 49999976
-        value = n_inst / e2e
-        print(json.dumps({
-            "metric": "kmer_count_throughput_per_chip",
-            "value": round(value, 1),
-            "unit": "kmers/s",
-            "vs_baseline": round(value / BASELINE_KMERS_PER_S, 3),
-            "e2e_s": round(e2e, 2),
-            "ref_e2e_s": round(ref_e2e, 2),
-            "e2e_vs_reference": round(ref_e2e / e2e, 2),
-            "note": "accelerator tunnel unreachable; end-to-end host "
-                    "pipeline numbers only",
-        }))
-        sys.stderr.write(
-            f"[bench] TUNNEL DOWN; end-to-end glistmaker: {e2e:.2f}s vs "
-            f"reference {ref_e2e:.2f}s = {ref_e2e/e2e:.2f}x\n")
-        return
+def device_kernel_bench():
+    """Device count-pipeline measurement; prints one JSON line
+    {value, dt, n_unique, total, checksum} on success. Invoked in a
+    SUBPROCESS with a timeout because a flaky tunnel can hang inside
+    XLA beyond the reach of in-process timeouts."""
     import jax
     import jax.numpy as jnp
     from genometester4_tpu.io.fasta import load_file
@@ -147,9 +127,6 @@ def main():
         shi, slo, head, tail, _, n = count_unique(
             hi, lo, ones, valid, hi_bits=HB,
             unit_weights=True, compact=False)
-        # scalars only: totals + order-sensitive checksum of the result.
-        # sum_runs word*(tail_pos - head_pos + 1) splits into two
-        # mark-weighted sums because word@tail == word@head per run.
         total = jnp.sum(valid.astype(jnp.uint32))
         x = slo ^ shi
         p = jax.lax.broadcasted_iota(jnp.uint32, (x.shape[0], 1), 0).reshape(
@@ -164,11 +141,89 @@ def main():
     times = []
     for _ in range(3):
         t0 = time.time()
-        r = [int(x) for x in pipeline(dc)]  # scalar readback = completion barrier
+        r = [int(x) for x in pipeline(dc)]  # scalar readback = barrier
         times.append(time.time() - t0)
     dt = min(times)
+    print(json.dumps({"value": total_count / dt, "dt": dt,
+                      "n_unique": n_unique, "total": total_count,
+                      "checksum": checksum}))
 
-    value = total_count / dt
+
+def run_device_bench(timeout: int = 420):
+    import subprocess
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                            "--device-kernel-only"], timeout=timeout,
+                           capture_output=True)
+    except subprocess.TimeoutExpired:
+        return None
+    if r.returncode != 0:
+        return None
+    try:
+        return json.loads(r.stdout.strip().splitlines()[-1])
+    except Exception:
+        return None
+
+
+def emit_fallback():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    e2e, ref_e2e = run_e2e()
+    n_inst = 49999976
+    value = n_inst / e2e
+    print(json.dumps({
+        "metric": "kmer_count_throughput_per_chip",
+        "value": round(value, 1),
+        "unit": "kmers/s",
+        "vs_baseline": round(value / BASELINE_KMERS_PER_S, 3),
+        "e2e_s": round(e2e, 2),
+        "ref_e2e_s": round(ref_e2e, 2),
+        "e2e_vs_reference": round(ref_e2e / e2e, 2),
+        "note": "accelerator tunnel unreachable; end-to-end host "
+                "pipeline numbers only",
+    }))
+    sys.stderr.write(
+        f"[bench] TUNNEL DOWN; end-to-end glistmaker: {e2e:.2f}s vs "
+        f"reference {ref_e2e:.2f}s = {ref_e2e/e2e:.2f}x\n")
+
+
+def main():
+    ensure_input()
+    if "--device-kernel-only" in sys.argv:
+        device_kernel_bench()
+        return
+    if not tunnel_alive():
+        # accelerator unreachable (dev-tunnel outage): report the honest
+        # end-to-end host numbers so the driver still gets a real line
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        e2e, ref_e2e = run_e2e()
+        n_inst = 49999976
+        value = n_inst / e2e
+        print(json.dumps({
+            "metric": "kmer_count_throughput_per_chip",
+            "value": round(value, 1),
+            "unit": "kmers/s",
+            "vs_baseline": round(value / BASELINE_KMERS_PER_S, 3),
+            "e2e_s": round(e2e, 2),
+            "ref_e2e_s": round(ref_e2e, 2),
+            "e2e_vs_reference": round(ref_e2e / e2e, 2),
+            "note": "accelerator tunnel unreachable; end-to-end host "
+                    "pipeline numbers only",
+        }))
+        sys.stderr.write(
+            f"[bench] TUNNEL DOWN; end-to-end glistmaker: {e2e:.2f}s vs "
+            f"reference {ref_e2e:.2f}s = {ref_e2e/e2e:.2f}x\n")
+        return
+    dev = run_device_bench()
+    if dev is None:
+        emit_fallback()
+        return
+    value = dev["value"]
+    dt = dev["dt"]
+    n_unique = dev["n_unique"]
+    total_count = dev["total"]
+    checksum = dev["checksum"]
 
     # --- end-to-end tool run (parse -> count -> 600 MB .list write) ---
     # The honest tool-vs-tool number the kernel metric above excludes:
