@@ -248,14 +248,20 @@ def _revcomp_str(s: str) -> str:
 
 @dataclass
 class GASMRead:
-    name: str
-    seq: str
-    nucl: np.ndarray  # int8 codes
-    dir: int  # bitmask 1<<dir like the reference
+    name: object          # bytes; decoded on demand (never consumed hot)
+    seq_b: bytes          # oriented sequence bytes
+    nucl: np.ndarray      # int8 codes
+    dir: int              # bitmask 1<<dir like the reference
     tag: int = 0
     mask: int = 0
     unknown: int = 0
     group: int = 0
+
+    @property
+    def seq(self) -> str:
+        return (self.seq_b.decode("latin1")
+                if isinstance(self.seq_b, (bytes, bytearray))
+                else self.seq_b)
 
 
 def _collect_read_infos(db, kmers: list, max_reads_per_kmer: int):
@@ -348,7 +354,7 @@ def get_read_sequences(infos, files: SeqFiles, params: Params):
     for name_pos, file_idx, rdir in infos:
         data = files.data[file_idx]
         e = data.index(b"\n", name_pos)
-        name = data[name_pos:e].decode("latin1")
+        name = data[name_pos:e]
         p = e + 1
         # first byte < 'A' ends the sequence line (src/gassembler.c:2649)
         window = np.frombuffer(data, np.uint8,
@@ -362,17 +368,19 @@ def get_read_sequences(infos, files: SeqFiles, params: Params):
             q = p + len(window)
             while q < len(data) and data[q] >= 65:
                 q += 1
-        seq = data[p:q].decode("latin1")
-        if len(seq) > params.max_read_length:
+        seq_b = data[p:q]
+        if len(seq_b) > params.max_read_length:
             sys.stderr.write(
                 "WARNING: Read is longer than maximum allowed length "
-                "(%u, max %u), truncating\n" % (len(seq),
+                "(%u, max %u), truncating\n" % (len(seq_b),
                                                 params.max_read_length))
-            seq = seq[:params.max_read_length]
+            seq_b = seq_b[: params.max_read_length]
         if rdir:
-            seq = _revcomp_str(seq)
-        codes = _C2N[np.frombuffer(seq.encode("latin1"), np.uint8)]
-        reads.append(GASMRead(name, seq, codes, 1 << rdir))
+            # byte-level reverse complement (non-ACGT bytes unchanged,
+            # exactly like _revcomp_str's table)
+            seq_b = _RC_TABLE[np.frombuffer(seq_b, np.uint8)][::-1].tobytes()
+        codes = _C2N[np.frombuffer(seq_b, np.uint8)]
+        reads.append(GASMRead(name, seq_b, codes, 1 << rdir))
     return reads
 
 
