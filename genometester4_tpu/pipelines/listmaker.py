@@ -283,7 +283,12 @@ def make_index(input_files, word_length: int, output_path: str,
         else:
             subseqs[:, 3] = (np.concatenate(len_parts) if len_parts
                              else np.zeros(0, np.int64))
-        files_meta.append(IndexFile(path.encode(), stream_size, subseqs))
+        # registry file size is the ON-DISK size (the reference stats
+        # the file, so a .gz records its compressed size) while all
+        # subseq offsets/spans are decompressed-stream coordinates
+        disk_size = (os.path.getsize(path) if path != "-"
+                     else stream_size)
+        files_meta.append(IndexFile(path.encode(), disk_size, subseqs))
         if n_rec:
             max_subseq = max(max_subseq, n_rec - 1)
         if not w_l:
@@ -309,7 +314,6 @@ def make_index(input_files, word_length: int, output_path: str,
             f.write(struct.pack("<QQ", 0, 0))
             f.write(struct.pack("<IIII", 1, 1, 1, 0))
             f.write(struct.pack("<QQQ", 72, 72, 72))
-        import os
         os.replace(tmp, output_path)
         return
 

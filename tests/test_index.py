@@ -218,3 +218,26 @@ def test_make_index_streaming_slabs_byte_identical(rng, tmp_path):
     ref = (tmp_path / "ref_12.index").read_bytes()
     assert (tmp_path / "big.index").read_bytes() == ref
     assert (tmp_path / "tiny.index").read_bytes() == ref
+
+
+def test_make_index_gz_records_compressed_size(rng, tmp_path):
+    """Fuzz regression (round 2): the registry's file-size field is the
+    ON-DISK size — for .gz inputs the COMPRESSED size — while subseq
+    offsets stay decompressed-stream coordinates (the reference stats
+    the file but parses through its zstream)."""
+    import gzip
+
+    from tests.conftest import random_fasta, run_reference
+    from genometester4_tpu.pipelines.listmaker import make_index
+
+    text = random_fasta(rng, 3, 1000, 4000, n_prob=0.02)
+    fa = tmp_path / "in.fa"
+    fa.write_text(text)
+    gz = tmp_path / "in.fa.gz"
+    gz.write_bytes(gzip.compress(text.encode()))
+    r = run_reference(["glistmaker", str(gz), "-w", "11", "--index",
+                       "-o", str(tmp_path / "ref")])
+    assert r.returncode == 0, r.stderr
+    make_index([str(gz)], 11, str(tmp_path / "t.index"))
+    assert (tmp_path / "t.index").read_bytes() == (
+        tmp_path / "ref_11.index").read_bytes()
