@@ -504,4 +504,9 @@ def print_gc(lst: ListQuery):
         total = int((gc_bases * counts).sum())
         csum = int(counts.sum())
     denom = csum * lst.k
-    sys.stdout.write("GC\t%g\n" % (total / denom if denom else float("nan")))
+    if not denom:
+        # x86 0.0/0.0 sets the NaN sign bit; C %g prints "-nan"
+        # (same quirk as the stats Average line, src/glistquery.c:868)
+        sys.stdout.write("GC\t-nan\n")
+        return
+    sys.stdout.write("GC\t%g\n" % (total / denom))

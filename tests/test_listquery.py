@@ -135,3 +135,22 @@ def test_median_empty_list(tmp_path):
     finally:
         sys.stdout = old
     assert out == ref.stdout.decode().replace(str(p), str(p))
+
+
+def test_gc_empty_list_prints_negative_nan(tmp_path):
+    """Fuzz regression (round 2): --gc on an empty list prints "-nan"
+    like the reference (x86 0.0/0.0 sets the NaN sign bit; same quirk
+    as the stats Average line, src/glistquery.c:868)."""
+    import io
+    import contextlib
+
+    import numpy as np
+    from genometester4_tpu.formats.list_format import write_list
+    from genometester4_tpu.cli.glistquery import main
+
+    p = tmp_path / "empty_9.list"
+    write_list(p, 9, np.empty(0, np.uint64), np.empty(0, np.uint32))
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        main([str(p), "--gc"])
+    assert out.getvalue() == "GC\t-nan\n"
