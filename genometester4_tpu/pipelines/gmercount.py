@@ -638,15 +638,20 @@ def pair_median(db: GmerDB, counts_clamped: np.ndarray) -> int:
     Pairs step 2 through each node's flat slots; an odd node reads one
     slot past its end in the reference (flat table overrun) — we read the
     next node's first count, which is what the overrun hits in the flat
-    layout, and 0 at the very end of the table.
+    layout, and 0 at the very end of the table. The reference's `total`
+    counts only nkmers/2 FLOOR pairs while the scans count the overrun
+    pair too, so `equal = total - above - below` can wrap as a C
+    unsigned — every arithmetic step below keeps u32 wrap semantics
+    (fuzz finding: odd-nkmers nodes diverged under signed math).
     """
+    M = 0xFFFFFFFF
     flat = np.concatenate([counts_clamped.astype(np.int64), [0]])
     sums = []
     total = 0
     for i in range(db.n_nodes):
         nk = int(db.node_nkmers[i])
         k0 = int(db.node_kmers_start[i])
-        total += nk // 2
+        total = (total + nk // 2) & M
         for j in range(0, nk, 2):
             sums.append(int(flat[k0 + j] + flat[k0 + j + 1]))
     s = np.asarray(sums, np.int64)
@@ -656,17 +661,17 @@ def pair_median(db: GmerDB, counts_clamped: np.ndarray) -> int:
     while mx > mn:
         above = int((s > med).sum())
         below = int((s < med).sum())
-        equal = total - above - below
+        equal = (total - above - below) & M
         if mx == mn + 1:
-            if above > below + equal:
+            if above > ((below + equal) & M):
                 med = mx
             break
         if above > below:
-            if above - below < equal:
+            if ((above - below) & M) < equal:
                 break
             mn = med
         elif below > above:
-            if below - above < equal:
+            if ((below - above) & M) < equal:
                 break
             mx = med
         else:

@@ -347,3 +347,54 @@ def test_dump_index_byte_identical(tmp_path, rng):
         os.chdir(old)
     assert rc == 0
     assert out == ref.stdout.decode()
+
+
+def test_double_median_odd_nodes_u32_wrap(tmp_path, rng):
+    """Fuzz regression (round 2): --double_median with odd-nkmers nodes.
+    The reference counts only floor(nk/2) pairs in `total` but scans the
+    overrun pair too, so `equal = total - above - below` wraps as a C
+    unsigned (src/gmer_counter.c:946-1013); the bisection must use u32
+    semantics. (The LAST node stays even here: its overrun would read
+    past the table — allocator-dependent, not an oracle.)"""
+    import io
+    import contextlib
+
+    from tests.conftest import run_reference
+    from genometester4_tpu.cli.gmer_counter import main
+
+    g = "".join("ACGT"[int(x)] for x in rng.integers(0, 4, 1200))
+    seen, lines = set(), []
+    p = 0
+    ws = 12
+
+    def rc_(x):
+        return x[::-1].translate(str.maketrans("ACGT", "TGCA"))
+
+    nk_cycle = [1, 3, 1, 2, 3, 2]
+    while p < len(g) - ws - 3 and len(lines) < 40:
+        nk = nk_cycle[len(lines) % len(nk_cycle)]
+        kms = [g[p + j:p + j + ws] for j in range(nk)]
+        cano = [min(k, rc_(k)) for k in kms]
+        if all(c not in seen for c in cano) and len(set(cano)) == nk:
+            seen.update(cano)
+            lines.append(f"m{len(lines)}\t{nk}\t" + "\t".join(kms))
+        p += ws + 3
+    while int(lines[-1].split("\t")[1]) % 2:
+        lines.pop()
+    db = tmp_path / "db.txt"
+    db.write_text("\n".join(lines) + "\n")
+    reads = tmp_path / "reads.fq"
+    with open(reads, "w") as f:
+        for r in range(60):
+            st = int(rng.integers(0, len(g) - 50))
+            s = g[st:st + 45]
+            f.write(f"@q{r}\n{s}\n+\n{'H' * len(s)}\n")
+    args = ["-db", str(db), "--num_threads", "1", "--double_median",
+            str(reads)]
+    ref = run_reference(["gmer_counter"] + args)
+    assert ref.returncode == 0
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        rc = main(args)
+    assert (rc or 0) == 0
+    assert out.getvalue().encode() == ref.stdout
