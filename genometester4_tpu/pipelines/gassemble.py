@@ -291,6 +291,16 @@ def _collect_read_infos(db, kmers: list, max_reads_per_kmer: int):
         code &= 0x7FFFFFFF
         node_idx = (code >> db.kmer_bits) - 1
         node_kmer = code & ((1 << db.kmer_bits) - 1)
+        if not (0 <= node_idx < db.n_nodes
+                and node_kmer < int(db.node_nkmers[node_idx])):
+            # duplicate canonical k-mers in the DB sum their codes into
+            # garbage (src/trie.c:266-282); the reference dereferences
+            # the garbage node unchecked (src/gassembler.c:2578-2580,
+            # undefined behavior). Fail cleanly instead.
+            sys.stderr.write(
+                "gassembler: corrupted database: k-mer %s decodes out of "
+                "range (duplicate k-mers in the database?)\n" % km)
+            raise SystemExit(1)
         kmer_idx = int(db.node_kmers_start[node_idx]) + node_kmer
         first = int(blocks[kmer_idx])
         end = int(blocks[kmer_idx + 1]) if kmer_idx < len(blocks) - 1 \
