@@ -186,6 +186,23 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_void_p, u8p, u8p, u8p, u8p, ctypes.c_long, i64p, u64p]
         lib.fgx_pair_stream_free.restype = None
         lib.fgx_pair_stream_free.argtypes = [ctypes.c_void_p]
+        i64c = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        u64c = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+
+        def _opt(p):
+            class _O:
+                @classmethod
+                def from_param(cls, v):
+                    return None if v is None else p.from_param(v)
+            return _O
+        lib.fgx_pair_ops_buckets.restype = None
+        lib.fgx_pair_ops_buckets.argtypes = [
+            u8p, u8p, i64c, i64c, ctypes.c_int, ctypes.c_int,
+            ctypes.c_uint, ctypes.c_uint, ctypes.c_int,
+            _opt(u8p), _opt(i64c), _opt(u64c),
+            _opt(u8p), _opt(i64c), _opt(u64c),
+            _opt(u8p), _opt(i64c), _opt(u64c),
+            _opt(u8p), _opt(i64c), _opt(u64c)]
         lib.fgx_multi_stream_start.restype = ctypes.c_void_p
         lib.fgx_multi_stream_start.argtypes = [
             ctypes.POINTER(ctypes.c_void_p),

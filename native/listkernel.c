@@ -700,6 +700,64 @@ int fgx_pair_stream_next (void *handle, unsigned char *bu,
 
 void fgx_pair_stream_free (void *handle) { free (handle); }
 
+/* one-pass 4-output zipper, defined in fastgt_exact.c */
+void fgx_pair_ops_rec (const unsigned char *r1, long n1,
+                       const unsigned char *r2, long n2, int rule,
+                       unsigned int cutoff, unsigned int override_,
+                       int subtract,
+                       unsigned char *ou, long *n_u,
+                       unsigned long long *s_u,
+                       unsigned char *oi, long *n_i,
+                       unsigned long long *s_i,
+                       unsigned char *od1, long *n_d1,
+                       unsigned long long *s_d1,
+                       unsigned char *od2, long *n_d2,
+                       unsigned long long *s_d2);
+
+/* OpenMP bucket-parallel pair ops: both inputs are pre-cut at
+ * IDENTICAL word boundaries (merge-path rank select on the Python
+ * side), every bucket runs the same one-pass zipper independently, and
+ * outputs land in per-bucket regions of caller-provided buffers whose
+ * bucket-order concatenation is byte-identical to the sequential scan
+ * (parallelism moves only WHERE a record is computed, never its value
+ * or order). cuts1/cuts2: long[n_buckets+1]; per active op X:
+ * bufX capacity 12*(span1+span2) bytes per bucket laid out
+ * back-to-back at offX[b] = 12*(cuts1[b]+cuts2[b] - cuts1[0]-cuts2[0]),
+ * outputs nX[b] records and sumX[b]. */
+void fgx_pair_ops_buckets (const unsigned char *r1, const unsigned char *r2,
+                           const long *cuts1, const long *cuts2,
+                           int n_buckets, int rule, unsigned int cutoff,
+                           unsigned int override_, int subtract,
+                           unsigned char *bu, long *n_u,
+                           unsigned long long *s_u,
+                           unsigned char *bi, long *n_i,
+                           unsigned long long *s_i,
+                           unsigned char *bd1, long *n_d1,
+                           unsigned long long *s_d1,
+                           unsigned char *bd2, long *n_d2,
+                           unsigned long long *s_d2)
+{
+  int b;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
+  for (b = 0; b < n_buckets; b++) {
+    long a1 = cuts1[b], z1 = cuts1[b + 1];
+    long a2 = cuts2[b], z2 = cuts2[b + 1];
+    long off = 12 * ((a1 - cuts1[0]) + (a2 - cuts2[0]));
+    fgx_pair_ops_rec (r1 + 12 * a1, z1 - a1, r2 + 12 * a2, z2 - a2,
+                      rule, cutoff, override_, subtract,
+                      bu ? bu + off : 0, n_u ? n_u + b : 0,
+                      s_u ? s_u + b : 0,
+                      bi ? bi + off : 0, n_i ? n_i + b : 0,
+                      s_i ? s_i + b : 0,
+                      bd1 ? bd1 + off : 0, n_d1 ? n_d1 + b : 0,
+                      s_d1 ? s_d1 + b : 0,
+                      bd2 ? bd2 + off : 0, n_d2 ? n_d2 + b : 0,
+                      s_d2 ? s_d2 + b : 0);
+  }
+}
+
 /* ------------------------------------------------------------------ */
 /* resumable N-list union/intersection (glistcompare multi host path)  */
 /* ------------------------------------------------------------------ */

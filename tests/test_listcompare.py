@@ -229,3 +229,44 @@ def test_multi_invalid_rule_error_chrome(tmp_path, rng):
                 rc = e.code
         assert rc == ref.returncode
         assert err.getvalue() == ref.stderr.decode()
+
+
+def test_pair_ops_omp_buckets_byte_identical(tmp_path, rng):
+    """The OpenMP bucket-parallel pair path (multi-core hosts) must emit
+    the same bytes as the sequential streaming path at any thread
+    count: both inputs are cut at identical word boundaries and
+    bucket-order concatenation preserves the zipper's output order."""
+    import subprocess
+    import sys as _sys
+    import os as _os
+
+    import numpy as np
+    from genometester4_tpu.formats.list_format import write_list
+
+    r = np.random.default_rng(9)
+    pool = np.unique(r.integers(0, 1 << 40, 1_400_000,
+                                dtype=np.int64).astype(np.uint64))
+    w1 = pool[:1_000_000]
+    w2 = np.sort(pool[500_000:])
+    write_list(tmp_path / "a.list", 20, w1,
+               r.integers(1, 60, len(w1)).astype(np.uint32))
+    write_list(tmp_path / "b.list", 20, w2,
+               r.integers(1, 60, len(w2)).astype(np.uint32))
+    outs = {}
+    for nt in ("1", "4"):
+        code = (
+            "import jax; jax.config.update('jax_platforms','cpu')\n"
+            "from genometester4_tpu.pipelines.listcompare import "
+            "compare_pair\n"
+            f"compare_pair({str(tmp_path / 'a.list')!r}, "
+            f"{str(tmp_path / 'b.list')!r}, "
+            "['union','intrsec','diff1','diff2'], "
+            f"outputname={str(tmp_path / ('o' + nt))!r}, cutoff=2)\n")
+        env = dict(_os.environ, OMP_NUM_THREADS=nt)
+        res = subprocess.run([_sys.executable, "-c", code], env=env,
+                             capture_output=True)
+        assert res.returncode == 0, res.stderr
+        outs[nt] = [
+            (tmp_path / f"o{nt}_20_{suf}.list").read_bytes()
+            for suf in ("union", "intrsec", "0_diff1", "0_diff2")]
+    assert outs["1"] == outs["4"]
