@@ -173,6 +173,9 @@ def get_lib() -> ctypes.CDLL:
         lib.fgx_count_kmers_arrays.argtypes = [
             u8p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
             u64p, u32p, u64sp]
+        lib.fgx_dump_records.restype = ctypes.c_long
+        lib.fgx_dump_records.argtypes = [u8p, ctypes.c_long, ctypes.c_int,
+                                         u8p]
         lib.fgx_gc_rec.restype = None
         lib.fgx_gc_rec.argtypes = [u8p, ctypes.c_long, u64sp, u64sp]
         lib.fgx_pair_stream_start.restype = ctypes.c_void_p

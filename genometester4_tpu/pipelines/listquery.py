@@ -368,10 +368,31 @@ def print_full_map(lst: ListQuery, chunk: int = 1 << 20):
                 out = []
         _emit(out)
         return
-    for s in range(0, len(lst.words), chunk):
-        strs = words_to_strings(np.asarray(lst.words[s:s + chunk]), lst.k)
-        _emit(f"{w}\t{c}\n" for w, c in
-              zip(strs, np.asarray(lst.counts[s:s + chunk]).tolist()))
+    from genometester4_tpu.formats.list_format import (pack_records,
+                                                       raw_record_view)
+    raw = raw_record_view(lst.words)
+    if raw is None:
+        raw = pack_records(np.ascontiguousarray(lst.words, np.uint64),
+                           np.ascontiguousarray(lst.counts, np.uint32))
+        raw = np.ascontiguousarray(raw.view(np.uint8).reshape(-1))
+    import ctypes as _ct
+
+    from genometester4_tpu.models.fastgt_native import get_lib
+    lib = get_lib()
+    n = len(lst.words)
+    buf = np.empty(chunk * (lst.k + 12), np.uint8)
+    ob = getattr(sys.stdout, "buffer", None)
+    if ob is not None:
+        sys.stdout.flush()
+    for s in range(0, n, chunk):
+        m = min(chunk, n - s)
+        nb = lib.fgx_dump_records(raw[12 * s:], m, lst.k, buf)
+        if ob is not None:
+            ob.write(memoryview(buf)[:nb])
+        else:  # captured stdout (tests): text fallback
+            sys.stdout.write(buf[:nb].tobytes().decode("latin1"))
+    if ob is not None:
+        ob.flush()
 
 
 def dump_lists(lists: list[ListQuery], is_union: bool, header_names=None):

@@ -539,6 +539,41 @@ long fgx_count_kmers_arrays (const unsigned char *codes, long n, int k,
 }
 
 /* ------------------------------------------------------------------ */
+/* list dump formatting (glistquery full dump)                         */
+/* ------------------------------------------------------------------ */
+
+/* Format raw 12-byte records as "KMER\tCOUNT\n" text (the reference's
+ * word2string + printf loop, src/glistquery.c:495-541 / word2string
+ * src/sequence.c:88-130). out must have capacity n * (k + 12) bytes.
+ * Returns the number of bytes written. */
+long fgx_dump_records (const unsigned char *r, long n, int k,
+                       unsigned char *out)
+{
+  static const char NUCL[4] = { 'A', 'C', 'G', 'T' };
+  long i, o = 0;
+  for (i = 0; i < n; i++) {
+    unsigned long long w;
+    unsigned int c;
+    int j;
+    __builtin_memcpy (&w, r + 12 * i, 8);
+    __builtin_memcpy (&c, r + 12 * i + 8, 4);
+    for (j = k - 1; j >= 0; j--)
+      out[o + j] = NUCL[(w >> (2 * (k - 1 - j))) & 3];
+    o += k;
+    out[o++] = '\t';
+    {
+      char tmp[12];
+      int t = 0;
+      if (c == 0) tmp[t++] = '0';
+      while (c) { tmp[t++] = '0' + (c % 10); c /= 10; }
+      while (t) out[o++] = tmp[--t];
+    }
+    out[o++] = '\n';
+  }
+  return o;
+}
+
+/* ------------------------------------------------------------------ */
 /* list statistics (glistquery --gc)                                   */
 /* ------------------------------------------------------------------ */
 
