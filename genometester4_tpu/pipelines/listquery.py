@@ -86,7 +86,12 @@ class ListQuery:
 
     def lookup(self, queries: np.ndarray) -> np.ndarray:
         if len(queries) >= 4096:
-            return self.lookup_device(queries)
+            # cost model: counts readback is query-sized, so the device
+            # only pays on a fast link (CPU backend / axon tunnel: host)
+            from genometester4_tpu.utils.backend import \
+                prefer_host_for_output_heavy
+            if not prefer_host_for_output_heavy():
+                return self.lookup_device(queries)
         return self.lookup_host(queries)
 
 
@@ -154,6 +159,32 @@ def print_sequences(im):
 
 def _emit(lines):
     sys.stdout.write("".join(lines))
+
+
+def _emit_records(words: np.ndarray, counts: np.ndarray, k: int,
+                  chunk: int = 1 << 20):
+    """Bulk "KMER\\tCOUNT\\n" emission through the native formatter."""
+    from genometester4_tpu.formats.list_format import pack_records
+    from genometester4_tpu.models.fastgt_native import get_lib
+    lib = get_lib()
+    buf = np.empty(chunk * (k + 12), np.uint8)
+    ob = getattr(sys.stdout, "buffer", None)
+    if ob is not None:
+        sys.stdout.flush()
+    n = len(words)
+    for s in range(0, n, chunk):
+        m = min(chunk, n - s)
+        recs = pack_records(
+            np.ascontiguousarray(words[s:s + m], np.uint64),
+            np.ascontiguousarray(counts[s:s + m], np.uint32))
+        recs = np.ascontiguousarray(recs.view(np.uint8).reshape(-1))
+        nb = lib.fgx_dump_records(recs, m, k, buf)
+        if ob is not None:
+            ob.write(memoryview(buf)[:nb])
+        else:
+            sys.stdout.write(buf[:nb].tobytes().decode("latin1"))
+    if ob is not None:
+        ob.flush()
 
 
 def mm_lookup_sum(lst: ListQuery, word: int, nmm: int, pm3: int):
@@ -319,12 +350,12 @@ def search_list(lst: ListQuery, query_path: str, nmm: int, pm3: int,
         return 4  # GT_INCOMPATIBLE_WORDLENGTH_ERROR (src/common.h)
     if nmm == 0:
         # zipper prints the QUERY list's counts for words found in the
-        # searched list (reference behavior, src/glistquery.c:702-717)
+        # searched list (reference behavior, src/glistquery.c:702-717);
+        # formatting goes through the native record formatter
         qw = np.asarray(qw)
         counts = lst.lookup(qw)
         hit = counts > 0
-        strs = words_to_strings(qw[hit], lst.k)
-        _emit(f"{s}\t{c}\n" for s, c in zip(strs, np.asarray(qc)[hit].tolist()))
+        _emit_records(qw[hit], np.asarray(qc)[hit], lst.k)
     else:
         out: list[str] = []
         for w in np.asarray(qw):
