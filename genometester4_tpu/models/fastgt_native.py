@@ -173,6 +173,11 @@ def get_lib() -> ctypes.CDLL:
         lib.fgx_count_kmers_arrays.argtypes = [
             u8p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
             u64p, u32p, u64sp]
+        i64x = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.fgx_dump_index_locations.restype = ctypes.c_long
+        lib.fgx_dump_index_locations.argtypes = [
+            u64p, u32p, i64x, ctypes.c_long, ctypes.c_long, ctypes.c_int,
+            i32p, i32p, i64x, u8p, u8p]
         lib.fgx_dump_records.restype = ctypes.c_long
         lib.fgx_dump_records.argtypes = [u8p, ctypes.c_long, ctypes.c_int,
                                          u8p]

@@ -573,6 +573,56 @@ long fgx_dump_records (const unsigned char *r, long n, int k,
   return o;
 }
 
+/* Index dump with locations (src/glistquery.c:495-510 + 469-478): per
+ * word one "KMER\tCOUNT\n" line followed by one
+ * "FILE\tSEQ\tPOS\tDIR\n" line per location. The location fields
+ * arrive pre-decoded; loc_start[i] indexes the first location of word
+ * i. out capacity: n*(k+13) + total_locs*46. Returns bytes written. */
+static long put_uint (unsigned char *out, unsigned long long v)
+{
+  char tmp[24];
+  int t = 0;
+  long o = 0;
+  if (v == 0) tmp[t++] = '0';
+  while (v) { tmp[t++] = '0' + (int) (v % 10); v /= 10; }
+  while (t) out[o++] = tmp[--t];
+  return o;
+}
+
+long fgx_dump_index_locations (const unsigned long long *words,
+                               const unsigned int *counts,
+                               const long *loc_start, long n_words,
+                               long total_locs, int k,
+                               const int *fil, const int *seq,
+                               const long *pos, const unsigned char *dirs,
+                               unsigned char *out)
+{
+  static const char NUCL[4] = { 'A', 'C', 'G', 'T' };
+  long i, o = 0;
+  for (i = 0; i < n_words; i++) {
+    int j;
+    long s = loc_start[i];
+    long e = (i + 1 < n_words) ? loc_start[i + 1] : total_locs;
+    for (j = k - 1; j >= 0; j--)
+      out[o + j] = NUCL[(words[i] >> (2 * (k - 1 - j))) & 3];
+    o += k;
+    out[o++] = '\t';
+    o += put_uint (out + o, counts[i]);
+    out[o++] = '\n';
+    for (; s < e; s++) {
+      o += put_uint (out + o, (unsigned long long) fil[s]);
+      out[o++] = '\t';
+      o += put_uint (out + o, (unsigned long long) seq[s]);
+      out[o++] = '\t';
+      o += put_uint (out + o, (unsigned long long) pos[s]);
+      out[o++] = '\t';
+      o += put_uint (out + o, dirs[s]);
+      out[o++] = '\n';
+    }
+  }
+  return o;
+}
+
 /* ------------------------------------------------------------------ */
 /* list statistics (glistquery --gc)                                   */
 /* ------------------------------------------------------------------ */
