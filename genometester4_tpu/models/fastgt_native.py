@@ -178,6 +178,10 @@ def get_lib() -> ctypes.CDLL:
         lib.fgx_dump_index_locations.argtypes = [
             u64p, u32p, i64x, ctypes.c_long, ctypes.c_long, ctypes.c_int,
             i32p, i32p, i64x, u8p, u8p]
+        lib.fgx_subset.restype = ctypes.c_long
+        lib.fgx_subset.argtypes = [
+            u8p, ctypes.c_long, ctypes.c_ulonglong, ctypes.c_int,
+            ctypes.c_ulonglong, ctypes.c_long, u8p, u64sp]
         lib.fgx_dump_records.restype = ctypes.c_long
         lib.fgx_dump_records.argtypes = [u8p, ctypes.c_long, ctypes.c_int,
                                          u8p]

@@ -667,8 +667,37 @@ def make_subset(list_path: str, method: str, size: int, outputname: str,
     """Random subsetting (-ss): exact drand48 stream parity with the
     reference (src/glistcompare.c:719-787)."""
     h, words, counts = read_word_source(list_path)
-    rng = Rand48(seed)
     out_path = f"{outputname}_subset_{h.word_length}.list"
+    METHODS = {"rand": 0, "rand_unique": 1, "rand_weighted_unique": 2}
+    if method in METHODS:
+        # native selection loop: glibc srand48/drand48 IS the
+        # reference's PRNG, so the stream is bit-exact by construction
+        # (src/glistcompare.c:719-787); the Python Rand48 twin below
+        # remains the differential oracle for the stream itself.
+        import ctypes
+
+        from genometester4_tpu.formats.list_format import (ListWriter,
+                                                           pack_records,
+                                                           raw_record_view)
+        from genometester4_tpu.models.fastgt_native import get_lib
+        if method != "rand" and size > h.n_words:
+            raise ValueError("subset size bigger than number of unique kmers")
+        lib = get_lib()
+        raw = raw_record_view(words)
+        if raw is None:
+            raw = pack_records(np.asarray(words, np.uint64),
+                               np.asarray(counts, np.uint32))
+            raw = np.ascontiguousarray(raw.view(np.uint8).reshape(-1))
+        out_buf = np.empty(max(12, 12 * h.n_words), np.uint8)
+        tot = ctypes.c_ulonglong(0)
+        m = lib.fgx_subset(raw, h.n_words,
+                           int(np.asarray(counts, np.uint64).sum()),
+                           METHODS[method], size, seed, out_buf,
+                           ctypes.byref(tot))
+        with ListWriter(out_path, h.word_length) as w:
+            w.append_records(out_buf[: 12 * m], m, tot.value)
+        return out_path
+    rng = Rand48(seed)
     sel_words, sel_counts = [], []
     out = size
     if method == "rand":

@@ -30,6 +30,12 @@
 #define RADIX_SIZE (1 << RADIX_BITS)
 #define RADIX_MASK (RADIX_SIZE - 1)
 
+/* 12-byte record accessors (defined below) */
+static void put_rec (unsigned char *r, long idx, unsigned long long w,
+                     unsigned int c);
+static void rec_get (const unsigned char *r, long i,
+                     unsigned long long *w, unsigned int *c);
+
 /* ------------------------------------------------------------------ */
 /* FASTA slab parse: raw bytes -> 2-bit codes                          */
 /* ------------------------------------------------------------------ */
@@ -571,6 +577,66 @@ long fgx_dump_records (const unsigned char *r, long n, int k,
     out[o++] = '\n';
   }
   return o;
+}
+
+/* Random subsetting (-ss, src/glistcompare.c:719-787) over raw record
+ * streams. glibc's srand48/drand48 here IS the reference's PRNG, so
+ * the selection stream is bit-exact by construction. Unlike the
+ * reference, the walk stops at the end of the list (the reference's
+ * while(out>0) runs past it — undefined behavior — whenever a single
+ * pass cannot satisfy the requested size). method: 0 rand,
+ * 1 rand_unique, 2 rand_weighted_unique. Returns records written. */
+long fgx_subset (const unsigned char *recs, long n_words,
+                 unsigned long long sum_counts, int method,
+                 unsigned long long size, long seed,
+                 unsigned char *out, unsigned long long *total_out)
+{
+  unsigned long long in_n, out_n = size, tot = 0;
+  long i = 0, m = 0;
+  srand48 (seed);
+  if (method == 0) {
+    in_n = sum_counts;
+    while (out_n > 0 && i < n_words) {
+      unsigned long long w;
+      unsigned int c, cnt = 0, j;
+      rec_get (recs, i, &w, &c);
+      for (j = 0; j < c && out_n > 0; j++) {
+        double val = drand48 ();
+        if (val <= (double) out_n / in_n) { cnt++; out_n--; }
+        in_n--;
+      }
+      if (cnt) { put_rec (out, m, w, cnt); m++; tot += cnt; }
+      i++;
+    }
+  } else if (method == 1) {
+    in_n = (unsigned long long) n_words;
+    while (out_n > 0 && i < n_words) {
+      unsigned long long w;
+      unsigned int c;
+      double val = drand48 ();
+      rec_get (recs, i, &w, &c);
+      if (val <= (double) out_n / in_n) {
+        put_rec (out, m, w, c); m++; tot += c; out_n--;
+      }
+      in_n--;
+      i++;
+    }
+  } else {
+    in_n = sum_counts;
+    while (out_n > 0 && i < n_words) {
+      unsigned long long w;
+      unsigned int c;
+      double val = drand48 ();
+      rec_get (recs, i, &w, &c);
+      if (val <= (double) c * out_n / in_n) {
+        put_rec (out, m, w, c); m++; tot += c; out_n--;
+      }
+      in_n -= c;
+      i++;
+    }
+  }
+  *total_out = tot;
+  return m;
 }
 
 /* Index dump with locations (src/glistquery.c:495-510 + 469-478): per
