@@ -70,14 +70,18 @@ def tunnel_alive(timeout: int = 120) -> bool:
 
 
 def run_e2e():
-    """End-to-end tool-vs-tool numbers (host pipeline; see below)."""
+    """End-to-end tool-vs-tool numbers: the bin/glistmaker launcher as
+    a fresh process (includes OUR interpreter startup, ~0.35 s via the
+    -S fast path) against the reference binary as a fresh process."""
     import subprocess
     import time as _t
-    from genometester4_tpu.pipelines.listmaker import make_list
+    launcher = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bin", "glistmaker")
     e2e_times = []
     for _ in range(2):
         t0 = _t.time()
-        make_list([FASTA], K, "/tmp/bench_e2e_25.list")
+        subprocess.run([launcher, FASTA, "-w", str(K), "-o",
+                        "/tmp/bench_e2e"], check=True, capture_output=True)
         e2e_times.append(_t.time() - t0)
     e2e = min(e2e_times)
     ref_e2e = BASELINE_E2E_S

@@ -6,9 +6,34 @@ Usage: glistmaker <INPUTFILES> [OPTIONS]
 
 from __future__ import annotations
 
+import re
 import sys
 
 from genometester4_tpu import __version__
+
+_STRTOL_RE = re.compile(r"\s*[+-]?[0-9]+")
+
+
+def _strtol_u32(s: str):
+    """glibc ``strtol(arg, &end, 10)`` twin, truncated to C unsigned int.
+
+    Returns ``(value_u32, end_ok)`` where ``end_ok`` mirrors the only
+    check the reference makes, ``*end == 0`` (src/glistmaker.c:170-213):
+    trailing junk fails, an EMPTY string "converts" to 0 with end still
+    at the terminator (accepted), whitespace-only does not."""
+    m = _STRTOL_RE.match(s)
+    if m is None:
+        return 0, s == ""
+    if m.end() != len(s):
+        return 0, False
+    v = int(m.group())
+    v = min(max(v, -2**63), 2**63 - 1)  # strtol clamps to long range
+    return v & 0xFFFFFFFF, True
+
+
+def _i32(u: int) -> int:
+    """Value a C ``%d`` prints for an unsigned-int variable."""
+    return u - 0x100000000 if u >= 0x80000000 else u
 
 VERSION_LINE = 'glistmaker version 4.2.16 (stable)\n'
 HELP = 'glistmaker version 4.2.16 (stable)\nUsage: glistmaker <INPUTFILES> [OPTIONS]\nOptions:\n    -v, --version           - print version information and exit\n    -h, --help              - print this usage screen and exit\n    -w, --wordlength NUMBER - specify index wordsize (1-32)\n    -o, --outputname STRING - specify output name (default "out")\n    --index                 - create index instead of list\n    --num_threads           - number of threads (default 8)\n    --max_tables            - maximum number of temporary tables (default 4096)\n    --table_size            - maximum size of the temporary table (default 1048576)\n    --tmpdir                - directory for temporary files (may need an order of magnitude more space than the size of the final list)\n    --stream                - read files as streams instead of memory-mapping (slower but uses less virtual memory)\n    --index                 - creates indexed list (larger and slower)\n    -D                      - increase debug level\n'
@@ -38,15 +63,54 @@ def _main_impl(argv=None) -> int:
                 outputname = argv[i]
             elif a in ("-w", "--wordlength"):
                 i += 1
-                wordlength = int(argv[i])
+                wordlength, ok = _strtol_u32(argv[i])
+                if not ok:
+                    sys.stderr.write(f"Error: Invalid word-length: {argv[i]}!"
+                                     " Must be an integer.\n" + HELP)
+                    return 1
             elif a in ("-c", "--cutoff", "--min"):
                 i += 1
-                cutoff = int(argv[i])
+                cutoff, ok = _strtol_u32(argv[i])
+                if not ok:
+                    sys.stderr.write("Error: Invalid frequency cut-off: "
+                                     f"{argv[i]}! Must be an integer.\n" + HELP)
+                    return 1
             elif a == "--max":
                 i += 1
-                maxfreq = int(argv[i])
-            elif a in ("--num_threads", "--max_tables", "--table_size", "--tmpdir"):
-                i += 1  # accepted for compatibility; scheduling is XLA's job
+                maxfreq, ok = _strtol_u32(argv[i])
+                if not ok:
+                    sys.stderr.write("Error: Invalid frequency cut-off: "
+                                     f"{argv[i]}! Must be an integer.\n" + HELP)
+                    return 1
+            elif a == "--num_threads":
+                i += 1  # value ignored: scheduling is XLA's/our host lib's job
+                _, ok = _strtol_u32(argv[i])
+                if not ok:
+                    sys.stderr.write(f"Error: Invalid num-threads: {argv[i]}!"
+                                     " Must be an integer.\n" + HELP)
+                    return 1
+            elif a == "--max_tables":
+                i += 1
+                _, ok = _strtol_u32(argv[i])
+                if not ok:
+                    sys.stderr.write(f"Error: Invalid max_tables: {argv[i]}!"
+                                     " Must be an integer.\n" + HELP)
+                    return 1
+            elif a == "--table_size":
+                i += 1
+                _, ok = _strtol_u32(argv[i])
+                if not ok:
+                    sys.stderr.write(f"Error: Invalid table-size: {argv[i]}!"
+                                     " Must be an integer.\n" + HELP)
+                    return 1
+                # bug-compat: the reference advances PAST the value a
+                # second time, silently swallowing the next argument
+                # (src/glistmaker.c:204-211 has a stray `i += 1` inside
+                # the branch on top of the loop increment)
+                i += 1
+            elif a == "--tmpdir":
+                i += 1
+                _ = argv[i]  # value accepted; missing value → usage screen
             elif a == "--index":
                 create_index = True
             elif a == "--stream":
@@ -59,21 +123,30 @@ def _main_impl(argv=None) -> int:
             else:
                 inputs.append(a)
             i += 1
-    except (IndexError, ValueError):
+    except IndexError:
+        # flag at end of argv with its value missing: print_help(1)
         sys.stderr.write(HELP)
         return 1
 
     if not inputs:
         sys.stderr.write("Error: No FastA/FastQ file specified!\n" + HELP)
         return 1
-    if not 1 <= wordlength <= 32:
-        sys.stderr.write(f"Error: Invalid word-length {wordlength} (must be 1 - 32)!\n")
+    if not 1 <= wordlength <= 32:   # wordlength is unsigned (C semantics)
+        sys.stderr.write(f"Error: Invalid word-length {_i32(wordlength)} "
+                         "(must be 1 - 32)!\n" + HELP)
         return 1
-    if cutoff < 1:
-        sys.stderr.write(f"Error: Invalid frequency cut-off: {cutoff}! Must be positive.\n")
+    if cutoff < 1:                  # unsigned: only 0 trips this
+        sys.stderr.write(f"Error: Invalid frequency cut-off: {_i32(cutoff)}! "
+                         "Must be positive.\n" + HELP)
         return 1
-    if maxfreq < cutoff:
-        sys.stderr.write(f"Error: Invalid frequency range: {cutoff}-{maxfreq}!\n")
+    if maxfreq < cutoff:            # unsigned comparison, %u-%u print
+        sys.stderr.write(f"Error: Invalid frequency range: "
+                         f"{cutoff}-{maxfreq}!\n" + HELP)
+        return 1
+    if len(outputname) > 200:
+        # reference: no trailing newline, no usage screen
+        sys.stderr.write("Error: Output name exceeds the 200 character "
+                         "limit.")
         return 1
 
     import os

@@ -18,11 +18,9 @@ tests/test_genotype_model.py for agreement checks vs the exact path).
 
 from __future__ import annotations
 
-from functools import partial
-
-import jax
-import jax.numpy as jnp
 import numpy as np
+
+from genometester4_tpu.utils.lazyjax import jax, jnp, jit
 
 N_GENOTYPES = 15
 
@@ -70,7 +68,7 @@ def _binom_pmf(k, n, p):
                    + jnp.where(n - k > 0, jnp.log1p(-p) * (n - k), 0.0))
 
 
-@partial(jax.jit, static_argnames=())
+@jit(static_argnames=())
 def genotype_log_posteriors(count_a, count_b, pB, l_error, p0, p1, p2,
                             lam, size, size2):
     """Unnormalized log posterior for each marker x genotype.
@@ -107,7 +105,7 @@ def genotype_log_posteriors(count_a, count_b, pB, l_error, p0, p1, p2,
     return log_post
 
 
-@jax.jit
+@jit
 def genotype_calls(count_a, count_b, pB, params):
     """Best genotype + normalized probability per marker.
 
@@ -127,7 +125,7 @@ def genotype_calls(count_a, count_b, pB, params):
     return best, prob, post
 
 
-@jax.jit
+@jit
 def neg_log_likelihood(count_a, count_b, pB, params):
     """Training objective (sum over markers of -log marginal), the jnp
     twin of mlogL3 (src/gmer_caller.c:783-806)."""

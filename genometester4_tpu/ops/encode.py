@@ -20,7 +20,8 @@ are pure jnp element-wise ops — they fuse into the surrounding extraction
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
+
+from genometester4_tpu.utils.lazyjax import jnp
 
 ALPHABET = "ACGTUacgtu"
 _B2S = np.frombuffer(b"ACGT", dtype=np.uint8)

@@ -24,11 +24,9 @@ from __future__ import annotations
 
 import functools
 
-import jax
-import jax.numpy as jnp
+from genometester4_tpu.utils.lazyjax import jax, jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+from genometester4_tpu.utils.lazyjax import pallas as pl, pallas_tpu as pltpu
 
 LANE = 128
 DEF_ROWS = 1024  # 1024x128 = 128Ki windows per block

@@ -14,10 +14,7 @@ program compiles once.
 
 from __future__ import annotations
 
-from functools import partial
-
-import jax
-import jax.numpy as jnp
+from genometester4_tpu.utils.lazyjax import jax, jnp, jit
 
 from genometester4_tpu.ops.encode import canonical_pair
 
@@ -34,7 +31,7 @@ def extract_kmers_best(codes, k: int, canonical: bool = True):
     return extract_kmers(codes, k, canonical=canonical)
 
 
-@partial(jax.jit, static_argnames=("k", "canonical"))
+@jit(static_argnames=("k", "canonical"))
 def extract_kmers(codes, k: int, canonical: bool = True):
     """Extract all k-windows from a code chunk.
 

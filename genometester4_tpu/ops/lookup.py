@@ -10,13 +10,10 @@ latency-hiding across thousands of queries instead of one at a time.
 from __future__ import annotations
 
 import math
-from functools import partial
-
-import jax
-import jax.numpy as jnp
+from genometester4_tpu.utils.lazyjax import jax, jnp, jit
 
 
-@partial(jax.jit, static_argnames=("steps",))
+@jit(static_argnames=("steps",))
 def batched_lookup_pair(table_hi, table_lo, table_counts, n_words, qhi, qlo,
                         steps: int):
     """Lookup queries in a sorted (hi, lo) table.
@@ -57,7 +54,7 @@ def lookup_steps(capacity: int) -> int:
     return max(1, math.ceil(math.log2(max(capacity, 2))) + 1)
 
 
-@partial(jax.jit, static_argnames=("steps",))
+@jit(static_argnames=("steps",))
 def batched_bounds_pair(table_hi, table_lo, n_words, qhi, qlo, steps: int):
     """Lower and upper bound of each query in a sorted (hi, lo) table.
 

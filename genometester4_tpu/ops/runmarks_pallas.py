@@ -21,10 +21,8 @@ from __future__ import annotations
 
 import functools
 
-import jax
-import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+from genometester4_tpu.utils.lazyjax import jax, jnp
+from genometester4_tpu.utils.lazyjax import pallas as pl, pallas_tpu as pltpu
 
 LANE = 128
 DEF_ROWS = 2048  # 2048x128 = 256Ki elements (1 MB/operand) per block

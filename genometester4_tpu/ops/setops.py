@@ -31,10 +31,7 @@ Frequency-rule semantics are copied exactly, including:
 
 from __future__ import annotations
 
-from functools import partial
-
-import jax
-import jax.numpy as jnp
+from genometester4_tpu.utils.lazyjax import jax, jnp, jit
 
 from genometester4_tpu.ops.sortcount import sort_compact, _iota32
 
@@ -61,7 +58,7 @@ def _head_prefix(head, values, total):
     return jnp.where(head, excl, total)
 
 
-@jax.jit
+@jit
 def pair_align(hi1, lo1, c1, valid1, hi2, lo2, c2, valid2):
     """Align two sorted unique lists into one unique word table.
 
@@ -112,7 +109,7 @@ def _rule_freq(f1, f2, rule: str, count_override: int):
     raise ValueError(f"invalid rule {rule}")
 
 
-@partial(jax.jit, static_argnames=("op", "rule", "cutoff", "count_override",
+@jit(static_argnames=("op", "rule", "cutoff", "count_override",
                                    "subtract"))
 def apply_pair_op(uhi, ulo, f1, f2, n_uniq, op: str, rule: str = RULE_DEFAULT,
                   cutoff: int = 1, count_override: int = 1,
@@ -157,7 +154,7 @@ def apply_pair_op(uhi, ulo, f1, f2, n_uniq, op: str, rule: str = RULE_DEFAULT,
     return n_out, ohi, olo, oc
 
 
-@partial(jax.jit, static_argnames=("n_lists", "op", "rule", "cutoff",
+@jit(static_argnames=("n_lists", "op", "rule", "cutoff",
                                    "count_override"))
 def apply_multi_op(hi, lo, c, src, valid, n_lists: int, op: str,
                    rule: str = RULE_DEFAULT, cutoff: int = 1,

@@ -24,10 +24,7 @@ Everything is static-shape: inputs are padded, outputs are padded, and
 
 from __future__ import annotations
 
-from functools import partial
-
-import jax
-import jax.numpy as jnp
+from genometester4_tpu.utils.lazyjax import jax, jnp, jit
 
 
 def _iota32(n):
@@ -49,7 +46,7 @@ def sort_compact(mask, *arrays):
     return (jnp.sum(mask.astype(jnp.int32)),) + out[1:]
 
 
-@partial(jax.jit, static_argnames=("hi_bits", "unit_weights", "compact"))
+@jit(static_argnames=("hi_bits", "unit_weights", "compact"))
 def count_unique(hi, lo, weights, valid, hi_bits: int = 32,
                  unit_weights: bool = False, compact: bool = True):
     """Dedupe-and-sum over arbitrary (unsorted) word pairs.
@@ -160,7 +157,7 @@ def count_unique(hi, lo, weights, valid, hi_bits: int = 32,
     return uhi, ulo, counts, n_unique
 
 
-@partial(jax.jit, static_argnames=("min_count", "max_count"))
+@jit(static_argnames=("min_count", "max_count"))
 def filter_counts(hi, lo, counts, n_unique, min_count: int = 1,
                   max_count: int | None = None):
     """Apply frequency cutoffs (glistmaker -c/--max) and recompact.

@@ -29,11 +29,9 @@ from __future__ import annotations
 
 import functools
 
-import jax
-import jax.numpy as jnp
+from genometester4_tpu.utils.lazyjax import jax, jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+from genometester4_tpu.utils.lazyjax import pallas as pl, pallas_tpu as pltpu
 
 from genometester4_tpu.ops.swalign import (GAP_EXT, GAP_OPEN, M_SCORE,
                                            MM_SCORE, N_SCORE, NEG, NUCL_N)

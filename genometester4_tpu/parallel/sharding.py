@@ -49,12 +49,21 @@ import math
 from functools import partial
 
 import numpy as np
-import jax
-import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
 
+from genometester4_tpu.utils.lazyjax import jax, jnp, jax_sharding
 from genometester4_tpu.ops.kmers import extract_kmers
 from genometester4_tpu.ops.sortcount import count_unique
+
+
+def Mesh(*args, **kwargs):
+    """Lazy ``jax.sharding.Mesh`` (host-only callers of rank_bounds
+    must not pay the jax import; see utils.lazyjax)."""
+    return jax_sharding.Mesh(*args, **kwargs)
+
+
+def P(*args, **kwargs):
+    return jax_sharding.PartitionSpec(*args, **kwargs)
+
 
 CAP_FACTOR = 3
 

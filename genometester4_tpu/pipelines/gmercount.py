@@ -34,8 +34,8 @@ from dataclasses import dataclass, field
 from functools import partial
 
 import numpy as np
-import jax
-import jax.numpy as jnp
+
+from genometester4_tpu.utils.lazyjax import jax, jnp
 
 from genometester4_tpu.formats.gmerdb import GmerDB
 from genometester4_tpu.io.fasta import load_file

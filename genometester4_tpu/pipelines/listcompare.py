@@ -15,7 +15,8 @@ import os
 import sys
 
 import numpy as np
-import jax.numpy as jnp
+
+from genometester4_tpu.utils.lazyjax import jnp
 
 from genometester4_tpu.formats.list_format import (GT4_LIST_CODE,
                                                     ListWriter, read_list)

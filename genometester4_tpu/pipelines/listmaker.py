@@ -26,8 +26,8 @@ import os
 from dataclasses import dataclass
 
 import numpy as np
-import jax
-import jax.numpy as jnp
+
+from genometester4_tpu.utils.lazyjax import jax, jnp
 
 from genometester4_tpu.formats.list_format import ListWriter, ListHeader
 from genometester4_tpu.io.fasta import load_file

@@ -25,7 +25,8 @@ import math
 import sys
 
 import numpy as np
-import jax.numpy as jnp
+
+from genometester4_tpu.utils.lazyjax import jnp
 
 from genometester4_tpu.formats.list_format import read_list
 from genometester4_tpu.ops.encode import (canonical_u64, split_u64,

@@ -20,8 +20,9 @@ way, so results are bit-identical.
 from __future__ import annotations
 
 import os
+import sys
 
-import jax
+from genometester4_tpu.utils.lazyjax import jax
 
 
 def accelerator_link_is_slow() -> bool:
@@ -31,12 +32,25 @@ def accelerator_link_is_slow() -> bool:
     "tpu" (so ``jax.default_backend()`` cannot distinguish it from a
     real PCIe-attached chip); its PJRT ``platform_version`` string
     carries the plugin identity. ``GT4_TPU_LINK=fast|slow`` overrides.
+
+    Resolution order keeps the decision free of the ~4.5 s jax import
+    for host-path CLI runs (bin/ launchers, utils.lazyjax): the
+    override first, then the tunnel's own environment variables
+    (``PALLAS_AXON_POOL_IPS`` is set iff the axon relay is this
+    process's accelerator), and only as a last resort — jax already
+    imported, platform ambiguous — the PJRT platform_version probe.
     """
     ov = os.environ.get("GT4_TPU_LINK")
     if ov == "fast":
         return False
     if ov == "slow":
         return True
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return False          # no accelerator in play at all
+    if os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return True           # the axon tunnel is the accelerator
+    if "jax" not in sys.modules:
+        return False          # nothing signals a tunnel; assume real link
     try:
         d = jax.devices()[0]
         return "axon" in getattr(d.client, "platform_version", "")
@@ -46,8 +60,15 @@ def accelerator_link_is_slow() -> bool:
 
 def prefer_host_for_output_heavy() -> bool:
     """Output-heavy pipelines run on the host when there is no
-    accelerator at all, or the accelerator's readback link is slow."""
-    return jax.default_backend() == "cpu" or accelerator_link_is_slow()
+    accelerator at all, or the accelerator's readback link is slow.
+
+    Checked without importing jax where possible: a slow link answers
+    True by itself, and ``JAX_PLATFORMS=cpu`` answers True by itself."""
+    if accelerator_link_is_slow():
+        return True
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return True
+    return jax.default_backend() == "cpu"
 
 
 def output_heavy_device():
@@ -82,11 +103,26 @@ def disable_numpy_thp():
 
 
 class output_heavy_compute:
-    """Context manager: route jnp/jit work to the right backend."""
+    """Context manager: route jnp/jit work to the right backend.
+
+    When jax has not been imported yet (bin/ launchers, utils.lazyjax)
+    the routing decision is made from the environment alone: a slow
+    link or ``JAX_PLATFORMS=cpu`` pins the eventual lazy jax import to
+    the CPU backend (``lazyjax.force_cpu_platform``) instead of paying
+    the import up front — most host-path runs then never import jax at
+    all."""
 
     def __init__(self):
         disable_numpy_thp()   # large host temporaries: see its docstring
-        self._dev = output_heavy_device()
+        if "jax" not in sys.modules:
+            from genometester4_tpu.utils import lazyjax
+            if prefer_host_for_output_heavy():
+                lazyjax.force_cpu_platform()
+            # fast link + no jax yet: the accelerator is the default
+            # backend once imported; either way no device ctx needed
+            self._dev = None
+        else:
+            self._dev = output_heavy_device()
         self._ctx = None
 
     def __enter__(self):
