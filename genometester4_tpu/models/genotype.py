@@ -61,7 +61,13 @@ def _log_dnbinom_mu(x, size, mu):
 
 
 def _binom_pmf(k, n, p):
-    from jax.scipy.special import gammaln
+    # ensure_jax first: a bare `from jax.scipy...` as the process's
+    # first jax touch skips axon plugin registration under bin/ -S
+    import importlib
+
+    from genometester4_tpu.utils.lazyjax import ensure_jax
+    ensure_jax()
+    gammaln = importlib.import_module("jax.scipy.special").gammaln
     return jnp.exp(gammaln(n + 1.0) - gammaln(k + 1.0)
                    - gammaln(n - k + 1.0)
                    + jnp.where(k > 0, jnp.log(p) * k, 0.0)

@@ -212,8 +212,12 @@ def make_sw_jax(n_cap: int, m_cap: int):
     Returns fn(ref int8[n_cap], reads int8[B, m_cap]) ->
     (score, sx, sy) with the same layout as sw_matrices_batch.
     """
-    import jax
-    import jax.numpy as jnp
+    # ensure_jax registers the axon PJRT plugin when running under the
+    # bin/ -S launchers (a bare import with JAX_PLATFORMS=axon raises
+    # "unknown backend")
+    from genometester4_tpu.utils.lazyjax import ensure_jax
+    jax = ensure_jax()
+    jnp = jax.numpy
 
     n, m = n_cap, m_cap
 

@@ -362,7 +362,9 @@ def sw_matrices_batch_device(ref: np.ndarray, reads: np.ndarray,
     lane-batched kernel. Shapes are padded to multiples of 8 so repeated
     gassembler regions reuse a handful of compiled kernels."""
     from genometester4_tpu.ops.swalign import diag_to_matrix
-    import jax.numpy as jnp
+    # ensure_jax: axon plugin registration under the bin/ -S launchers
+    from genometester4_tpu.utils.lazyjax import ensure_jax
+    jnp = ensure_jax().numpy
 
     n = len(ref)
     B, m = reads.shape

@@ -432,11 +432,15 @@ def _device_sw_enabled() -> bool:
     v = os.environ.get("GT4_TPU_DEVICE_SW")
     if v is not None:
         return v == "1"
-    import jax
-
     from genometester4_tpu.utils.backend import accelerator_link_is_slow
-    return (jax.default_backend() not in ("cpu",)
-            and not accelerator_link_is_slow())
+    if accelerator_link_is_slow():
+        return False          # env-only answer: no jax import needed
+    # ensure_jax, not `import jax`: under the bin/ -S launchers the
+    # axon PJRT plugin is not yet registered, and a bare import with
+    # JAX_PLATFORMS=axon raises "unknown backend" (bench_gasm finding)
+    from genometester4_tpu.utils.lazyjax import ensure_jax
+    jax = ensure_jax()
+    return jax.default_backend() not in ("cpu",)
 
 
 def align_reads(ref_codes: np.ndarray, reads: list, params: Params):

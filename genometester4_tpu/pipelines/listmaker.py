@@ -598,7 +598,10 @@ def make_list(input_files, word_length: int, output_path: str,
     # globally sorted per-slab results. Shard-by-most-significant-bits
     # keeps the final merge and the .list bytes identical to the
     # 1-device path at any mesh shape. GT4_TPU_MESH=0 opts out.
-    import jax
+    # (ensure_jax: registers the axon PJRT plugin under the bin/ -S
+    # launchers, where a bare import with JAX_PLATFORMS=axon raises)
+    from genometester4_tpu.utils.lazyjax import ensure_jax
+    jax = ensure_jax()
     mesh = None
     if (canonical and len(jax.devices()) > 1
             and os.environ.get("GT4_TPU_MESH", "1") != "0"):
