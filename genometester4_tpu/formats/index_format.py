@@ -53,18 +53,40 @@ class IndexFile:
     subseqs: np.ndarray
 
 
-@dataclass
 class IndexMap:
-    word_length: int
-    n_file_bits: int
-    n_subseq_bits: int
-    n_pos_bits: int
-    files: list  # list[IndexFile]
-    words: np.ndarray       # u64[num_words]
-    loc_start: np.ndarray   # u64[num_words]
-    locations: np.ndarray   # u64[num_locations_written]
-    num_locations: int = 0  # header value (post-cutoff count)
-    path: str = ""
+    """Loaded .index. ``kmer_recs`` (when set) is the mmapped
+    interleaved (word, loc_start) u64 blob; ``words``/``loc_start``
+    deinterleave lazily on first access so blob-level consumers (the
+    --locations dump) never pay the strided copies."""
+
+    def __init__(self, word_length: int, n_file_bits: int,
+                 n_subseq_bits: int, n_pos_bits: int, files: list,
+                 words, loc_start, locations,
+                 num_locations: int = 0, path: str = "",
+                 kmer_recs=None):
+        self.word_length = word_length
+        self.n_file_bits = n_file_bits
+        self.n_subseq_bits = n_subseq_bits
+        self.n_pos_bits = n_pos_bits
+        self.files = files
+        self._words = words
+        self._loc_start = loc_start
+        self.locations = locations
+        self.num_locations = num_locations
+        self.path = path
+        self.kmer_recs = kmer_recs
+
+    @property
+    def words(self) -> np.ndarray:
+        if self._words is None:
+            self._words = self.kmer_recs[0::2].copy()
+        return self._words
+
+    @property
+    def loc_start(self) -> np.ndarray:
+        if self._loc_start is None:
+            self._loc_start = self.kmer_recs[1::2].copy()
+        return self._loc_start
 
     @property
     def counts(self) -> np.ndarray:
@@ -92,8 +114,9 @@ class IndexMap:
 
 
 def read_index_map(path: str | os.PathLike) -> IndexMap:
-    with open(path, "rb") as f:
-        data = f.read()
+    # mmap, not read(): dump/query paths touch pages on demand, and the
+    # k-mer/location blocks stay zero-copy views into the map
+    data = np.memmap(path, np.uint8, mode="r")
     (code, vmaj, vmin, wlen, n_words, n_locs, fb, sb, pb, _fill,
      files_start, kmers_start, locations_start) = _HEADER.unpack_from(data, 0)
     if code != GT4_INDEX_CODE:
@@ -105,33 +128,34 @@ def read_index_map(path: str | os.PathLike) -> IndexMap:
         return IndexMap(wlen, fb, sb, pb, [], np.empty(0, np.uint64),
                         np.empty(0, np.uint64), np.empty(0, np.uint64),
                         num_locations=n_locs, path=os.fspath(path))
-    p = files_start
-    assert data[p:p + 4] == b"F4TG"
+    # the files block is small and loop-parsed: copy it to bytes once
+    fblock = bytes(data[files_start:kmers_start])
+    p = 0
+    assert fblock[p:p + 4] == b"F4TG"
     p += 12
-    (n_files,) = struct.unpack_from("<I", data, p)
+    (n_files,) = struct.unpack_from("<I", fblock, p)
     p += 4
     for _ in range(n_files):
-        size, n_ss = struct.unpack_from("<QQ", data, p)
+        size, n_ss = struct.unpack_from("<QQ", fblock, p)
         p += 16
-        (nlen,) = struct.unpack_from("<H", data, p)
+        (nlen,) = struct.unpack_from("<H", fblock, p)
         p += 2
-        name = data[p:p + nlen].split(b"\0")[0]
+        name = fblock[p:p + nlen].split(b"\0")[0]
         p += nlen
         ss = np.zeros((n_ss, 4), np.int64)
         for j in range(n_ss):
-            np_, nl = struct.unpack_from("<QI", data, p)
-            sp, sl = struct.unpack_from("<QQ", data, p + 12)
+            np_, nl = struct.unpack_from("<QI", fblock, p)
+            sp, sl = struct.unpack_from("<QQ", fblock, p + 12)
             ss[j] = (np_, nl, sp, sl)
             p += 28
         files.append(IndexFile(name, size, ss))
     recs = np.frombuffer(data, np.uint64, n_words * 2, kmers_start)
-    words = recs[0::2].copy()
-    loc_start = recs[1::2].copy()
     n_loc_written = (len(data) - locations_start) // 8
     locations = np.frombuffer(data, np.uint64, n_loc_written,
                               locations_start)
-    return IndexMap(wlen, fb, sb, pb, files, words, loc_start, locations,
-                    num_locations=n_locs, path=os.fspath(path))
+    return IndexMap(wlen, fb, sb, pb, files, None, None, locations,
+                    num_locations=n_locs, path=os.fspath(path),
+                    kmer_recs=recs)
 
 
 def write_index_file(path: str | os.PathLike, word_length: int,

@@ -54,7 +54,9 @@ def get_lib() -> ctypes.CDLL:
                                                os.path.getmtime(_SRC_LIST))):
             _build()
         lib = ctypes.CDLL(_SO)
-        lib.fgx_init()
+        # no eager fgx_init(): the O(N^2) reference-rounding log tables
+        # build lazily inside the C gateways (fgx_dbinom/fgx_dnbinom_mu)
+        # so pure list-path CLI runs skip the ~90 ms
         u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
@@ -173,11 +175,10 @@ def get_lib() -> ctypes.CDLL:
         lib.fgx_count_kmers_arrays.argtypes = [
             u8p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
             u64p, u32p, u64sp]
-        i64x = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
-        lib.fgx_dump_index_locations.restype = ctypes.c_long
-        lib.fgx_dump_index_locations.argtypes = [
-            u64p, u32p, i64x, ctypes.c_long, ctypes.c_long, ctypes.c_int,
-            i32p, i32p, i64x, u8p, u8p]
+        lib.fgx_dump_index_locations_raw.restype = ctypes.c_long
+        lib.fgx_dump_index_locations_raw.argtypes = [
+            u64p, ctypes.c_long, ctypes.c_ulonglong, ctypes.c_int, u64p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p]
         lib.fgx_subset.restype = ctypes.c_long
         lib.fgx_subset.argtypes = [
             u8p, ctypes.c_long, ctypes.c_ulonglong, ctypes.c_int,

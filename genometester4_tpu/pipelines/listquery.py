@@ -126,11 +126,22 @@ class IndexQuery(ListQuery):
         from genometester4_tpu.formats.index_format import read_index_map
         self.path = path
         self.index_map = read_index_map(path)
-        self.words = self.index_map.words
-        self.counts = self.index_map.counts
         self.k = self.index_map.word_length
         self.header = None
         self._dev = None
+        self._counts = None
+
+    # lazy: blob-level consumers (--locations dump) never deinterleave
+    # the k-mer records or difference the offsets
+    @property
+    def words(self) -> np.ndarray:
+        return self.index_map.words
+
+    @property
+    def counts(self) -> np.ndarray:
+        if self._counts is None:
+            self._counts = self.index_map.counts
+        return self._counts
 
     @property
     def total_count(self) -> int:
@@ -442,36 +453,36 @@ def search_lists_multi(query_path: str, lists: list[ListQuery]):
 def print_full_map(lst: ListQuery, chunk: int = 1 << 20):
     if lst.index_map is not None and lst.print_locations:
         # src/glistquery.c:495-510: per word also dump its locations —
-        # whole-blob vectorized decode + native text formatting (the
-        # per-word Python loop was minutes at ~2M words)
-        import ctypes as _ct
-
+        # the native formatter runs straight off the mmapped .index
+        # blobs (interleaved k-mer records + raw u64 location codes,
+        # field decode folded into the C loop; the per-word Python loop
+        # was minutes at ~2M words, the numpy pre-decode ~100 ms)
         from genometester4_tpu.models.fastgt_native import get_lib
         lib = get_lib()
         im = lst.index_map
-        fil, seq, pos, dirs = im.decode_locations(np.asarray(im.locations))
-        fil = np.ascontiguousarray(fil, np.int32)
-        seq = np.ascontiguousarray(seq, np.int32)
-        pos = np.ascontiguousarray(pos, np.int64)
-        dirs = np.ascontiguousarray(dirs, np.uint8)
-        words = np.ascontiguousarray(lst.words, np.uint64)
-        counts = np.ascontiguousarray(lst.counts, np.uint32)
-        loc_start = np.ascontiguousarray(im.loc_start, np.int64)
-        n = len(words)
+        recs = im.kmer_recs
+        if recs is None or not recs.flags.c_contiguous:
+            recs = np.empty(2 * len(im.words), np.uint64)
+            recs[0::2] = im.words
+            recs[1::2] = im.loc_start
+        locs = np.asarray(im.locations)
+        if not locs.flags.c_contiguous:
+            locs = np.ascontiguousarray(locs)
+        n = len(recs) // 2
         total_locs = int(im.num_locations)
+        fb, sb, pb = im.n_file_bits, im.n_subseq_bits, im.n_pos_bits
         ob = getattr(sys.stdout, "buffer", None)
         if ob is not None:
             sys.stdout.flush()
         CH = 1 << 18
         for s0 in range(0, n, CH):
             m = min(CH, n - s0)
-            a = int(loc_start[s0])
-            z = int(loc_start[s0 + m]) if s0 + m < n else total_locs
-            buf = np.empty(m * (lst.k + 14) + (z - a) * 48 + 64, np.uint8)
-            nb = lib.fgx_dump_index_locations(
-                words[s0:], counts[s0:],
-                np.ascontiguousarray(loc_start[s0:s0 + m] - a), m,
-                z - a, lst.k, fil[a:], seq[a:], pos[a:], dirs[a:], buf)
+            a = int(recs[2 * s0 + 1])
+            z = int(recs[2 * (s0 + m) + 1]) if s0 + m < n else total_locs
+            buf = np.empty(m * (lst.k + 14) + max(z - a, 0) * 80 + 64,
+                           np.uint8)
+            nb = lib.fgx_dump_index_locations_raw(
+                recs[2 * s0:], m, z, lst.k, locs, fb, sb, pb, buf)
             if ob is not None:
                 ob.write(memoryview(buf)[:nb])
             else:

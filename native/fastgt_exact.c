@@ -34,20 +34,15 @@
 /* ------------------------------------------------------------------ */
 
 static double *lf_d = NULL;   /* log n!   (double) */
-static float *lf_f = NULL;
 static double *ls_d = NULL;   /* sum_{j=1..n} log j built the slow way */
-static float *ls_f = NULL;
+static volatile int tables_ready = 0;
 
-void fgx_init (void)
+static void build_tables (void)
 {
   unsigned int i, j;
-  if (lf_d) return;
   lf_d = (double *) malloc (TABLE_N * sizeof (double));
   lf_d[0] = 0;
   for (i = 1; i < TABLE_N; i++) lf_d[i] = lf_d[i - 1] + log (i);
-  lf_f = (float *) malloc (TABLE_N * sizeof (float));
-  lf_f[0] = 0;
-  for (i = 1; i < TABLE_N; i++) lf_f[i] = lf_f[i - 1] + logf (i);
   /* the reference accumulates these per-entry from scratch
    * (src/binomial.c:40-51), giving slightly different rounding than a
    * running sum - reproduce that summation order */
@@ -61,15 +56,22 @@ void fgx_init (void)
     }
     free (logs);
   }
-  ls_f = (float *) malloc (TABLE_N * sizeof (float));
+}
+
+/* Lazy: the O(TABLE_N^2) reference-rounding-order build costs ~90 ms,
+ * which pure list-path CLI runs (glistquery dumps, set ops) must not
+ * pay. Called from the table gateways fgx_dbinom/fgx_dnbinom_mu, which
+ * run inside OpenMP regions (fgx_genotype_batch) - hence the critical
+ * section; tables_ready is written only after the build completes. */
+void fgx_init (void)
+{
+  if (tables_ready) return;
+#pragma omp critical (fgx_tables)
   {
-    float *logs = (float *) malloc (TABLE_N * sizeof (float));
-    for (i = 1; i < TABLE_N; i++) {
-      logs[i] = logf (i);
-      ls_f[i] = logs[i];
-      for (j = 2; j < i; j++) ls_f[i] += logs[j];
+    if (!tables_ready) {
+      build_tables ();
+      tables_ready = 1;
     }
-    free (logs);
   }
 }
 
@@ -104,6 +106,7 @@ static double log_combinations_d (unsigned int n, unsigned int k)
 
 double fgx_dbinom (unsigned int x, unsigned int n, double p)
 {
+  fgx_init ();
   if ((x == 0) && (p == 0)) return 1;
   if ((x == n) && (p == 1)) return 1;
   {
@@ -123,6 +126,7 @@ static double log_comb_k_r (unsigned int k, double r)
 double fgx_dnbinom_mu (unsigned int x, double size, double mu)
 {
   double p, c, p0, p1;
+  fgx_init ();
   if (size <= 0) return 0;
   if (mu <= 0) return 0;
   p = mu / (size + mu);

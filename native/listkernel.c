@@ -639,11 +639,6 @@ long fgx_subset (const unsigned char *recs, long n_words,
   return m;
 }
 
-/* Index dump with locations (src/glistquery.c:495-510 + 469-478): per
- * word one "KMER\tCOUNT\n" line followed by one
- * "FILE\tSEQ\tPOS\tDIR\n" line per location. The location fields
- * arrive pre-decoded; loc_start[i] indexes the first location of word
- * i. out capacity: n*(k+13) + total_locs*46. Returns bytes written. */
 static long put_uint (unsigned char *out, unsigned long long v)
 {
   char tmp[24];
@@ -655,34 +650,47 @@ static long put_uint (unsigned char *out, unsigned long long v)
   return o;
 }
 
-long fgx_dump_index_locations (const unsigned long long *words,
-                               const unsigned int *counts,
-                               const long *loc_start, long n_words,
-                               long total_locs, int k,
-                               const int *fil, const int *seq,
-                               const long *pos, const unsigned char *dirs,
-                               unsigned char *out)
+
+/* Same dump, but straight off the mmapped .index blobs: interleaved
+ * (word, loc_start) k-mer records and raw u64 location codes
+ * (file << (sb+pb+1) | subseq << (pb+1) | pos << 1 | dir,
+ * src/index-map.h:60-83). Folds the field decode into the formatter so
+ * the caller passes no per-location temporaries. end_start bounds the
+ * last word's block (next chunk's loc_start, or the header's
+ * num_locations for the final chunk — src/index-map.c:128-139
+ * semantics). Returns bytes written. */
+long fgx_dump_index_locations_raw (const unsigned long long *recs,
+                                   long n_words,
+                                   unsigned long long end_start, int k,
+                                   const unsigned long long *locs,
+                                   int fb, int sb, int pb,
+                                   unsigned char *out)
 {
   static const char NUCL[4] = { 'A', 'C', 'G', 'T' };
+  const unsigned long long pmask = (pb >= 64) ? ~0ULL : ((1ULL << pb) - 1);
+  const unsigned long long smask = (sb >= 64) ? ~0ULL : ((1ULL << sb) - 1);
+  const unsigned long long fmask = (fb >= 64) ? ~0ULL : ((1ULL << fb) - 1);
   long i, o = 0;
   for (i = 0; i < n_words; i++) {
+    unsigned long long word = recs[2 * i];
+    unsigned long long s = recs[2 * i + 1];
+    unsigned long long e = (i + 1 < n_words) ? recs[2 * i + 3] : end_start;
     int j;
-    long s = loc_start[i];
-    long e = (i + 1 < n_words) ? loc_start[i + 1] : total_locs;
     for (j = k - 1; j >= 0; j--)
-      out[o + j] = NUCL[(words[i] >> (2 * (k - 1 - j))) & 3];
+      out[o + j] = NUCL[(word >> (2 * (k - 1 - j))) & 3];
     o += k;
     out[o++] = '\t';
-    o += put_uint (out + o, counts[i]);
+    o += put_uint (out + o, (unsigned int) (e - s));
     out[o++] = '\n';
     for (; s < e; s++) {
-      o += put_uint (out + o, (unsigned long long) fil[s]);
+      unsigned long long c = locs[s];
+      o += put_uint (out + o, (c >> (sb + pb + 1)) & fmask);
       out[o++] = '\t';
-      o += put_uint (out + o, (unsigned long long) seq[s]);
+      o += put_uint (out + o, (c >> (pb + 1)) & smask);
       out[o++] = '\t';
-      o += put_uint (out + o, (unsigned long long) pos[s]);
+      o += put_uint (out + o, (c >> 1) & pmask);
       out[o++] = '\t';
-      o += put_uint (out + o, dirs[s]);
+      o += put_uint (out + o, c & 1);
       out[o++] = '\n';
     }
   }
