@@ -130,6 +130,17 @@ def _main_impl(argv=None) -> int:
         sys.stderr.write("No list/index files specified!\n" + HELP)
         return 1
 
+    if command in ("stats", "median", "distro", "gc"):
+        # numpy-free stat paths: header read + at most one native pass
+        # (the numpy import alone costs ~240 ms under the -S
+        # launchers). Returns None -> generic pipeline (error chrome,
+        # index counts, odd headers).
+        from genometester4_tpu.pipelines.list_stats_fast import \
+            try_fast_stats
+        rc = try_fast_stats(command, lists, distro)
+        if rc is not None:
+            return rc
+
     from genometester4_tpu.pipelines import listquery as lq
     from genometester4_tpu.formats.list_format import GT4_LIST_CODE
     from genometester4_tpu.formats.index_format import GT4_INDEX_CODE
@@ -142,19 +153,35 @@ def _main_impl(argv=None) -> int:
         try:
             with open(p, "rb") as f:
                 import struct
-                code = struct.unpack("<I", f.read(4))[0]
+                head4 = f.read(4)
+                # <4 bytes: the reference's fread fails and leaves the
+                # code variable uninitialized (src/glistquery.c:285) —
+                # in practice never the magic, so the invalid branch
+                code = (struct.unpack("<I", head4)[0]
+                        if len(head4) == 4 else 0)
         except OSError:
             sys.stderr.write(f"Cannot open list {p}\n")
             return 1
-        if code == GT4_LIST_CODE:
-            m = lq.ListQuery(p)
-            has_lists = True
-        elif code == GT4_INDEX_CODE:
-            m = lq.IndexQuery(p)
-            m.print_locations = locations
+        if code in (GT4_LIST_CODE, GT4_INDEX_CODE):
+            try:
+                if code == GT4_LIST_CODE:
+                    m = lq.ListQuery(p)
+                    has_lists = True
+                else:
+                    m = lq.IndexQuery(p)
+                    m.print_locations = locations
+            except (lq.ListFileError, MemoryError, OverflowError):
+                # constructor returned NULL (diagnostic already on
+                # stderr); src/glistquery.c:302-304
+                sys.stderr.write(f"Error: {p} is invalid or corrupted\n")
+                invalid = True
+                continue
         else:
             sys.stderr.write(f"Error: {p} is not a valid GenomeTester4 "
                              "list/index file\n")
+            # maps[i] stays NULL, so the reference ALSO prints the
+            # corrupted line for a bad-magic file (src/glistquery.c:299-304)
+            sys.stderr.write(f"Error: {p} is invalid or corrupted\n")
             invalid = True
             continue
         if not wlen:
@@ -239,7 +266,19 @@ def main(argv=None) -> int:
     from genometester4_tpu.utils.backend import output_heavy_compute
     
     with output_heavy_compute():
-        return _main_impl(argv)
+        try:
+            return _main_impl(argv)
+        except Exception as e:
+            # lazy record loads can hit the corrupt-file path after
+            # construction; the reference segfaults on such files
+            # (12-byte record macros walk unmapped garbage,
+            # src/word-map.h:110), so any clean exit is acceptable —
+            # match the corrupted-line chrome
+            from genometester4_tpu.formats.list_format import ListFileError
+            if not isinstance(e, ListFileError):
+                raise
+            sys.stderr.write(f"Error: {e.args[0]} is invalid or corrupted\n")
+            return 1
 
 
 if __name__ == "__main__":

@@ -31,6 +31,13 @@ from dataclasses import dataclass, field
 import numpy as np
 
 GT4_LIST_CODE = (ord("G") << 24) | (ord("T") << 16) | (ord("4") << 8) | ord("C")
+
+
+class ListFileError(Exception):
+    """A malformed list file the reference constructor rejects with its
+    own stderr diagnostic and a NULL return (src/word-map.c:179-215);
+    args[0] is the file path for the caller's "invalid or corrupted"
+    line."""
 VERSION_MAJOR = 4
 VERSION_MINOR = 2
 
@@ -72,18 +79,26 @@ class ListHeader:
 
     @staticmethod
     def unpack(buf: bytes) -> "ListHeader":
+        if len(buf) < HEADER_SIZE:
+            # the reference reads the header through an mmap: a file
+            # shorter than 48 bytes yields zeros for the missing tail
+            # (same page, stable zero-fill; src/word-map.c:173-210)
+            buf = bytes(buf) + b"\0" * (HEADER_SIZE - len(buf))
         code, vmaj, vmin, wlen = struct.unpack_from("<IIII", buf, 0)
         if code != GT4_LIST_CODE:
             raise ValueError(f"not a GT4 .list file (magic {code:#x})")
-        if (vmaj, vmin) >= (4, 4):
+        # Layout selection is on version_minor ALONE, exactly like
+        # src/word-map.c:197-209: minor 0 -> 40-byte header with a
+        # padding u64 and data at byte 40; minor 1-2 -> header's
+        # list_start with implied 8/4 record bytes; minor >= 3 -> full
+        # 4.4 header including word_bytes/count_bytes.
+        if vmin >= 3:
             (code, vmaj, vmin, wlen, n_words, total, start, wb, cb) = (
                 _HEADER_4_4.unpack_from(buf, 0)
             )
             return ListHeader(wlen, n_words, total, start, wb, cb, vmaj, vmin, code)
-        # 4.0 / 4.2 up-conversion (src/word-map.c:198-209): same first 40
-        # bytes; 4.0's last u64 is padding and data starts at byte 40.
         (code, vmaj, vmin, wlen, n_words, total, start) = _HEADER_4_0.unpack_from(buf, 0)
-        if (vmaj, vmin) < (4, 2):
+        if vmin == 0:
             start = _HEADER_4_0.size
         return ListHeader(wlen, n_words, total, start, 8, 4, vmaj, vmin, code)
 
@@ -100,7 +115,24 @@ def read_list(path: str | os.PathLike, mmap: bool = True):
     like the reference's GT4WordMap, src/word-map.c:165-241).
     """
     hdr = read_list_header(path)
-    if mmap and hdr.n_words:
+    need = hdr.list_start + hdr.n_words * RECORD_SIZE
+    if os.path.getsize(path) < need:
+        # Corrupt/truncated file that still passed the reference's size
+        # check (word_bytes/count_bytes of 0 from a zero page make the
+        # u64 product wraps; src/word-map.c:211). The reference's 12-byte
+        # record macros then read whatever memory follows the mapping —
+        # unstable garbage — so the reference is not an oracle here; we
+        # read the bytes that exist and zero-fill the rest.
+        try:
+            blob = np.zeros(hdr.n_words * RECORD_SIZE, dtype=np.uint8)
+        except (ValueError, MemoryError, OverflowError):
+            raise ListFileError(str(path))
+        with open(path, "rb") as f:
+            f.seek(hdr.list_start)
+            got = np.frombuffer(f.read(len(blob)), dtype=np.uint8)
+        blob[:len(got)] = got
+        recs = blob.view(RECORD_DTYPE)
+    elif mmap and hdr.n_words:
         raw = np.memmap(path, dtype=np.uint8, mode="r", offset=hdr.list_start,
                         shape=(hdr.n_words * RECORD_SIZE,))
         recs = raw.view(RECORD_DTYPE)

@@ -10,17 +10,11 @@ src/simplex.c).  Compiled on first use into native/ next to the source.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 import threading
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), "native")
-_SRC = os.path.join(_NATIVE_DIR, "fastgt_exact.c")
-_SRC_LIST = os.path.join(_NATIVE_DIR, "listkernel.c")
-_SO = os.path.join(_NATIVE_DIR, "libfastgt_exact.so")
+from genometester4_tpu import native_build
 
 _lock = threading.Lock()
 _lib = None
@@ -28,32 +22,13 @@ _lib = None
 N_GENOTYPES = 15
 
 
-def _build():
-    # plain x86-64 codegen, no -march/-ffast-math: the reference builds
-    # -O3 with default flags (src/Makefile:168-176), so no FMA
-    # contraction exists to diverge from
-    # fastgt_exact.c stays at -O2 (bit-parity proven there; see its
-    # header); listkernel.c has no float math and gets -O3.
-    o1 = _SO + ".fastgt.o"
-    o2 = _SO + ".listk.o"
-    subprocess.run(["cc", "-O2", "-Wall", "-c", "-fPIC", "-fopenmp",
-                    _SRC, "-o", o1], check=True)
-    subprocess.run(["cc", "-O3", "-funroll-loops", "-Wall", "-c", "-fPIC",
-                    "-fopenmp", _SRC_LIST, "-o", o2], check=True)
-    subprocess.run(["cc", "-shared", "-fopenmp", o1, o2, "-o", _SO,
-                    "-lm"], check=True)
-
-
 def get_lib() -> ctypes.CDLL:
     global _lib
     with _lock:
         if _lib is not None:
             return _lib
-        if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < max(os.path.getmtime(_SRC),
-                                               os.path.getmtime(_SRC_LIST))):
-            _build()
-        lib = ctypes.CDLL(_SO)
+        native_build.ensure_built()
+        lib = ctypes.CDLL(native_build.SO_PATH)
         # no eager fgx_init(): the O(N^2) reference-rounding log tables
         # build lazily inside the C gateways (fgx_dbinom/fgx_dnbinom_mu)
         # so pure list-path CLI runs skip the ~90 ms

@@ -1,0 +1,59 @@
+"""Build/load the native kernel library WITHOUT importing numpy.
+
+The bin/ -S launchers answer header-only and single-pass stat queries
+in ~20 ms total; numpy's ~240 ms import would dominate such runs, so
+this module keeps the .so staleness check, the cc build, and a bare
+ctypes load free of numpy. genometester4_tpu.models.fastgt_native
+layers the full numpy-typed bindings on top of the same build.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+SRC_FASTGT = os.path.join(NATIVE_DIR, "fastgt_exact.c")
+SRC_LIST = os.path.join(NATIVE_DIR, "listkernel.c")
+SO_PATH = os.path.join(NATIVE_DIR, "libfastgt_exact.so")
+
+_lock = threading.Lock()
+_raw_lib = None
+
+
+def build():
+    # plain x86-64 codegen, no -march/-ffast-math: the reference builds
+    # -O3 with default flags (src/Makefile:168-176), so no FMA
+    # contraction exists to diverge from.
+    # fastgt_exact.c stays at -O2 (bit-parity proven there; see its
+    # header); listkernel.c has no float math and gets -O3.
+    o1 = SO_PATH + ".fastgt.o"
+    o2 = SO_PATH + ".listk.o"
+    subprocess.run(["cc", "-O2", "-Wall", "-c", "-fPIC", "-fopenmp",
+                    SRC_FASTGT, "-o", o1], check=True)
+    subprocess.run(["cc", "-O3", "-funroll-loops", "-Wall", "-c", "-fPIC",
+                    "-fopenmp", SRC_LIST, "-o", o2], check=True)
+    subprocess.run(["cc", "-shared", "-fopenmp", o1, o2, "-o", SO_PATH,
+                    "-lm"], check=True)
+
+
+def ensure_built():
+    if (not os.path.exists(SO_PATH)
+            or os.path.getmtime(SO_PATH) < max(os.path.getmtime(SRC_FASTGT),
+                                               os.path.getmtime(SRC_LIST))):
+        build()
+
+
+def load_raw() -> ctypes.CDLL:
+    """A bare CDLL with no argtypes declared — callers pass plain
+    ctypes objects. fastgt_native.get_lib() is the numpy-typed view of
+    the same library file."""
+    global _raw_lib
+    with _lock:
+        if _raw_lib is None:
+            ensure_built()
+            _raw_lib = ctypes.CDLL(SO_PATH)
+        return _raw_lib

@@ -28,7 +28,8 @@ import numpy as np
 
 from genometester4_tpu.utils.lazyjax import jnp
 
-from genometester4_tpu.formats.list_format import read_list
+from genometester4_tpu.formats.list_format import (ListFileError, read_list,
+                                                   read_list_header)
 from genometester4_tpu.ops.encode import (canonical_u64, split_u64,
                                           string_to_word, words_to_strings,
                                           word_to_string)
@@ -45,9 +46,47 @@ class ListQuery:
 
     def __init__(self, path: str):
         self.path = path
-        self.header, self.words, self.counts = read_list(path)
-        self.k = self.header.word_length
+        # gt4_word_map_new compatibility checks (src/word-map.c:179-215):
+        # wrong major version and the file-size check, whose required
+        # size is computed with word_bytes/count_bytes from the header —
+        # a truncated 4.4 header reads those as 0 from the mmap zero
+        # page, so the u64 product wraps and the check passes.
+        import os as _os
+        hdr = read_list_header(path)
+        if hdr.version_major != 4:
+            sys.stderr.write(
+                "gt4_word_map_new: incompatible major version "
+                f"{hdr.version_major} (required 4)\n")
+            raise ListFileError(path)
+        required = (hdr.list_start + hdr.n_words
+                    * (hdr.word_bytes + hdr.count_bytes)) & 0xFFFFFFFFFFFFFFFF
+        csize = _os.path.getsize(path)
+        if csize < required:
+            sys.stderr.write(
+                f"gt4_word_map_new: file size too small ({csize}, "
+                f"should be at least {required})\n")
+            raise ListFileError(path)
+        self.header = hdr
+        self.k = hdr.word_length
+        # record load is lazy: STATS reads only the header, and the
+        # reference succeeds there even when n_words is zero-page
+        # garbage too large to ever materialize (src/glistquery.c:818-827)
+        self._recs = None
         self._dev = None
+
+    def _load_records(self):
+        if self._recs is None:
+            _, words, counts = read_list(self.path)
+            self._recs = (words, counts)
+        return self._recs
+
+    @property
+    def words(self) -> np.ndarray:
+        return self._load_records()[0]
+
+    @property
+    def counts(self) -> np.ndarray:
+        return self._load_records()[1]
 
     # -- host path ---------------------------------------------------------
     _host_tab = None
@@ -125,7 +164,13 @@ class IndexQuery(ListQuery):
     def __init__(self, path: str):
         from genometester4_tpu.formats.index_format import read_index_map
         self.path = path
-        self.index_map = read_index_map(path)
+        try:
+            self.index_map = read_index_map(path)
+        except Exception as e:
+            # gt4_index_map_new returns NULL on malformed indices
+            # (src/index-map.c:322-347); the caller prints the
+            # corrupted line
+            raise ListFileError(path) from e
         self.k = self.index_map.word_length
         self.header = None
         self._dev = None

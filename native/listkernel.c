@@ -723,6 +723,99 @@ void fgx_gc_rec (const unsigned char *r, long n,
   *count_total = ct;
 }
 
+/* Iterative median-search twin of src/glistquery.c:814-892 over raw
+ * 12-byte records. One min/max pass; when the count range is small a
+ * prefix-summed histogram answers every bisection step from one more
+ * pass (identical above/below/equal integers to per-step scans),
+ * otherwise each step rescans like the reference. */
+void fgx_median_rec (const unsigned char *r, long n,
+                     unsigned int *out_min, unsigned int *out_max,
+                     unsigned int *out_med)
+{
+  unsigned long long mn, mx, med;
+  unsigned int gmin = 0xFFFFFFFFu, gmax = 0;
+  long i;
+  for (i = 0; i < n; i++) {
+    unsigned int c;
+    __builtin_memcpy (&c, r + 12 * i + 8, 4);
+    if (c < gmin) gmin = c;
+    if (c > gmax) gmax = c;
+  }
+  if (!n) { gmin = 0xFFFFFFFFu; gmax = 0; }
+  *out_min = gmin;
+  *out_max = gmax;
+  mn = gmin;
+  mx = gmax;
+  med = (mn + mx) / 2;
+  if (n && (unsigned long long) gmax - gmin <= (1ULL << 22)) {
+    long range = (long) (gmax - gmin) + 1;
+    long long *pre = (long long *) calloc (range + 1, sizeof (long long));
+    for (i = 0; i < n; i++) {
+      unsigned int c;
+      __builtin_memcpy (&c, r + 12 * i + 8, 4);
+      pre[c - gmin + 1] += 1;
+    }
+    for (i = 1; i <= range; i++) pre[i] += pre[i - 1];
+    while (mx > mn) {
+      /* med is always within [gmin, gmax] here */
+      long long below = pre[med - gmin];
+      long long atmost = pre[med - gmin + 1];
+      long long above = n - atmost;
+      long long equal = atmost - below;
+      if (mx == mn + 1) {
+        if (above > below + equal) med = mx;
+        break;
+      }
+      if (above > below) {
+        if (above - below < equal) break;
+        mn = med;
+      } else if (below > above) {
+        if (below - above < equal) break;
+        mx = med;
+      } else break;
+      med = (mn + mx) / 2;
+    }
+    free (pre);
+  } else {
+    while (mx > mn) {
+      long long above = 0, below = 0, equal;
+      for (i = 0; i < n; i++) {
+        unsigned int c;
+        __builtin_memcpy (&c, r + 12 * i + 8, 4);
+        above += c > med;
+        below += c < med;
+      }
+      equal = n - above - below;
+      if (mx == mn + 1) {
+        if (above > below + equal) med = mx;
+        break;
+      }
+      if (above > below) {
+        if (above - below < equal) break;
+        mn = med;
+      } else if (below > above) {
+        if (below - above < equal) break;
+        mx = med;
+      } else break;
+      med = (mn + mx) / 2;
+    }
+  }
+  *out_med = (unsigned int) med;
+}
+
+/* Count histogram for glistquery --distribution: hist[min(c, max_v)]++
+ * (caller sizes hist as max_v+1 u64 slots, zeroed). */
+void fgx_distro_rec (const unsigned char *r, long n,
+                     unsigned long long max_v, unsigned long long *hist)
+{
+  long i;
+  for (i = 0; i < n; i++) {
+    unsigned int c;
+    __builtin_memcpy (&c, r + 12 * i + 8, 4);
+    hist[c < max_v ? c : max_v] += 1;
+  }
+}
+
 /* ------------------------------------------------------------------ */
 /* resumable two-list set operations (glistcompare host path)          */
 /* ------------------------------------------------------------------ */

@@ -154,3 +154,42 @@ def test_gc_empty_list_prints_negative_nan(tmp_path):
     with contextlib.redirect_stdout(out):
         main([str(p), "--gc"])
     assert out.getvalue() == "GC\t-nan\n"
+
+
+def test_corrupt_list_chrome_parity(tmp_path, capsys):
+    """Stable corrupt-file behaviors match the reference byte-for-byte
+    (src/glistquery.c:280-337, src/word-map.c:179-215):
+
+    * empty / bad-magic file -> "not a valid" + "invalid or corrupted"
+    * 4-byte magic-only file -> zero-page header, major version 0 ->
+      "gt4_word_map_new: incompatible major version 0 (required 4)"
+    * sane 4.4 header with truncated records -> "file size too small"
+    * 32-byte header (word_bytes/count_bytes on the zero page) -> the
+      u64 size product wraps to 0, the check passes, and --stat prints
+      the garbage header fields with rc 0
+
+    Cases where the reference SIGBUSes or prints unstable heap garbage
+    (record reads past the mapping) are excluded: it is not an oracle
+    there.
+    """
+    import struct
+
+    magic = (71 << 24) | (84 << 16) | (52 << 8) | 67
+    cases = {
+        "empty.list": b"",
+        "magic4.list": struct.pack("<I", magic),
+        "badmagic.list": b"not a list at all\n",
+        "sane_trunc.list": struct.pack(
+            "<IIIIQQQII", magic, 4, 4, 16, 100, 500, 48, 8, 4) + b"A" * 50,
+        "t32.list": struct.pack("<IIIIQQ", magic, 4, 4, 16, 1000, 5000),
+    }
+    for name, blob in cases.items():
+        p = tmp_path / name
+        p.write_bytes(blob)
+        r = run_reference(["glistquery", str(p), "--stat"])
+        assert r.returncode >= 0, "reference crashed; not an oracle"
+        rc = cli.main([str(p), "--stat"])
+        cap = capsys.readouterr()
+        assert rc == r.returncode, (name, rc, r.returncode, r.stderr)
+        assert cap.out == r.stdout.decode(), name
+        assert cap.err == r.stderr.decode(), name
