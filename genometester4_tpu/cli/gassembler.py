@@ -403,6 +403,11 @@ def main(argv=None) -> int:
     from genometester4_tpu.models.fastgt_native import srand
 
     srand(1)
+    # stderr chrome order mirrors the reference main
+    # (src/gassembler.c:929-961): db load -> coverage -> SNV/FP ->
+    # "Loading read sequences" -> sex
+    if p.debug:
+        sys.stderr.write("Loading reads database %s... " % db_name)
     db = load_binary_db(db_name, lazy=True)
     if db is None:
         sys.stderr.write("cannot read (wrong file format?)\n")
@@ -410,15 +415,12 @@ def main(argv=None) -> int:
     if db.index is None:
         sys.stderr.write("no index\n")
         return 1
+    if p.debug:
+        sys.stderr.write("done\n")
 
     coverage = p.coverage
     if coverage == 0:
-        coverage = find_coverage(db.index)
-
-    files = SeqFiles(db.index.files, seq_dir)
-    sex = p.sex
-    if sex == 0:
-        sex = auto_sex(db)
+        coverage = find_coverage(db.index, debug=p.debug)
 
     snvs = fps = None
     if snv_db_name:
@@ -431,6 +433,13 @@ def main(argv=None) -> int:
         sys.stderr.write("Loading known false positives\n")
         fps = read_fps(fp_db_name)
         sys.stderr.write("Num false positives %d\n" % len(fps))
+
+    if p.debug:
+        sys.stderr.write("Loading read sequences\n")
+    files = SeqFiles(db.index.files, seq_dir)
+    sex = p.sex
+    if sex == 0:
+        sex = auto_sex(db)
     asm = Assembler(db, files, p, sex, coverage, snvs=snvs, fps=fps)
     out = sys.stdout
 

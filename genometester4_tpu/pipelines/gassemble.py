@@ -138,7 +138,7 @@ def _rand():
 RAND_MAX = 2147483647
 
 
-def find_coverage(index) -> float:
+def find_coverage(index, debug: int = 0) -> float:
     """Median read count of 10000 random index k-mers
     (src/gassembler.c:2725-2779); consumes glibc rand()."""
     MEDIAN_KMERS = 10000
@@ -158,6 +158,8 @@ def find_coverage(index) -> float:
         ci += 1
     mn = int(counts.min())
     mx = int(counts.max())
+    if debug:
+        sys.stderr.write("Sample min %u max %u\n" % (mn, mx))
     med = (mn + mx) // 2
     while mx > mn:
         med = (mn + mx) // 2
@@ -178,12 +180,15 @@ def find_coverage(index) -> float:
             mx = med
         else:
             break
+    if debug:
+        sys.stderr.write("Sample median %u\n" % med)
     return float(med)
 
 
 def auto_sex(db) -> int:
     """Average index read count per A/X/Y k-mer class
     (src/gassembler.c:954-993). Returns 1 male / 2 female."""
+    sys.stderr.write("Determine sex\n")
     blocks = db.index.read_blocks.astype(np.int64)
     n_reads = db.index.n_reads
     nxt = np.concatenate([blocks[1:], [n_reads]])
@@ -206,8 +211,11 @@ def auto_sex(db) -> int:
         avg = [float(np.float64(sums[k]) / np.float64(counts[k]))
                for k in range(3)]
     for k in range(3):
-        sys.stderr.write("Klass %d kmers %d sum %d avg %.3f\n"
-                         % (k, counts[k], sums[k], avg[k]))
+        # x86 0.0/0 sets the NaN sign bit; glibc %.3f prints "-nan"
+        # (Python renders plain "nan")
+        avg_s = "-nan" if np.isnan(avg[k]) else "%.3f" % avg[k]
+        sys.stderr.write("Klass %d kmers %d sum %d avg %s\n"
+                         % (k, counts[k], sums[k], avg_s))
     with np.errstate(invalid="ignore"):
         is_female = bool(np.float64(100) * avg[2] / avg[1]
                          < np.float64(avg[1]) / avg[0])
@@ -707,6 +715,9 @@ class Assembler:
             sys.stderr.write("Block: %s %u %u Reads: %u\n" % (
                 CHR_NAMES[region.chr], region.start, region.end, len(reads)))
         if len(reads) < MIN_READS:
+            if p.debug:
+                sys.stderr.write("Final number of reads (%u) too low "
+                                 "(min %u)\n" % (len(reads), MIN_READS))
             return -1, None
         a_reads, a = align_reads(ref_codes, reads, p)
         p_len, aligned_ref, ref_pos, ga = create_gapped_alignment(

@@ -9,6 +9,7 @@ male default), ordered block output — must be byte-identical.
 """
 
 import io
+import os
 import sys
 
 import numpy as np
@@ -401,3 +402,28 @@ def test_device_sw_path_identical(katk_fixture, monkeypatch):
         swalign_pallas._lanes_cached.cache_clear()
     assert rc == 0
     assert out == ref.stdout.decode()
+
+
+def test_debug_level1_stderr_parity(katk_fixture):
+    """-D level-1 stderr chrome is byte-identical: Loading reads
+    database/done, Sample min/max + median (glibc-rand sampled),
+    Loading read sequences, Determine sex + Klass lines, per-region
+    Block lines (src/gassembler.c:947-961,1240-1245,2476-2769). The
+    -DD per-read diagnostic firehose is deliberately not emulated
+    (COVERAGE.md)."""
+    import subprocess
+    tmp = katk_fixture
+    args = ["--dbi", "db.idx", "--region_file", "regions.txt",
+            "--num_threads", "1", "--coverage", "median",
+            "--sex", "auto", "-D"]
+    ref = run_reference(["gassembler"] + args, cwd=tmp, timeout=600)
+    ours = subprocess.run(
+        [sys.executable, "-m", "genometester4_tpu.cli.gassembler"] + args,
+        cwd=tmp, capture_output=True, timeout=600,
+        env={**os.environ, "PYTHONPATH": os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))})
+    assert ours.returncode == ref.returncode
+    assert ours.stdout == ref.stdout
+    err = b"\n".join(l for l in ours.stderr.splitlines()
+                     if b"WARNING" not in l) + b"\n"
+    assert err == ref.stderr
