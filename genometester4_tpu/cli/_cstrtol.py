@@ -59,3 +59,22 @@ def strtoll_u64(s: str):
 def i32(u: int) -> int:
     """Value a C ``%d`` prints for an unsigned-int variable."""
     return u - 0x100000000 if u >= 0x80000000 else u
+
+
+_FLT = re.compile(r"[ \t\n\v\f\r]*[+-]?(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+)"
+                  r"(?:[eE][+-]?[0-9]+)?")
+_INFNAN = re.compile(r"[ \t\n\v\f\r]*([+-])?(inf(?:inity)?|nan)",
+                     re.IGNORECASE)
+
+
+def atof(s: str) -> float:
+    """C ``atof`` (``strtod`` prefix parse): ``"12x"`` → 12.0, no
+    conversion → 0.0; inf/nan spellings accepted like glibc."""
+    m = _FLT.match(s)
+    if m is not None:
+        return float(m.group())
+    m = _INFNAN.match(s)
+    if m is not None:
+        v = float("inf") if m.group(2).lower().startswith("inf") else float("nan")
+        return -v if m.group(1) == "-" else v
+    return 0.0

@@ -17,9 +17,80 @@ import numpy as np
 
 REF_VERSION_3 = "4.2.16"
 
-# exact reference usage screens (src/gassembler.c:646-696)
-HELP_TEXT = 'gassembler version 4.2.16 (stable)\nUsage: gassembler --dbi FILENAME --region_file FILENAME [ARGUMENTS]\nCommon options:\n    -v, --version                    - print version information and exit\n    -h, --help                       - print this usage screen and exit\n    --dbi FILENAME                   - index of sequenced reads (mandatory)\n    --region_file FILENAME           - reference and kmer database (mandatory)\n    --sex male|female|auto           - sex of the individual (default auto)\n    --coverage FLOAT | median | local | ignore - average sequencing depth (default - median, local - use local number of reads)\n    --num_threads                    - number of threads to use (default 24)\n    --min_p FLOAT                    - minimum call quality (default 0.95)\n    --min_pmut FLOAT                 - minimum reference call quality (default 0.50)\n    --exome                          - Disable quality models (needed if coverage variability is high)\n    --advanced                       - print advanced usage options\n'
-ADVANCED_TEXT = 'gassembler version 4.2.16 (stable)\nUsage: gassembler --dbi FILENAME --region_file FILENAME [ARGUMENTS]\nCommon options:\n    -v, --version                    - print version information and exit\n    -h, --help                       - print this usage screen and exit\n    --dbi FILENAME                   - index of sequenced reads (mandatory)\n    --region_file FILENAME           - reference and kmer database (mandatory)\n    --sex male|female|auto           - sex of the individual (default auto)\n    --coverage FLOAT | median | local | ignore - average sequencing depth (default - median, local - use local number of reads)\n    --num_threads                    - number of threads to use (default 24)\n    --min_p FLOAT                    - minimum call quality (default 0.95)\n    --min_pmut FLOAT                 - minimum reference call quality (default 0.50)\n    --exome                          - Disable quality models (needed if coverage variability is high)\n    --advanced                       - print advanced usage options\nAdvanced options:\n    --seq_dir DIRECTORY              - directory of fastq files (overrides location in index)\n    --region CHR START END SEQ       - call single reference region\n    --min_coverage INTEGER           - minimum coverage for a call (default 4)\n    --output poly | best | all       - output type (only polymorphisms, best calls for positon, all calls) (default poly)\n    --counts                         - output nucleotide counts\n    --extra                          - output extra information about call\n    --min_confirming INTEGER         - minimum confirming nucleotide count for a call (default 2)\n    --min_group_coverage INTEGER     - minimum coverage of group (default 1)\n    --max_divergent INTEGER          - maximum number of mismatches per read (default 4)\n    --min_align_len INTEGER          - minimum alignment length (default 25)\n    --min_group_size INTEGER         - minimum group size (default 3)\n    --min_group_rsize FLOAT          - minimum relative group size (default 0.00)\n    --max_group_divergence INTEGER   - maximum divergence in group (default 3)\n    --max_group_rdivergence INTEGER  - maximum relative divergence in group (default 3)\n    --skip_end_align INTEGER         - skip nucleotides at region ends during alignment (default 10)\n    --skip_end_call INTEGER          - skip nucleotides at alignment ends (default 10)\n    --allow_one_dir                  - Allow calling if all confirming reads have the same dir\n    --alternatives                   - output also homozygous variant for each heterozygous position\n    --max_read_length INTEGER        - maximum length of reads (default 200)\n    --max_reference_length INTEGER   - maximum length of reference region (default 200)\n    --error_prob FLOAT               - Probability of error (default 0.001000)\n    --prefetch_seq                   - Prefetch FastQ sequences (slightly faster but uses more virtual memory/IO)\n    --dont_prefetch_db               - Do not prefetch index (much slower but uses less memory/IO)\n    -D                               - increase debug level\n    -DG                              - increase group debug level\n'
+# exact reference usage screens (src/gassembler.c:646-696). The
+# reference prints the LIVE parameter globals into the "default"
+# fields, so a flag parsed before the usage screen changes the text
+# (e.g. "--num_threads 7 --badflag" shows "default 7").
+_USAGE_COMMON = (
+    "gassembler version 4.2.16 (stable)\n"
+    "Usage: gassembler --dbi FILENAME --region_file FILENAME [ARGUMENTS]\n"
+    "Common options:\n"
+    "    -v, --version                    - print version information and exit\n"
+    "    -h, --help                       - print this usage screen and exit\n"
+    "    --dbi FILENAME                   - index of sequenced reads (mandatory)\n"
+    "    --region_file FILENAME           - reference and kmer database (mandatory)\n"
+    "    --sex male|female|auto           - sex of the individual (default auto)\n"
+    "    --coverage FLOAT | median | local | ignore - average sequencing depth (default - median, local - use local number of reads)\n"
+    "    --num_threads                    - number of threads to use (default {nt})\n"
+    "    --min_p FLOAT                    - minimum call quality (default {min_p:.2f})\n"
+    "    --min_pmut FLOAT                 - minimum reference call quality (default {min_pmut:.2f})\n"
+    "    --exome                          - Disable quality models (needed if coverage variability is high)\n"
+    "    --advanced                       - print advanced usage options\n"
+)
+_USAGE_ADVANCED = (
+    "Advanced options:\n"
+    "    --seq_dir DIRECTORY              - directory of fastq files (overrides location in index)\n"
+    "    --region CHR START END SEQ       - call single reference region\n"
+    "    --min_coverage INTEGER           - minimum coverage for a call (default {min_coverage})\n"
+    "    --output poly | best | all       - output type (only polymorphisms, best calls for positon, all calls) (default poly)\n"
+    "    --counts                         - output nucleotide counts\n"
+    "    --extra                          - output extra information about call\n"
+    "    --min_confirming INTEGER         - minimum confirming nucleotide count for a call (default {min_confirming})\n"
+    "    --min_group_coverage INTEGER     - minimum coverage of group (default {min_group_coverage})\n"
+    "    --max_divergent INTEGER          - maximum number of mismatches per read (default {max_divergent})\n"
+    "    --min_align_len INTEGER          - minimum alignment length (default {min_align_len})\n"
+    "    --min_group_size INTEGER         - minimum group size (default {min_group_size})\n"
+    "    --min_group_rsize FLOAT          - minimum relative group size (default {min_group_rsize:.2f})\n"
+    "    --max_group_divergence INTEGER   - maximum divergence in group (default {max_group_divergence})\n"
+    "    --max_group_rdivergence INTEGER  - maximum relative divergence in group (default {max_group_rdivergence})\n"
+    "    --skip_end_align INTEGER         - skip nucleotides at region ends during alignment (default {skip_end_align})\n"
+    "    --skip_end_call INTEGER          - skip nucleotides at alignment ends (default {skip_end_call})\n"
+    "    --allow_one_dir                  - Allow calling if all confirming reads have the same dir\n"
+    "    --alternatives                   - output also homozygous variant for each heterozygous position\n"
+    "    --max_read_length INTEGER        - maximum length of reads (default {max_read_length})\n"
+    "    --max_reference_length INTEGER   - maximum length of reference region (default {max_reference_length})\n"
+    "    --error_prob FLOAT               - Probability of error (default {error_prob:.6f})\n"
+    "    --prefetch_seq                   - Prefetch FastQ sequences (slightly faster but uses more virtual memory/IO)\n"
+    "    --dont_prefetch_db               - Do not prefetch index (much slower but uses less memory/IO)\n"
+    "    -D                               - increase debug level\n"
+    "    -DG                              - increase group debug level\n"
+)
+
+
+def _u32(v: int) -> int:
+    return v & 0xFFFFFFFF
+
+
+def _usage_text(p, n_threads_c: int, advanced: bool = False) -> str:
+    s = _USAGE_COMMON.format(nt=_u32(n_threads_c), min_p=p.min_p,
+                             min_pmut=p.min_pmut)
+    if advanced:
+        s += _USAGE_ADVANCED.format(
+            min_coverage=_u32(p.min_coverage),
+            min_confirming=_u32(p.min_confirming),
+            min_group_coverage=_u32(p.min_group_coverage),
+            max_divergent=_u32(p.max_divergent),
+            min_align_len=_u32(p.min_align_len),
+            min_group_size=_u32(p.min_group_size),
+            min_group_rsize=p.min_group_rsize,
+            max_group_divergence=_u32(p.max_group_divergence),
+            max_group_rdivergence=_u32(p.max_group_rdivergence),
+            skip_end_align=_u32(p.skip_end_align),
+            skip_end_call=_u32(p.skip_end_call),
+            max_read_length=_u32(p.max_read_length),
+            max_reference_length=_u32(p.max_reference_length),
+            error_prob=p.error_prob)
+    return s
 
 from genometester4_tpu.pipelines.gassemble import (
     A, C, G, T, N, GAP, NONE, CHR_NAMES, CHR_MT, N2C, Assembler, Call,
@@ -237,10 +308,21 @@ def main(argv=None) -> int:
     # --num_threads 1 (see _parallel_assemble), unlike the reference's
     import os as _os
     num_threads = min(24, _os.cpu_count() or 1)
+    # the C n_threads global starts at 24 regardless of core count and
+    # is what the usage screen renders (src/gassembler.c:29)
+    n_threads_c = 24
     region_args = None
     only_chr = 1  # CHR_1 (src/gassembler.c:698)
     only_pos = 0
     kmers_cli = []
+    # C numeric twins: strtol/atof prefix parses, never errors
+    # (src/gassembler.c parse loop validates nothing)
+    from genometester4_tpu.cli._cstrtol import atof as _caf
+    from genometester4_tpu.cli._cstrtol import strtol as _strtol
+
+    def _cl(s):
+        return _strtol(s)[0]
+
     i = 0
     try:
         while i < len(argv):
@@ -250,17 +332,25 @@ def main(argv=None) -> int:
                                  "(stable)\n")
                 return 0
             elif a in ("-h", "--help"):
-                sys.stdout.write(HELP_TEXT)
+                sys.stdout.write(_usage_text(p, n_threads_c))
                 return 0
             elif a == "--advanced":
-                sys.stdout.write(ADVANCED_TEXT)
+                sys.stdout.write(_usage_text(p, n_threads_c, advanced=True))
                 return 0
             elif a in ("-dbi", "-dbb", "-db", "--dbi"):
                 i += 1
                 db_name = argv[i]
             elif a in ("--reference", "--region"):
-                region_args = (argv[i + 1], int(argv[i + 2]),
-                               int(argv[i + 3]), argv[i + 4])
+                # (i + 4) >= argc bound + chr validity checks both hit
+                # the usage screen (src/gassembler.c:737-740)
+                if i + 4 >= len(argv):
+                    sys.stderr.write(_usage_text(p, n_threads_c))
+                    return 1
+                if not chr_from_string(argv[i + 1]):
+                    sys.stderr.write(_usage_text(p, n_threads_c))
+                    return 1
+                region_args = (argv[i + 1], _cl(argv[i + 2]),
+                               _cl(argv[i + 3]), argv[i + 4])
                 i += 4
             elif a == "--snvs":
                 i += 1
@@ -273,56 +363,57 @@ def main(argv=None) -> int:
                 input_name = argv[i]
             elif a == "--max_regions":
                 i += 1
-                max_regions = int(argv[i])
+                max_regions = _cl(argv[i])
             elif a == "--pos":
                 i += 1
                 if ":" in argv[i]:
                     cs, ps = argv[i].split(":", 1)
                     only_chr = chr_from_string(cs)
-                    only_pos = int(ps)
+                    only_pos = _cl(ps)
                 else:
-                    only_pos = int(argv[i])
+                    only_pos = _cl(argv[i])
             elif a == "--min_coverage":
                 i += 1
-                p.min_coverage = int(argv[i])
+                p.min_coverage = _cl(argv[i])
             elif a == "--sex":
                 i += 1
                 p.sex = {"male": 1, "female": 2, "auto": 0}.get(argv[i])
                 if p.sex is None:
+                    sys.stderr.write(_usage_text(p, n_threads_c))
                     return 1
             elif a == "--error_prob":
                 i += 1
-                p.error_prob = float(argv[i])
+                p.error_prob = _caf(argv[i])
             elif a == "--min_confirming":
                 i += 1
-                p.min_confirming = int(argv[i])
+                p.min_confirming = _cl(argv[i])
             elif a == "--min_group_coverage":
                 i += 1
-                p.min_group_coverage = int(argv[i])
+                p.min_group_coverage = _cl(argv[i])
             elif a == "--max_divergent":
                 i += 1
-                p.max_divergent = int(argv[i])
+                p.max_divergent = _cl(argv[i])
             elif a == "--min_align_len":
                 i += 1
-                p.min_align_len = int(argv[i])
+                p.min_align_len = _cl(argv[i])
             elif a == "--min_group_size":
                 i += 1
-                p.min_group_size = int(argv[i])
+                p.min_group_size = _cl(argv[i])
             elif a == "--min_group_rsize":
                 i += 1
-                p.min_group_rsize = float(argv[i])
+                p.min_group_rsize = _caf(argv[i])
             elif a == "--max_group_divergence":
                 i += 1
-                p.max_group_divergence = int(argv[i])
+                p.max_group_divergence = _cl(argv[i])
             elif a == "--max_group_rdivergence":
                 i += 1
-                p.max_group_rdivergence = int(argv[i])
+                p.max_group_rdivergence = _cl(argv[i])
             elif a == "--skip_end_align":
                 i += 1
-                p.skip_end_align = int(argv[i])
+                p.skip_end_align = _cl(argv[i])
             elif a == "--skip_end_call":
                 i += 1
-                p.skip_end_call = int(argv[i])
+                p.skip_end_call = _cl(argv[i])
             elif a == "--allow_one_dir":
                 p.require_both_dirs = False
             elif a == "--coverage":
@@ -335,22 +426,23 @@ def main(argv=None) -> int:
                 elif v == "median":
                     p.coverage = 0
                 else:
-                    p.coverage = float(v)
+                    p.coverage = _caf(v)
                     if not p.coverage:
                         sys.stderr.write(
                             "Coverage has to be positive real value\n")
                         return 1
             elif a == "--min_p":
                 i += 1
-                p.min_p = float(argv[i])
+                p.min_p = _caf(argv[i])
             elif a == "--min_pmut":
                 i += 1
-                p.min_pmut = float(argv[i])
+                p.min_pmut = _caf(argv[i])
             elif a == "--exome":
                 p.exome = True
             elif a == "--num_threads":
                 i += 1
-                num_threads = int(argv[i])
+                n_threads_c = _cl(argv[i])
+                num_threads = min(max(n_threads_c, 0), 1024)
             elif a == "--print_reads":
                 p.print_reads = True
             elif a == "--seq_dir":
@@ -360,6 +452,7 @@ def main(argv=None) -> int:
                 i += 1
                 p.output = {"poly": 0, "best": 1, "all": 2}.get(argv[i])
                 if p.output is None:
+                    sys.stderr.write(_usage_text(p, n_threads_c))
                     return 1
             elif a == "--counts":
                 p.print_extra = 1
@@ -369,10 +462,10 @@ def main(argv=None) -> int:
                 p.alternative_calls = True
             elif a == "--max_read_length":
                 i += 1
-                p.max_read_length = int(argv[i])
+                p.max_read_length = _cl(argv[i])
             elif a == "--max_reference_length":
                 i += 1
-                p.max_reference_length = int(argv[i])
+                p.max_reference_length = _cl(argv[i])
             elif a in ("--prefetch_seq", "--dont_prefetch_db"):
                 pass
             elif a == "-D":
@@ -386,17 +479,20 @@ def main(argv=None) -> int:
                 if not a[:1].isalpha():
                     # reference: message + usage screen, both on stderr
                     sys.stderr.write(f"Invalid argument {a}\n")
-                    sys.stderr.write(HELP_TEXT)
+                    sys.stderr.write(_usage_text(p, n_threads_c))
                     return 1
                 if len(kmers_cli) < MAX_KMERS:
                     kmers_cli.append(a)
             i += 1
     except (IndexError, ValueError):
+        # missing flag value: print_usage (stderr, 0, 1)
+        sys.stderr.write(_usage_text(p, n_threads_c))
         return 1
 
+    # both mandatory-argument failures show only the usage screen
+    # (src/gassembler.c:921-927)
     if not db_name or (not input_name and not region_args):
-        sys.stderr.write("gassembler: --dbi and --region_file/"
-                         "--region are mandatory\n")
+        sys.stderr.write(_usage_text(p, n_threads_c))
         return 1
 
     from genometester4_tpu.formats.gmerdb_binary import load_binary_db
@@ -408,6 +504,12 @@ def main(argv=None) -> int:
     # "Loading read sequences" -> sex
     if p.debug:
         sys.stderr.write("Loading reads database %s... " % db_name)
+    from genometester4_tpu.utils.gt4mmap import gt4_mmap_fail
+    mf = gt4_mmap_fail(db_name)
+    if mf is not None:
+        sys.stderr.write(mf)
+        sys.stderr.write("cannot mmap (no such file?)\n")
+        return 1
     db = load_binary_db(db_name, lazy=True)
     if db is None:
         sys.stderr.write("cannot read (wrong file format?)\n")

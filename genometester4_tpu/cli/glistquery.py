@@ -13,6 +13,10 @@ HELP = "glistquery version 4.2.16 (stable)\nUsage: glistquery INPUT_LIST [OPTION
 
 
 def _main_impl(argv=None) -> int:
+    from genometester4_tpu.cli._cstrtol import i32 as _i32
+    from genometester4_tpu.cli._cstrtol import strtol as _strtol
+    from genometester4_tpu.cli._cstrtol import strtol_u32 as _strtol_u32
+
     argv = list(sys.argv[1:] if argv is None else argv)
     lists: list[str] = []
     querystring = queryfilename = seqfilename = querylistfilename = None
@@ -72,22 +76,47 @@ def _main_impl(argv=None) -> int:
                 i += 1
             elif a in ("-p", "--perfectmatch"):
                 i += 1
-                pm3 = int(argv[i])
-                if not 0 <= pm3 <= 32:
+                # unsigned int pm3: the (pm3 < 0) check is dead and the
+                # u32 truncation wraps first (src/glistquery.c:114,170)
+                pm3, ok = _strtol_u32(argv[i])
+                if not ok or pm3 > 32:
                     sys.stderr.write(HELP)
                     return 1
             elif a in ("-mm", "--mismatch"):
                 i += 1
-                nmm = int(argv[i])
-                if not 0 <= nmm <= 16:
+                nmm, ok = _strtol_u32(argv[i])
+                if not ok or nmm > 16:
                     sys.stderr.write(HELP)
                     return 1
             elif a in ("-min", "--minfreq"):
+                if i + 1 >= len(argv):
+                    sys.stderr.write("Warning: No minimum frequency "
+                                     "specified! Using the default value: "
+                                     "%d.\n" % _i32(minfreq))
+                    i += 1
+                    continue
+                minfreq, ok = _strtol(argv[i + 1])
+                if not ok:
+                    sys.stderr.write("Error: Invalid minimum frequency: "
+                                     f"{argv[i + 1]}! Must be a positive "
+                                     "integer.\n" + HELP)
+                    return 1
                 i += 1
-                minfreq = int(argv[i])
             elif a in ("-max", "--maxfreq"):
+                if i + 1 >= len(argv):
+                    # %d of the UINT_MAX default prints -1
+                    sys.stderr.write("Warning: No maximum frequency "
+                                     "specified! Using the default value: "
+                                     "%d.\n" % _i32(maxfreq))
+                    i += 1
+                    continue
+                maxfreq, ok = _strtol(argv[i + 1])
+                if not ok:
+                    sys.stderr.write("Error: Invalid maximum frequency: "
+                                     f"{argv[i + 1]}! Must be a positive "
+                                     "integer.\n" + HELP)
+                    return 1
                 i += 1
-                maxfreq = int(argv[i])
             elif a == "-D":
                 debug += 1
             elif a in ("--all", "-all"):
@@ -98,7 +127,9 @@ def _main_impl(argv=None) -> int:
                 command = "median"
             elif a in ("--distribution", "-distribution"):
                 i += 1
-                distro = int(argv[i])
+                # no *end validation here, unlike -p/-mm/-min/-max
+                # (src/glistquery.c:223-224)
+                distro = _strtol(argv[i])[0]
                 command = "distro"
             elif a in ("-gc", "--gc"):
                 command = "gc"
@@ -191,6 +222,41 @@ def _main_impl(argv=None) -> int:
                              f"(first list had {wlen})\n")
             invalid = True
         maps.append(m)
+    # the query list stream is opened BEFORE the invalid exit
+    # (src/glistquery.c:318-337), so its constructor chrome shows even
+    # when the searched lists already failed
+    if querylistfilename is not None:
+        qerr = None
+        qk = None
+        try:
+            with open(querylistfilename, "rb") as f:
+                qhead = f.read(48)
+        except OSError:
+            qerr = ("gt4_word_list_stream_new: could not open file "
+                    f"{querylistfilename}\n")
+        else:
+            if len(qhead) < 48:
+                qerr = ("gt4_word_list_stream_new: could not read list "
+                        "header\n")
+            else:
+                import struct
+                qcode, qmaj = struct.unpack_from("<II", qhead, 0)
+                qk = struct.unpack_from("<I", qhead, 12)[0]
+                if qcode != GT4_LIST_CODE:
+                    qerr = ("gt4_word_list_stream_new: invalid file tag "
+                            f"({qcode:x}, should be {GT4_LIST_CODE:x})\n")
+                elif qmaj != 4:
+                    qerr = ("gt4_word_list_stream_new: incompatible major "
+                            f"version {qmaj} (required 4)\n")
+        if qerr is not None:
+            sys.stderr.write(qerr)
+            sys.stderr.write(f"Error: {querylistfilename} is invalid or "
+                             "corrupted\n")
+            invalid = True
+        elif qk != wlen:
+            sys.stderr.write(f"Error: {querylistfilename} has different "
+                             f"word length {qk} (first list had {wlen})\n")
+            invalid = True
     if invalid:
         return 1
 

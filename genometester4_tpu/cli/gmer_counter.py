@@ -59,6 +59,8 @@ def _dump_db(path: str, db) -> None:
 
 
 def _main_impl(argv=None) -> int:
+    from genometester4_tpu.cli._cstrtol import strtol as _strtol
+
     argv = list(sys.argv[1:] if argv is None else argv)
     db_name = dbb = wdb = index_name = None
     max_kmers_per_node = 1000000000
@@ -88,7 +90,7 @@ def _main_impl(argv=None) -> int:
                 wdb = argv[i]
             elif a == "--max_kmers":
                 i += 1
-                max_kmers_per_node = int(argv[i])
+                max_kmers_per_node = _strtol(argv[i])[0]
             elif a == "--silent":
                 silent = 1
             elif a == "--verbose":
@@ -110,9 +112,12 @@ def _main_impl(argv=None) -> int:
                 index_name = argv[i]
             elif a == "--distribution":
                 i += 1
-                distro = int(argv[i])
+                distro = _strtol(argv[i])[0]
             elif a == "--num_threads":
                 i += 1
+                if i >= len(argv):
+                    sys.stderr.write(HELP)
+                    return 1
             elif a == "--prefetch":
                 pass
             elif a == "--recover":
@@ -141,13 +146,16 @@ def _main_impl(argv=None) -> int:
         sys.stderr.write(HELP)
         return 1
 
-    if not seqnames and not wdb:
+    # C pointer truthiness: -w '' sets a non-NULL empty string, so the
+    # checks here must test is-set, not Python truthiness
+    # (src/gmer_counter.c:259-273)
+    if not seqnames and wdb is None:
         sys.stderr.write("Nothing to do!\n" + HELP)
         return 1
-    if db_name and dbb:
+    if db_name is not None and dbb is not None:
         sys.stderr.write("Both text and binary database specifed\n" + HELP)
         return 1
-    if dbb and wdb:
+    if dbb is not None and wdb is not None:
         sys.stderr.write("Binary database read and written\n" + HELP)
         return 1
     if index_name and not verbose:
@@ -166,9 +174,13 @@ def _main_impl(argv=None) -> int:
     import time
     start_time = last_time = time.time()
 
+    from genometester4_tpu.utils.gt4mmap import gt4_mmap_fail
+
     db = None
-    if db_name:
-        if not os.path.exists(db_name):
+    if db_name is not None:
+        mf = gt4_mmap_fail(db_name)
+        if mf is not None:
+            sys.stderr.write(mf)
             sys.stderr.write(f"Cannot mmap database file {db_name}\n")
             return 1
         if debug:
@@ -183,13 +195,17 @@ def _main_impl(argv=None) -> int:
             sys.stderr.write("Loading time (text): %.1fs\n"
                              % (time.time() - last_time))
         last_time = time.time()
-    if dbb:
+    if dbb is not None:
         from genometester4_tpu.formats.gmerdb_binary import load_binary_db
-        if not os.path.exists(dbb):
-            sys.stderr.write(f"Cannot mmap {dbb}\n")
-            return 1
+        # debug line precedes the mmap in the binary branch (the text
+        # branch is the other way around; src/gmer_counter.c:292-320)
         if debug:
             sys.stderr.write(f"Loading binary database {dbb}\n")
+        mf = gt4_mmap_fail(dbb)
+        if mf is not None:
+            sys.stderr.write(mf)
+            sys.stderr.write(f"Cannot mmap {dbb}\n")
+            return 1
         db = load_binary_db(dbb)
         if db is None:
             sys.stderr.write(f"Cannot read binary database {dbb}\n")
@@ -201,14 +217,29 @@ def _main_impl(argv=None) -> int:
             sys.stderr.write("Loading time (binary): %.1fs\n"
                              % (time.time() - last_time))
         last_time = time.time()
+    if wdb is not None:
+        from genometester4_tpu.formats.gmerdb_binary import write_binary_db
+        # the reference fopen()s before touching the (possibly NULL)
+        # db pointer (src/gmer_counter.c:350-358)
+        try:
+            f = open(wdb, "wb")
+        except OSError:
+            sys.stderr.write(f"Cannot open {wdb} for writing\n")
+            return 1
+        if db is None:
+            # reference: write_db_to_file (NULL, ...) segfaults — not
+            # an oracle; fail cleanly instead
+            f.close()
+            sys.stderr.write("Nothing to do!\n" + HELP)
+            return 1
+        with f:
+            write_binary_db(db, f)
+
     if db is None:
+        # counting sequences without any database segfaults upstream
+        # (NULL db in read_file) — fail cleanly instead
         sys.stderr.write("Nothing to do!\n" + HELP)
         return 1
-
-    if wdb:
-        from genometester4_tpu.formats.gmerdb_binary import write_binary_db
-        with open(wdb, "wb") as f:
-            write_binary_db(db, f)
         if debug:
             sys.stderr.write("Done\n")
             sys.stderr.write("Writing time (database): %.1fs\n"
@@ -219,8 +250,14 @@ def _main_impl(argv=None) -> int:
         counter = DBCounter(db, collect_stats=bool(stats),
                             build_index=bool(index_name))
         for path in seqnames:
-            if path != "-" and not os.path.exists(path):
-                sys.stderr.write(f"Cannot open {path}\n")
+            if path != "-" and not os.path.isfile(path):
+                # the reference's reader fails inside read(2) and the
+                # queue layer echoes the u32-wrapped -1
+                # (src/fasta.c read loop + src/gmer_counter.c read_file)
+                sys.stderr.write(
+                    f"fasta_reader_read_nwords: Reader {path} read error "
+                    "(-1) at 0\n"
+                    f"read_file: Fasta reader {path} returned 4294967295\n")
                 return 1
             counter.add_file(path)
         counter.finalize()
@@ -242,9 +279,9 @@ def _main_impl(argv=None) -> int:
         if not silent:
             out = sys.stdout
             out.write(f"#gmer_counter version {REF_VERSION}\n")
-            if db_name:
+            if db_name is not None:
                 out.write(f"#TextDatabase\t{db_name}\n")
-            if dbb:
+            if dbb is not None:
                 out.write(f"#BinaryDatabase\t{dbb}\n")
             if dm:
                 out.write(f"#PairMedian\t{pair_median(db, counts)}\n")

@@ -105,7 +105,8 @@ def get_lib() -> ctypes.CDLL:
         lib.fgx_train_model.restype = ctypes.c_int
         lib.fgx_train_model.argtypes = [
             u16p, ctypes.c_uint, ctypes.c_uint, ctypes.c_uint, f32p,
-            ctypes.POINTER(ctypes.c_float), ctypes.c_uint, ctypes.c_uint]
+            ctypes.POINTER(ctypes.c_float), ctypes.c_uint, ctypes.c_uint,
+            ctypes.c_uint]
         lib.fgx_genotype_batch.argtypes = [
             u16p, ctypes.c_uint, ctypes.c_float, f32p, f64p, f64p, u32p]
         # list-engine kernels (native/listkernel.c)
@@ -230,7 +231,8 @@ def allele_freq(counts: np.ndarray) -> float:
 
 
 def train_model(counts: np.ndarray, max_training: int, nruns: int,
-                params: np.ndarray, mul: int, nthreads: int):
+                params: np.ndarray, mul: int, nthreads: int,
+                debug: int = 0):
     """Train 7 params in place; returns (trained_ok, pB).
 
     ``counts`` is a flat uint16 [a0,b0,a1,b1,...] array; ``params`` a
@@ -242,7 +244,7 @@ def train_model(counts: np.ndarray, max_training: int, nruns: int,
     pb = ctypes.c_float(0)
     ok = get_lib().fgx_train_model(counts, len(counts) // 2, max_training,
                                    nruns, params, ctypes.byref(pb), mul,
-                                   nthreads)
+                                   nthreads, debug)
     return bool(ok), pb.value
 
 

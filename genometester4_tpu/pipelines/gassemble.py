@@ -56,22 +56,21 @@ _C2N[ord("-")] = GAP
 
 
 def chr_from_string(s: str) -> int:
+    """gt4_chr_from_string twin (src/sequence.c): strtol semantics —
+    leading whitespace accepted, *end must be the terminator, the u32
+    truncation makes negatives huge (> CHR_22 -> NONE). "" converts to
+    0 == CHR_NONE."""
     if s == "X":
         return CHR_X
     if s == "Y":
         return CHR_Y
     if s == "MT":
         return CHR_MT
-    try:
-        i = 0
-        while i < len(s) and (s[i].isdigit() or (i == 0 and s[i] in "+-")):
-            i += 1
-        if i != len(s) or not s:
-            return CHR_NONE
-        val = int(s)
-    except ValueError:
+    from genometester4_tpu.cli._cstrtol import strtol_u32
+    val, ok = strtol_u32(s)
+    if not ok or val > 22:
         return CHR_NONE
-    return val if 0 < val <= 22 else CHR_NONE
+    return val
 
 
 @dataclass

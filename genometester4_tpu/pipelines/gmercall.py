@@ -244,6 +244,7 @@ def run_caller(data: bytes, out, model: int = MODEL_FULL, nruns: int = 5,
                info: bool = False, print_gt: bool = True,
                params0: np.ndarray | None = None,
                params_specified: bool = False,
+               debug: int = 0,
                version_str: str = "4.2.16 (stable)") -> int:
     native.srand(1)
 
@@ -257,13 +258,29 @@ def run_caller(data: bytes, out, model: int = MODEL_FULL, nruns: int = 5,
     if len(starts) == 0:
         sys.stderr.write("File contains no lines\n")
         return 1
+    # -D level-1 chatter, byte-formatted like src/gmer_caller.c:649-705
+    if debug:
+        sys.stderr.write("done (%u lines)\n" % len(starts))
+        sys.stderr.write("Building line table...")
+        sys.stderr.write("done\n")
+        sys.stderr.write("Counting chromosomes...")
     a_idx, x_idx, y_idx = classify_lines(data, starts, model)
+    if debug:
+        sys.stderr.write("done\n")
+        sys.stderr.write("Autosomes %u X %u Y %u\n"
+                         % (len(a_idx), len(x_idx), len(y_idx)))
 
+    if debug:
+        sys.stderr.write("Calculating medians...")
     a_med = get_pair_median(data, starts, a_idx)
     x_med = y_med = 0
     if model == MODEL_FULL:
         x_med = get_pair_median(data, starts, x_idx)
         y_med = get_pair_median(data, starts, y_idx)
+    if debug:
+        sys.stderr.write("done\n")
+        sys.stderr.write("Autosomes/unspecified %u X %u Y %u\n"
+                         % (a_med, x_med, y_med))
 
     p_xx = p_x = p_y = p_1 = 0.0
     if model == MODEL_FULL:
@@ -271,6 +288,11 @@ def run_caller(data: bytes, out, model: int = MODEL_FULL, nruns: int = 5,
         p_x = native.poisson(x_med, float(a_med // 2))
         p_y = native.poisson(y_med, float(a_med // 2))
         p_1 = native.poisson(y_med, 1.0)
+        if debug:
+            sys.stderr.write("XX %g X %g Y %g 0 %g\n"
+                             % (p_xx, p_x, p_y, p_1))
+            sys.stderr.write("Probably female\n" if p_xx > p_x
+                             else "Probably male\n")
         if p_xx > p_x:
             if p_y > p_1:
                 sys.stderr.write(
@@ -282,12 +304,18 @@ def run_caller(data: bytes, out, model: int = MODEL_FULL, nruns: int = 5,
                     "Y inconsistency: p_1 %g p_Y %g p_X %g p_XX %g\n"
                     % (p_1, p_y, p_x, p_xx))
 
+    if debug:
+        sys.stderr.write("Reading autosome/unspecified calls...")
     calls_a, lines_a = parse_calls(data, starts, a_idx, a_med)
+    if debug:
+        sys.stderr.write("done\n")
 
     if nruns and len(a_idx) > 0:
+        if debug:
+            sys.stderr.write("Training autosome/unspecified model\n")
         mul = 2 if model == MODEL_HAPLOID else 1
         _, pB = native.train_model(calls_a.reshape(-1), max_training, nruns,
-                                   params, mul, nthreads)
+                                   params, mul, nthreads, debug)
     else:
         pB = native.allele_freq(calls_a.reshape(-1))
 
@@ -304,12 +332,18 @@ def run_caller(data: bytes, out, model: int = MODEL_FULL, nruns: int = 5,
     x_params = params.copy()
     calls_x = lines_x = None
     if model == MODEL_FULL:
+        if debug:
+            sys.stderr.write("Reading X calls...")
         calls_x, lines_x = parse_calls(data, starts, x_idx, x_med)
+        if debug:
+            sys.stderr.write("done\n")
         if len(x_idx) > 0 and nruns and p_xx <= p_x:
+            if debug:
+                sys.stderr.write("Training X model\n")
             x_params[2] = 0.98
             x_params[3] = 0.01
             _, pB = native.train_model(calls_x.reshape(-1), max_training,
-                                       nruns, x_params, 2, nthreads)
+                                       nruns, x_params, 2, nthreads, debug)
             if info:
                 out.write("#XModel\t%g %g %g %g %g %g %g\n" % tuple(x_params))
 
@@ -329,7 +363,11 @@ def run_caller(data: bytes, out, model: int = MODEL_FULL, nruns: int = 5,
                 print_genotypes(out, data, starts, lines_x, calls_x, x_params,
                                 pB, 0 if non_canonical else 1, prob_cutoff,
                                 alternatives)
+                if debug:
+                    sys.stderr.write("Reading Y calls...")
                 calls_y, lines_y = parse_calls(data, starts, y_idx, y_med)
+                if debug:
+                    sys.stderr.write("done\n")
                 print_genotypes(out, data, starts, lines_y, calls_y, x_params,
                                 pB, 0 if non_canonical else 1, prob_cutoff,
                                 alternatives)

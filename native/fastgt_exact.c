@@ -23,6 +23,7 @@
  */
 
 #include <math.h>
+#include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
 
@@ -551,14 +552,18 @@ float fgx_allele_freq (const unsigned short *counts, unsigned int n)
   return npb ? (float) (ppb / npb) : 0;
 }
 
-/* returns 0 if training was aborted (empty sample), 1 otherwise */
+/* returns 0 if training was aborted (empty sample), 1 otherwise.
+ * debug mirrors the reference's level-1 -D chatter from train_model
+ * (src/gmer_caller.c:238-270,324-328) byte for byte, including the
+ * max_c bug (the c1 branch re-assigns c0). */
 int fgx_train_model (const unsigned short *counts /* 2*ncalls */,
                      unsigned int ncalls, unsigned int max_training,
                      unsigned int nruns, float v[7], float *pB,
-                     unsigned int mul, unsigned int nthreads)
+                     unsigned int mul, unsigned int nthreads,
+                     unsigned int debug)
 {
   unsigned int *train;
-  unsigned int ntrain, i, chunk_size;
+  unsigned int ntrain, i, chunk_size, max_c = 0;
   double s0 = 0, s1 = 0, ppb = 0, npb = 0;
   double mean;
   float params[7], deltas[7];
@@ -566,6 +571,7 @@ int fgx_train_model (const unsigned short *counts /* 2*ncalls */,
   Objective obj;
 
   fgx_init ();
+  if (debug) fprintf (stderr, "Building training set...");
   ntrain = ncalls < max_training ? ncalls : max_training;
   /* partial Fisher-Yates over the identity permutation,
    * one rand_ull(0, ncalls-1) per training slot */
@@ -577,10 +583,14 @@ int fgx_train_model (const unsigned short *counts /* 2*ncalls */,
     train[i] = train[p];
     train[p] = t;
   }
+  if (debug) fprintf (stderr, "done\n");
 
+  if (debug) fprintf (stderr, "Calculating mean...");
   for (i = 0; i < ntrain; i++) {
     unsigned int c0 = counts[2 * train[i]];
+    if (c0 > max_c) max_c = c0;
     unsigned int c1 = counts[2 * train[i] + 1];
+    if (c1 > max_c) max_c = c0;  /* sic: reference assigns c0 here */
     s0 += c0;
     s1 += c1;
     if (c0 + c1) {
@@ -590,7 +600,16 @@ int fgx_train_model (const unsigned short *counts /* 2*ncalls */,
   }
   *pB = npb ? (float) (ppb / npb) : 0;
   mean = (s0 + s1) / ntrain;
+  if (debug) {
+    fprintf (stderr, "done\n");
+    fprintf (stderr, "A %g B %g\n", s0, s1);
+    fprintf (stderr, "Training size %u mean %.1f\n", ntrain, mean);
+    fprintf (stderr, "pB %.3f\n", *pB);
+    fprintf (stderr, "Max count %u\n", max_c);
+  }
   if (mean == 0) {
+    /* unconditional, src/gmer_caller.c:268-270 */
+    fprintf (stderr, "No calls in training sample, aborting model optimization\n");
     free (train);
     return 0;
   }
@@ -624,6 +643,17 @@ int fgx_train_model (const unsigned short *counts /* 2*ncalls */,
 
   fgx_downhill_simplex (7, params, deltas, 1e-6, nruns, 100,
                         objective_distance, &obj);
+  if (debug) {
+    /* print_params + one objective re-eval (src/gmer_caller.c:324-328) */
+    float dist = objective_distance (7, params, &obj);
+    fprintf (stderr, "%s %g %g %g %g %g %g %g\n", "Best",
+             logit_1_clamped (params[0], MIN_P, MAX_E),
+             logit_1_clamped (params[1], MIN_P, 1 - MIN_P),
+             logit_1_clamped (params[2], MIN_P, 1 - MIN_P),
+             logit_1_clamped (params[3], MIN_P, 1 - MIN_P),
+             expf (params[4]), params[5], -expf (params[6]));
+    fprintf (stderr, "Best distance %.6f\n", dist);
+  }
 
   v[0] = logit_1_clamped (params[0], MIN_P, MAX_E);
   v[1] = logit_1_clamped (params[1], MIN_P, 1 - MIN_P);
