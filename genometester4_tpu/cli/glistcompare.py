@@ -393,7 +393,7 @@ def _main_impl(argv=None) -> int:
         if debug:
             _print_mm_debug(files, n_words_of)
         res = lc.compare_pair_mm(files[0], files[1], ops, outputname, cutoff,
-                                 nmm, subtraction, countonly)
+                                 nmm, subtraction, countonly, debug=debug)
         if countonly:
             for op in ops:
                 nu, t = res[op]
@@ -422,6 +422,16 @@ def _main_impl(argv=None) -> int:
                 for op in ops:
                     nu, t = res[op]
                     sys.stdout.write(f"NUnique\t{nu}\nNTotal\t{t}\n")
+            elif debug:
+                # only the diff outputs announce their atomic publish
+                # (src/glistcompare.c:936-950)
+                from genometester4_tpu.pipelines.listcompare import \
+                    _op_filename
+                wlen = lc.read_word_source(files[0])[0].word_length
+                for op in ops:
+                    if op in ("diff1", "diff2"):
+                        name = _op_filename(outputname, wlen, op, 0)
+                        sys.stderr.write(f"Renaming {name}.tmp to {name}\n")
         return 0
 
     # Multi-file: union then intersection, each with its own rule
@@ -438,11 +448,24 @@ def _main_impl(argv=None) -> int:
                 # page is zero (src/glistcompare.c:368,394 — stable UB)
                 sys.stdout.write("NUnique\t0\nNTotal\t0\n")
         else:
+            import time as _time
+            _t0 = _time.time()
             res = lc.compare_multi(files, "union", outputname, cutoff,
                                    rule_name, count_override, countonly)
             v = 0
+            nu, t = res["union"]
+            if debug:
+                # format-matched throughput line with THIS pipeline's
+                # timing (src/glistcompare.c:599)
+                _dt = max(_time.time() - _t0, 1e-9)
+                _inp = sum(n_words_of)
+                sys.stderr.write(
+                    "Combined %u maps: input %llu (%.3f Mwords/s) output "
+                    "%llu (%.3f Mwords/s)\n".replace("%u", "%d")
+                    .replace("%llu", "%d")
+                    % (len(files), _inp, _inp / (1000000 * _dt),
+                       nu, nu / (1000000 * _dt)))
             if countonly or debug:
-                nu, t = res["union"]
                 sys.stdout.write(f"NUnique\t{nu}\nNTotal\t{t}\n")
     if find_intrsec:
         if rule not in (R_DEFAULT, R_ADD, R_MIN, R_MAX, R_NUMBER):
@@ -452,11 +475,23 @@ def _main_impl(argv=None) -> int:
             if countonly or debug:
                 sys.stdout.write("NUnique\t0\nNTotal\t0\n")
         else:
+            import time as _time
+            _t0 = _time.time()
             res = lc.compare_multi(files, "intrsec", outputname, cutoff,
                                    rule_name, count_override, countonly)
             v = 0
+            nu, t = res["intrsec"]
+            if debug:
+                # src/glistcompare.c:713
+                _dt = max(_time.time() - _t0, 1e-9)
+                _inp = sum(n_words_of)
+                sys.stderr.write(
+                    "Combined %u maps: input %llu (%.3f Mwords/s) output "
+                    "%llu (%.3f Mwords/s)\n".replace("%u", "%d")
+                    .replace("%llu", "%d")
+                    % (len(files), _inp, _inp / (1000000 * _dt),
+                       nu, nu / (1000000 * _dt)))
             if countonly or debug:
-                nu, t = res["intrsec"]
                 sys.stdout.write(f"NUnique\t{nu}\nNTotal\t{t}\n")
     # print_error_message(1) prints nothing (src/common.c:28-31)
     return 1 if v else 0

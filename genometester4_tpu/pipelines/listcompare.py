@@ -572,7 +572,7 @@ def compare_multi(paths: list[str], op: str, outputname: str = "out",
 def compare_pair_mm(list1: str, list2: str, ops: list[str],
                     outputname: str = "out", cutoff: int = 1, nmm: int = 1,
                     subtract: bool = False, count_only: bool = False,
-                    chunk: int = 4096):
+                    chunk: int = 4096, debug: int = 0):
     """Mismatch-tolerant difference (src/glistcompare.c:957-1169).
 
     diff1 keeps words of list1 (passing the exact-match difference test)
@@ -596,6 +596,11 @@ def compare_pair_mm(list1: str, list2: str, ops: list[str],
     k = h1.word_length
     w1 = np.asarray(w1)
     w2 = np.asarray(w2)
+
+    if debug:
+        # compare_wordmaps_mm's own header (src/glistcompare.c:1005-1008)
+        sys.stderr.write("Table 1: %d entries\n" % len(w1))
+        sys.stderr.write("Table 2: %d entries\n" % len(w2))
 
     all_w = np.union1d(w1, w2)
     f1 = lookup_counts(w1, np.asarray(c1), all_w).astype(np.uint32)
@@ -630,6 +635,10 @@ def compare_pair_mm(list1: str, list2: str, ops: list[str],
 
     results = {}
     for op, (cw, cf, mw, mc, qw, qc, sub) in candidates.items():
+        if debug and op == "diff1":
+            # only find_diff announces itself (src/glistcompare.c:1058-1061)
+            sys.stderr.write("Finding diff with mismatches (%d entries)\n"
+                             % len(cw))
         alive = np.ones(len(cw), bool)
         for m in range(1, nmm + 1):
             masks = exact_mismatch_masks(k, m)
