@@ -48,6 +48,11 @@ def _main_impl(argv=None) -> int:
     outputname = "out"
     create_index = False
     debug = 0
+    # C variables mirrored for the -D header block
+    # (src/glistmaker.c:47-52,148-150): defaults 8 / 4096 / 1 Mi
+    nthreads_c = 8
+    ntables_c = 32 * 128
+    tablesize_c = 1024 * 1024
     i = 0
     try:
         while i < len(argv):
@@ -84,21 +89,21 @@ def _main_impl(argv=None) -> int:
                     return 1
             elif a == "--num_threads":
                 i += 1  # value ignored: scheduling is XLA's/our host lib's job
-                _, ok = _strtol_u32(argv[i])
+                nthreads_c, ok = _strtol_u32(argv[i])
                 if not ok:
                     sys.stderr.write(f"Error: Invalid num-threads: {argv[i]}!"
                                      " Must be an integer.\n" + HELP)
                     return 1
             elif a == "--max_tables":
                 i += 1
-                _, ok = _strtol_u32(argv[i])
+                ntables_c, ok = _strtol_u32(argv[i])
                 if not ok:
                     sys.stderr.write(f"Error: Invalid max_tables: {argv[i]}!"
                                      " Must be an integer.\n" + HELP)
                     return 1
             elif a == "--table_size":
                 i += 1
-                _, ok = _strtol_u32(argv[i])
+                tablesize_c, ok = _strtol_u32(argv[i])
                 if not ok:
                     sys.stderr.write(f"Error: Invalid table-size: {argv[i]}!"
                                      " Must be an integer.\n" + HELP)
@@ -153,10 +158,28 @@ def _main_impl(argv=None) -> int:
 
     from genometester4_tpu.pipelines.listmaker import make_list
 
+    total_size = 0
     for p in inputs:
-        if p != "-" and not os.path.exists(p):
+        if p == "-":
+            continue
+        try:
+            total_size += os.stat(p).st_size
+        except OSError:
             sys.stderr.write(f"main: No such file (cannot stat): {p}\n")
             return 1
+    if debug:
+        # header block with the C clamps applied
+        # (src/glistmaker.c:230,253,265-270)
+        if ntables_c > 256:
+            ntables_c = 256
+        if nthreads_c > 256:
+            nthreads_c = 256
+        if total_size < 100000:
+            nthreads_c = 1
+        sys.stderr.write("Total file size %d\n" % total_size)
+        sys.stderr.write("Num threads is %d\n" % nthreads_c)
+        sys.stderr.write("Num tables is %d\n" % ntables_c)
+        sys.stderr.write("Table size is %d\n" % tablesize_c)
 
     if create_index:
         from genometester4_tpu.pipelines.listmaker import make_index
@@ -170,10 +193,7 @@ def _main_impl(argv=None) -> int:
     # hardcoded cutoff of 1 (src/glistmaker.c:333,814); min/max only
     # reach the --index writer (src/glistmaker.c:486)
     out_path = f"{outputname}_{wordlength}.list"
-    hdr = make_list(inputs, wordlength, out_path, debug=debug)
-    if debug:
-        sys.stderr.write(f"Wrote {hdr.n_words} words (total count "
-                         f"{hdr.total_count}) to {out_path}\n")
+    make_list(inputs, wordlength, out_path, debug=debug)
     return 0
 
 

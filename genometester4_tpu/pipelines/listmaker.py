@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import math
 import os
+import sys
 from dataclasses import dataclass
 
 import numpy as np
@@ -529,18 +530,28 @@ def _make_list_host(input_files, word_length: int, output_path: str,
 
     hdr = ListHeader(word_length, w.n_words, w.total_count)
     if debug:
-        for phase, nw, dt in (("Parse", n_words_in, t_parse),
-                              ("Count", hdr.total_count, t_count),
-                              ("Merge+write", hdr.n_words, t_write)):
-            rate = int(nw / dt) if dt > 0 else 0
-            sys.stderr.write("%s %d words at %.2f (%d words/s)\n"
-                             % (phase, nw, dt, rate))
+        _print_phase_debug(hdr, n_words_in, t_parse, t_count, t_write)
     for tmp in tmp_files:
         try:
             os.unlink(tmp)
         except OSError:
             pass
     return hdr
+
+
+def _print_phase_debug(hdr, n_words_in, t_parse, t_count, t_write):
+    """-D phase accounting, format-matched to the reference's token
+    accumulators (src/glistmaker.c:355-359, :1150) with this pipeline's
+    honest stage mapping: Read = slab parse/extract, Sort = the count
+    kernel, Write tmp = merge + final write."""
+    sys.stderr.write("Words %d, unique %d\n"
+                     % (hdr.total_count, hdr.n_words))
+    for phase, nw, dt in (("Read", n_words_in, t_parse),
+                          ("Sort", n_words_in, t_count),
+                          ("Write tmp", hdr.n_words, t_write)):
+        rate = int(nw / dt) & 0xFFFFFFFF if dt > 0 else 0
+        sys.stderr.write("%s %d words at %.2f (%d words/s)\n"
+                         % (phase, nw, dt, rate))
 
 
 def make_list(input_files, word_length: int, output_path: str,
@@ -655,13 +666,7 @@ def make_list(input_files, word_length: int, output_path: str,
     hdr = ListHeader(word_length, w.n_words, w.total_count)
     if debug:
         t_merge = time.time() - t_merge0
-        for phase, nw, dt in (("Parse", n_words_in, t_parse),
-                              ("Count", hdr.total_count, t_count),
-                              ("Merge+write", hdr.n_words, t_merge)):
-            rate = int(nw / dt) if dt > 0 else 0
-            sys.stderr.write("%s %llu words at %.2f (%u words/s)\n"
-                             .replace("%llu", "%d").replace("%u", "%d")
-                             % (phase, nw, dt, rate))
+        _print_phase_debug(hdr, n_words_in, t_parse, t_count, t_merge)
     for tmp in tmp_files:
         try:
             os.unlink(tmp)
