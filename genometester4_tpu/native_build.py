@@ -34,8 +34,18 @@ def build():
     o2 = SO_PATH + ".listk.o"
     subprocess.run(["cc", "-O2", "-Wall", "-c", "-fPIC", "-fopenmp",
                     SRC_FASTGT, "-o", o1], check=True)
-    subprocess.run(["cc", "-O3", "-funroll-loops", "-Wall", "-c", "-fPIC",
-                    "-fopenmp", SRC_LIST, "-o", o2], check=True)
+    # listkernel.c is integer-only, so wider vectors cannot change any
+    # result bit. x86-64-v3 (AVX2, no AVX512) measured fastest for the
+    # SW fill on this VM class — -march=native picks AVX512 and LOSES
+    # ~10% (downclock/wider-lane tails); plain SSE loses ~5%. The .so
+    # rebuilds per container on first use, and we fall back to plain
+    # codegen if the local cc rejects the flag.
+    cmd = ["cc", "-O3", "-funroll-loops", "-march=x86-64-v3", "-Wall",
+           "-c", "-fPIC", "-fopenmp", SRC_LIST, "-o", o2]
+    if subprocess.run(cmd).returncode != 0:
+        subprocess.run(["cc", "-O3", "-funroll-loops", "-Wall", "-c",
+                        "-fPIC", "-fopenmp", SRC_LIST, "-o", o2],
+                       check=True)
     subprocess.run(["cc", "-shared", "-fopenmp", o1, o2, "-o", SO_PATH,
                     "-lm"], check=True)
 

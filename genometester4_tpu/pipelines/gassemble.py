@@ -241,6 +241,22 @@ class SeqFiles:
             self.names.append(nm)
             with open(nm, "rb") as f:
                 self.data.append(f.read())
+        self._ptrs = None
+
+    def c_pointers(self):
+        """(ptr_array, len_array) ctypes views of the file buffers for
+        the native read-fetch kernel; built once."""
+        if self._ptrs is None:
+            import ctypes
+            n = len(self.data)
+            ptrs = (ctypes.c_void_p * n)()
+            lens = (ctypes.c_longlong * n)()
+            self._np_views = [np.frombuffer(d, np.uint8) for d in self.data]
+            for i, v in enumerate(self._np_views):
+                ptrs[i] = v.ctypes.data if len(v) else None
+                lens[i] = len(v)
+            self._ptrs = (ptrs, lens)
+        return self._ptrs
 
 
 _RC_TABLE = np.arange(256, dtype=np.uint8)
@@ -366,38 +382,50 @@ def get_unique_reads(db, files: SeqFiles, kmers: list, params: Params,
 
 
 def get_read_sequences(infos, files: SeqFiles, params: Params):
-    """src/gassembler.c:2630-2665: fetch name + sequence at name_pos."""
+    """src/gassembler.c:2630-2665: fetch name + sequence at name_pos.
+
+    One native pass (fgx_fetch_reads) scans names, clips at the first
+    byte < 'A', truncates, orients, and emits sequence bytes + int8
+    codes into arenas; Python only wraps the views into GASMReads."""
+    import ctypes
+
+    from genometester4_tpu.models.fastgt_native import get_lib
+
+    n = len(infos)
+    if n == 0:
+        return []
+    maxlen = params.max_read_length
+    name_pos = np.fromiter((i[0] for i in infos), np.int64, n)
+    file_idx = np.fromiter((i[1] for i in infos), np.int32, n)
+    rdir = np.fromiter((i[2] for i in infos), np.uint8, n)
+    seq_arena = np.empty((n, maxlen), np.uint8)
+    code_arena = np.empty((n, maxlen), np.int8)
+    name_end = np.empty(n, np.int64)
+    seq_len = np.empty(n, np.int64)
+    orig_len = np.empty(n, np.int64)
+    ptrs, lens = files.c_pointers()
+    get_lib().fgx_fetch_reads(
+        ptrs, lens,
+        name_pos.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        file_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        rdir.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        ctypes.c_long(n), ctypes.c_long(maxlen),
+        seq_arena.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        code_arena.ctypes.data_as(ctypes.POINTER(ctypes.c_byte)),
+        name_end.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        seq_len.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        orig_len.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)))
     reads = []
-    for name_pos, file_idx, rdir in infos:
-        data = files.data[file_idx]
-        e = data.index(b"\n", name_pos)
-        name = data[name_pos:e]
-        p = e + 1
-        # first byte < 'A' ends the sequence line (src/gassembler.c:2649)
-        window = np.frombuffer(data, np.uint8,
-                               count=min(len(data) - p,
-                                         params.max_read_length + 64),
-                               offset=p)
-        stops = np.flatnonzero(window < 65)
-        if len(stops):
-            q = p + int(stops[0])
-        else:
-            q = p + len(window)
-            while q < len(data) and data[q] >= 65:
-                q += 1
-        seq_b = data[p:q]
-        if len(seq_b) > params.max_read_length:
+    for i in range(n):
+        sl = int(seq_len[i])
+        if orig_len[i] > maxlen:
             sys.stderr.write(
                 "WARNING: Read is longer than maximum allowed length "
-                "(%u, max %u), truncating\n" % (len(seq_b),
-                                                params.max_read_length))
-            seq_b = seq_b[: params.max_read_length]
-        if rdir:
-            # byte-level reverse complement (non-ACGT bytes unchanged,
-            # exactly like _revcomp_str's table)
-            seq_b = _RC_TABLE[np.frombuffer(seq_b, np.uint8)][::-1].tobytes()
-        codes = _C2N[np.frombuffer(seq_b, np.uint8)]
-        reads.append(GASMRead(name, seq_b, codes, 1 << rdir))
+                "(%u, max %u), truncating\n" % (int(orig_len[i]), maxlen))
+        data = files.data[int(file_idx[i])]
+        name = data[int(name_pos[i]):int(name_end[i])]
+        reads.append(GASMRead(name, seq_arena[i, :sl].tobytes(),
+                              code_arena[i, :sl], 1 << int(rdir[i])))
     return reads
 
 

@@ -1821,3 +1821,62 @@ long fgx_sw_align_region (const signed char *ref, int n,
 }
 
 
+
+/* ------------------------------------------------------------------ */
+/* gassembler read fetch (src/gassembler.c:2630-2665)                  */
+/* ------------------------------------------------------------------ */
+
+/* For each read info: the name runs from name_pos to the first '\n' of
+ * its file buffer; sequence bytes follow while byte >= 'A'; the scan
+ * length is reported in orig_len (the caller prints the reference's
+ * truncation warning), the kept prefix is truncated to maxlen and then
+ * reverse-complemented when rdir (A<->T / C<->G, other bytes kept, like
+ * the Python twin's table).  Sequence bytes and int8 nucleotide codes
+ * (A0 C1 G2 T/U3 N4 -5, case-insensitive) land in per-read slots of
+ * stride maxlen. */
+void fgx_fetch_reads (const unsigned char *const *file_data,
+                      const long long *file_len,
+                      const long long *name_pos_a, const int *file_idx_a,
+                      const unsigned char *rdir_a, long n, long maxlen,
+                      unsigned char *seq_arena, signed char *code_arena,
+                      long long *name_end, long long *seq_len,
+                      long long *orig_len)
+{
+  static unsigned char rc[256];
+  static signed char c2n[256];
+  static int init = 0;
+  long i;
+  if (!init) {
+    int j;
+    for (j = 0; j < 256; j++) { rc[j] = (unsigned char) j; c2n[j] = 4; }
+    rc['A'] = 'T'; rc['T'] = 'A'; rc['C'] = 'G'; rc['G'] = 'C';
+    c2n['A'] = c2n['a'] = 0; c2n['C'] = c2n['c'] = 1;
+    c2n['G'] = c2n['g'] = 2; c2n['T'] = c2n['t'] = 3;
+    c2n['U'] = c2n['u'] = 3; c2n['-'] = 5;
+    init = 1;
+  }
+  for (i = 0; i < n; i++) {
+    const unsigned char *d = file_data[file_idx_a[i]];
+    long long len = file_len[file_idx_a[i]];
+    long long p = name_pos_a[i];
+    long long q, sl, j;
+    unsigned char *seq = seq_arena + i * maxlen;
+    signed char *code = code_arena + i * maxlen;
+    while (p < len && d[p] != '\n') p += 1;
+    name_end[i] = p;
+    p += 1;
+    q = p;
+    while (q < len && d[q] >= 'A') q += 1;
+    orig_len[i] = q - p;
+    sl = q - p;
+    if (sl > maxlen) sl = maxlen;
+    seq_len[i] = sl;
+    if (rdir_a[i]) {
+      /* truncate FIRST, then reverse-complement the kept prefix */
+      for (j = 0; j < sl; j++) seq[j] = rc[d[p + sl - 1 - j]];
+    } else {
+      __builtin_memcpy (seq, d + p, sl);
+    }
+    for (j = 0; j < sl; j++) code[j] = c2n[seq[j]];
+  }
+}
