@@ -215,6 +215,20 @@ class OutputQueue:
                 self._print_all(cb_f)
             self.finished.remove(cb_f)
 
+    @staticmethod
+    def _calls_at(ccb: CallBlock, pos: int):
+        """Calls with .pos == pos, in stored order. Equivalent to the
+        reference's break/continue linear scan (calls are pos-sorted);
+        bisect turns the O(len(calls)) rescan per position into
+        O(log)."""
+        import bisect
+        pl = getattr(ccb, "_pos_list", None)
+        if pl is None or len(pl) != len(ccb.calls):
+            pl = [c.pos for c in ccb.calls]
+            ccb._pos_list = pl
+        return ccb.calls[bisect.bisect_left(pl, pos):
+                         bisect.bisect_right(pl, pos)]
+
     def _print_poly_best(self, cb_f: CallBlock, only_poly: bool):
         """src/gassembler.c:394-463."""
         for pos in range(cb_f.start, cb_f.end):
@@ -229,11 +243,7 @@ class OutputQueue:
                     continue
                 if ccb.start > pos:
                     continue
-                for call in ccb.calls:
-                    if call.pos > pos:
-                        break
-                    if call.pos != pos:
-                        continue
+                for call in self._calls_at(ccb, pos):
                     if call.poly:
                         local_poly = 1
                     if call.p < best_p:
@@ -244,11 +254,7 @@ class OutputQueue:
                     has_poly = local_poly
             if only_poly:
                 if has_poly:
-                    for call in best_cb.calls:
-                        if call.pos > pos:
-                            break
-                        if call.pos != pos:
-                            continue
+                    for call in self._calls_at(best_cb, pos):
                         if call.q >= self.p.min_p:
                             if call.poly:
                                 print_call(self.out, best_cb, call, self.p)
@@ -258,20 +264,12 @@ class OutputQueue:
                             self.out.write("\n")
                             break
                 else:
-                    for call in best_cb.calls:
-                        if call.pos > pos:
-                            break
-                        if call.pos != pos:
-                            continue
+                    for call in self._calls_at(best_cb, pos):
                         if call.p_det < self.p.min_pmut:
                             print_call(self.out, best_cb, call, self.p)
                             self.out.write("\n")
             else:
-                for call in best_cb.calls:
-                    if call.pos > pos:
-                        break
-                    if call.pos != pos:
-                        continue
+                for call in self._calls_at(best_cb, pos):
                     print_call(self.out, best_cb, call, self.p)
                     self.out.write("\n")
             self.last_chr = cb_f.chr
@@ -284,11 +282,7 @@ class OutputQueue:
             for ccb in self.finished:
                 if ccb.chr != cb_f.chr:
                     continue
-                for call in ccb.calls:
-                    if call.pos > pos:
-                        break
-                    if call.pos != pos:
-                        continue
+                for call in self._calls_at(ccb, pos):
                     print_call(self.out, ccb, call, self.p)
                     self.out.write("\n")
             self.last_chr = cb_f.chr

@@ -1030,15 +1030,23 @@ class Assembler:
                 int(p.alternative_calls),
                 status, nucl0, nucl1, p_arr, q_arr, pdet_arr, rprob_arr,
                 alt_valid, alt_nucl, alt_p, alt_q, alt_pdet, alt_rprob)
+        # call.extra is only read by the --extra printer
+        # (print_call, params.print_extra > 1); default runs share one
+        # dict and skip ~130 copies per region
+        collect_extra = p.print_extra > 1
         for i in range(p.skip_end_call, p_len - p.skip_end_call):
             if int(ref_pos[i]) == last_call_pos:
                 sub += 1
             else:
                 sub = 0
             last_call_pos = int(ref_pos[i])
-            extra = dict(extra_base)
-            extra["end_dist"] = min(i, p_len - 1 - i)
-            call = Call(counts=nucl_counts[i].copy(),
+            extra = dict(extra_base) if collect_extra else extra_base
+            if collect_extra:
+                extra["end_dist"] = min(i, p_len - 1 - i)
+            # counts are only printed with --counts/--extra
+            # (print_call, params.print_extra > 0)
+            call = Call(counts=(nucl_counts[i].copy() if p.print_extra
+                                else None),
                         pos=int(ref_pos[i]), sub=sub,
                         ref=int(aligned_ref[i]), cov=int(coverage[i]),
                         extra=extra)
@@ -1060,9 +1068,11 @@ class Assembler:
                 extra["hzprob"] = 1.0
             cb.calls.append(call)
             if alt_valid[i]:
-                extra2 = dict(extra_base)
-                extra2["end_dist"] = extra["end_dist"]
-                call2 = Call(counts=nucl_counts[i].copy(),
+                extra2 = dict(extra_base) if collect_extra else extra_base
+                if collect_extra:
+                    extra2["end_dist"] = extra["end_dist"]
+                call2 = Call(counts=(nucl_counts[i].copy() if p.print_extra
+                                     else None),
                              pos=call.pos, sub=sub, ref=call.ref,
                              cov=call.cov, extra=extra2,
                              prev_ref=call.prev_ref,
