@@ -78,6 +78,29 @@ def get_lib() -> ctypes.CDLL:
         lib.fgx_group_merge.restype = ctypes.c_long
         lib.fgx_group_merge.argtypes = [
             u64p, u64p, i64p_, i64p_, i64p_, ctypes.c_long]
+        lib.fgx_group_phase.restype = ctypes.c_long
+        lib.fgx_group_phase.argtypes = [
+            u64p, u64p,                       # tags, masks (group slots)
+            ctypes.POINTER(ctypes.c_long),    # sizes
+            ctypes.POINTER(ctypes.c_long),    # dirs
+            ctypes.POINTER(ctypes.c_long),    # group_of
+            u64p, u64p,                       # read_tags, read_masks
+            ctypes.POINTER(ctypes.c_byte),    # ga
+            ctypes.c_long, ctypes.c_long,     # na, p_len
+            ctypes.POINTER(ctypes.c_byte),    # aligned_ref
+            ctypes.POINTER(ctypes.c_ubyte),   # known
+            ctypes.POINTER(ctypes.c_long),    # divergent
+            ctypes.POINTER(ctypes.c_long),    # min_cov
+            ctypes.POINTER(ctypes.c_long),    # max_cov
+            ctypes.POINTER(ctypes.c_long),    # compat_n
+            ctypes.POINTER(ctypes.c_byte),    # consensus
+            ctypes.c_int, ctypes.c_int,       # max_groups, require_both
+            ctypes.c_long, ctypes.c_long,     # min_group_coverage/size
+            ctypes.c_long, ctypes.c_long,     # max_group_(r)divergence
+            ctypes.c_float,                   # min_group_rsize
+            ctypes.POINTER(ctypes.c_ubyte),   # included
+            ctypes.POINTER(ctypes.c_long),    # good_groups
+            ctypes.POINTER(ctypes.c_long)]    # n_good_out
         lib.fgx_gapped_alignment.restype = ctypes.c_long
         lib.fgx_gapped_alignment.argtypes = [
             i8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, i16p,

@@ -821,89 +821,8 @@ class Assembler:
         sizes = np.ones(na, np.int64)
         dirs = np.array([r.dir for r in a_reads], np.int64)
         group_of = np.arange(na)
-        # Greedy merging in C (native fgx_group_merge): the reference
-        # rescans all O(n^2) pairs every round (src/gassembler.c:
-        # 1327-1591) with strictly-greater (n_common, size_sum)
-        # selection over the row-major i<j scan; at <=1024 reads the C
-        # rescan beats both the reference and the former incremental
-        # numpy formulation.
-        from genometester4_tpu.models.fastgt_native import get_lib
-        n_groups = int(get_lib().fgx_group_merge(tags, masks, sizes, dirs,
-                                                 group_of, na))
-
-        # per-group min/max coverage + compat count (vectorized: one
-        # add.at over the (group, position) grid)
-        covered = ga[:na] <= GAP  # bool (na, p_len)
-        cov_gp = np.zeros((n_groups, p_len), np.int64)
-        np.add.at(cov_gp, group_of, covered.astype(np.int64))
-        if p_len:
-            min_cov = cov_gp.min(axis=1)
-            max_cov = cov_gp.max(axis=1)
-        else:
-            min_cov = np.full(n_groups, na, np.int64)
-            max_cov = np.zeros(n_groups, np.int64)
         read_tags = np.array([r.tag for r in a_reads], np.uint64)
-        read_masks = np.array([r.mask for r in a_reads], np.uint64)
-        common_gr = masks[:n_groups, None] & read_masks[None, :]
-        compat_n = ((tags[:n_groups, None] & common_gr)
-                    == (read_tags[None, :] & common_gr)).sum(axis=1)
-
-        # group consensus: per (group, position, nucl) counts via one
-        # add.at, then the reference's sequential best-selection over
-        # nucleotide codes (gated on GLOBAL counts > 1)
-        cnt_gpn = np.zeros((n_groups, p_len, 7), np.int64)
-        pos_idx = np.broadcast_to(np.arange(p_len), (na, p_len))
-        np.add.at(cnt_gpn, (group_of[:, None], pos_idx,
-                            ga[:na].astype(np.int64)), 1)
-        consensus = np.broadcast_to(aligned_ref[None, :p_len].astype(
-            np.int64), (n_groups, p_len)).copy()
-        rows_g = np.arange(n_groups)[:, None]
-        cols_p = np.arange(p_len)[None, :]
-        for k in range(GAP + 1):
-            if k == N:
-                continue
-            better = ((nucl_counts[None, :, k] > 1)
-                      & (cnt_gpn[:, :, k]
-                         > cnt_gpn[rows_g, cols_p, consensus]))
-            consensus = np.where(better, k, consensus)
-        # divergence counting with the reference's carry across (group,
-        # position) in row-major order — flattened shifted arrays
-        ar_tile = np.broadcast_to(aligned_ref[None, :p_len].astype(
-            np.int64), (n_groups, p_len))
-        diff = consensus != ar_tile
-        if self.snvs is not None:
-            known = np.zeros(p_len, bool)
-            for i in range(p_len):
-                snv = lookup_snv(self.snvs, region.chr, region.start + i)
-                known[i] = (snv < len(self.snvs)
-                            and self.snvs[snv][0] == region.chr
-                            and self.snvs[snv][1] == region.start + i)
-            diff = diff & ~known[None, :]
-        flat_ar = ar_tile.reshape(-1)
-        flat_cons = consensus.reshape(-1)
-        last_ar = np.concatenate([[N], flat_ar[:-1]])
-        last_cons = np.concatenate([[N], flat_cons[:-1]])
-        countable = ((last_ar != GAP) | (flat_ar != GAP)) \
-            & ((last_cons != GAP) | (flat_cons != GAP))
-        divergent = (diff.reshape(-1) & countable).reshape(
-            n_groups, p_len).sum(axis=1)
-
-        # sort groups by (divergence asc, size desc) with the reference's
-        # pairwise swap loop (relabels reads on every swap)
-        order = list(range(n_groups))
-        for i in range(n_groups):
-            for j in range(i + 1, n_groups):
-                if (divergent[j] < divergent[i]
-                        or (divergent[j] == divergent[i]
-                            and sizes[j] > sizes[i])):
-                    for arr in (divergent, sizes, min_cov, max_cov,
-                                compat_n, dirs, tags, masks):
-                        arr[i], arr[j] = arr[j].copy(), arr[i].copy()
-                    consensus[[i, j]] = consensus[[j, i]]
-                    swap_i = group_of == i
-                    swap_j = group_of == j
-                    group_of[swap_i] = j
-                    group_of[swap_j] = i
+        read_masks = masks.copy()
 
         max_groups = 2
         if self.sex == 1 and region.chr in (CHR_X, CHR_Y):
@@ -911,26 +830,58 @@ class Assembler:
         if region.chr == CHR_MT:
             max_groups = 1
 
-        min_div = int(divergent[:n_groups].min()) if n_groups else 0
-        good_groups = []
-        included = np.zeros(n_groups, bool)
-        for i in range(n_groups):
-            inc = len(good_groups) < max_groups
-            if p.require_both_dirs and dirs[i] != 3:
-                inc = False
-            if min_cov[i] < p.min_group_coverage:
-                inc = False
-            if sizes[i] < p.min_group_size:
-                inc = False
-            if divergent[i] > p.max_group_divergence:
-                inc = False
-            if divergent[i] > min_div + p.max_group_rdivergence:
-                inc = False
-            if float(sizes[i]) < sizes[0] * p.min_group_rsize:
-                inc = False
-            included[i] = inc
-            if inc:
-                good_groups.append(i)
+        known = np.zeros(max(p_len, 1), np.uint8)
+        if self.snvs is not None:
+            for i in range(p_len):
+                snv = lookup_snv(self.snvs, region.chr, region.start + i)
+                known[i] = (snv < len(self.snvs)
+                            and self.snvs[snv][0] == region.chr
+                            and self.snvs[snv][1] == region.start + i)
+
+        # One native call runs the whole phase — greedy merge, coverage,
+        # compat counts, consensus (global-count gate), divergence with
+        # the reference's row-major carry, the pairwise sort with read
+        # relabeling, and selection (fgx_group_phase,
+        # src/gassembler.c:1327-1591; the former numpy formulation
+        # remains in git history as the derivation)
+        import ctypes
+
+        from genometester4_tpu.models.fastgt_native import get_lib
+        divergent = np.zeros(na, np.int64)
+        min_cov = np.zeros(na, np.int64)
+        max_cov = np.zeros(na, np.int64)
+        compat_n = np.zeros(na, np.int64)
+        consensus_buf = np.zeros((max(na, 1), max(p_len, 1)), np.int8)
+        included_buf = np.zeros(na, np.uint8)
+        good_buf = np.zeros(max(max_groups, 1), np.int64)
+        n_good = ctypes.c_long(0)
+        ga_c = np.ascontiguousarray(ga[:na, :p_len], np.int8)
+        ar_c = np.ascontiguousarray(aligned_ref[:p_len], np.int8)
+        lp = ctypes.POINTER(ctypes.c_long)
+        n_groups = int(get_lib().fgx_group_phase(
+            tags, masks,
+            sizes.ctypes.data_as(lp), dirs.ctypes.data_as(lp),
+            group_of.ctypes.data_as(lp),
+            read_tags, read_masks,
+            ga_c.ctypes.data_as(ctypes.POINTER(ctypes.c_byte)),
+            ctypes.c_long(na), ctypes.c_long(p_len),
+            ar_c.ctypes.data_as(ctypes.POINTER(ctypes.c_byte)),
+            known.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            divergent.ctypes.data_as(lp), min_cov.ctypes.data_as(lp),
+            max_cov.ctypes.data_as(lp), compat_n.ctypes.data_as(lp),
+            consensus_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_byte)),
+            ctypes.c_int(max_groups),
+            ctypes.c_int(int(p.require_both_dirs)),
+            ctypes.c_long(p.min_group_coverage),
+            ctypes.c_long(p.min_group_size),
+            ctypes.c_long(p.max_group_divergence),
+            ctypes.c_long(p.max_group_rdivergence),
+            ctypes.c_float(p.min_group_rsize),
+            included_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            good_buf.ctypes.data_as(lp), ctypes.byref(n_good)))
+        consensus = consensus_buf[:max(n_groups, 1), :p_len].astype(np.int64)
+        included = included_buf[:n_groups].astype(bool)
+        good_groups = [int(good_buf[i]) for i in range(n_good.value)]
 
         if not good_groups:
             return 0

@@ -1359,14 +1359,15 @@ long fgx_gapped_alignment (const signed char *ref, int n, int ref_start,
 /* lane-parallel Smith-Waterman align phase                            */
 /* ------------------------------------------------------------------ */
 
-/* 8 reads fill in parallel: lanes are independent reads over the same
+/* 32 reads fill in parallel: lanes are independent reads over the same
  * reference, so every op in the recurrence is lane-wise and the
- * compiler vectorizes the lane loop onto SSE2 int16 lanes (measured
- * 2.5x the scalar fill).  Layout: score/sx/sy[(i*(m+1)+j)*8 + lane].
+ * compiler vectorizes the lane loop onto AVX2 int16 lanes (32 lanes
+ * measured best: 2 registers deep for ILP without blowing L2; 64 lanes
+ * regress).  Layout: score/sx/sy[(i*(m+1)+j)*LANES + lane].
  * The recurrence and tie-breaks are the exact integer semantics of
  * src/gassembler.c:2185-2321 (see ops/swalign.py). */
 
-#define SW_LANES 8
+#define SW_LANES 32
 
 static void sw_fill_lanes (const signed char *ref, int n,
                            const signed char *rd /* [8][m] */, int m,
@@ -1879,4 +1880,156 @@ void fgx_fetch_reads (const unsigned char *const *file_data,
     }
     for (j = 0; j < sl; j++) code[j] = c2n[seq[j]];
   }
+}
+
+/* ------------------------------------------------------------------ */
+/* gassembler group phase (src/gassembler.c:1327-1591)                 */
+/* ------------------------------------------------------------------ */
+
+/* Full group phase after alignment: greedy tag merge (fgx_group_merge),
+ * per-group coverage min/max, read-compatibility counts, per-group
+ * consensus (gated on GLOBAL nucleotide counts > 1, nucleotide order
+ * 0,1,2,3,5 skipping N), divergence vs the aligned reference with the
+ * reference's sequential last-value carry ACROSS group rows, the
+ * pairwise (divergence asc, size desc) sort with read relabeling, and
+ * group selection.  The relative-size filter multiplies in float like
+ * the reference's `(float) size < size0 * min_group_rsize`.
+ *
+ * tags/masks/sizes/dirs are in/out [na] (group slots 0..n_groups-1 on
+ * return); group_of [na] gets final labels; divergent/min_cov/max_cov/
+ * compat_n/included sized [na]; consensus [na*p_len] int8; good_groups
+ * [max_groups].  Returns n_groups; *n_good_out = selected count. */
+long fgx_group_phase (unsigned long long *tags, unsigned long long *masks,
+                      long *sizes, long *dirs, long *group_of,
+                      const unsigned long long *read_tags,
+                      const unsigned long long *read_masks,
+                      const signed char *ga, long na, long p_len,
+                      const signed char *aligned_ref,
+                      const unsigned char *known,
+                      long *divergent, long *min_cov, long *max_cov,
+                      long *compat_n, signed char *consensus,
+                      int max_groups, int require_both_dirs,
+                      long min_group_coverage, long min_group_size,
+                      long max_group_divergence, long max_group_rdivergence,
+                      float min_group_rsize,
+                      unsigned char *included, long *good_groups,
+                      long *n_good_out)
+{
+  long n_groups = fgx_group_merge (tags, masks, sizes, dirs, group_of, na);
+  long g, r, i, j, k;
+  long *cov_gp = (long *) calloc ((size_t) (n_groups * (p_len ? p_len : 1)),
+                                  sizeof (long));
+  long *cnt = (long *) calloc ((size_t) (n_groups * (p_len ? p_len : 1) * 7),
+                               sizeof (long));
+  long *gcnt = (long *) calloc ((size_t) ((p_len ? p_len : 1) * 7),
+                                sizeof (long));
+  long min_div, n_good = 0;
+  signed char last_ar = 4, last_cons = 4;   /* N */
+
+  /* global per-position nucleotide counts + per-group grids */
+  for (r = 0; r < na; r++) {
+    const signed char *row = ga + r * p_len;
+    long *grp_cov = cov_gp + group_of[r] * p_len;
+    long *grp_cnt = cnt + group_of[r] * p_len * 7;
+    for (i = 0; i < p_len; i++) {
+      signed char v = row[i];
+      gcnt[i * 7 + v] += 1;
+      grp_cnt[i * 7 + v] += 1;
+      if (v <= 5) grp_cov[i] += 1;   /* <= GAP */
+    }
+  }
+  for (g = 0; g < n_groups; g++) {
+    if (p_len) {
+      long mn = cov_gp[g * p_len], mx = mn;
+      for (i = 1; i < p_len; i++) {
+        long c = cov_gp[g * p_len + i];
+        if (c < mn) mn = c;
+        if (c > mx) mx = c;
+      }
+      min_cov[g] = mn;
+      max_cov[g] = mx;
+    } else {
+      min_cov[g] = na;
+      max_cov[g] = 0;
+    }
+    compat_n[g] = 0;
+    for (r = 0; r < na; r++) {
+      unsigned long long cm = masks[g] & read_masks[r];
+      if ((tags[g] & cm) == (read_tags[r] & cm)) compat_n[g] += 1;
+    }
+    /* consensus */
+    for (i = 0; i < p_len; i++) {
+      signed char c = aligned_ref[i];
+      long *cc = cnt + (g * p_len + i) * 7;
+      long *gc = gcnt + i * 7;
+      static const signed char order[5] = { 0, 1, 2, 3, 5 };
+      for (k = 0; k < 5; k++) {
+        signed char kk = order[k];
+        if (gc[kk] > 1 && cc[kk] > cc[c]) c = kk;
+      }
+      consensus[g * p_len + i] = c;
+    }
+  }
+  /* divergence with the flattened carry across rows */
+  for (g = 0; g < n_groups; g++) {
+    long d = 0;
+    for (i = 0; i < p_len; i++) {
+      signed char ar = aligned_ref[i];
+      signed char cs = consensus[g * p_len + i];
+      int diff = (cs != ar) && !(known && known[i]);
+      int countable = ((last_ar != 5) || (ar != 5))
+        && ((last_cons != 5) || (cs != 5));
+      if (diff && countable) d += 1;
+      last_ar = ar;
+      last_cons = cs;
+    }
+    divergent[g] = d;
+  }
+  /* pairwise sort: divergence asc, size desc; reads relabel per swap */
+  for (i = 0; i < n_groups; i++) {
+    for (j = i + 1; j < n_groups; j++) {
+      if (divergent[j] < divergent[i]
+          || (divergent[j] == divergent[i] && sizes[j] > sizes[i])) {
+        unsigned long long ut;
+        long lt;
+        lt = divergent[i]; divergent[i] = divergent[j]; divergent[j] = lt;
+        lt = sizes[i]; sizes[i] = sizes[j]; sizes[j] = lt;
+        lt = min_cov[i]; min_cov[i] = min_cov[j]; min_cov[j] = lt;
+        lt = max_cov[i]; max_cov[i] = max_cov[j]; max_cov[j] = lt;
+        lt = compat_n[i]; compat_n[i] = compat_n[j]; compat_n[j] = lt;
+        lt = dirs[i]; dirs[i] = dirs[j]; dirs[j] = lt;
+        ut = tags[i]; tags[i] = tags[j]; tags[j] = ut;
+        ut = masks[i]; masks[i] = masks[j]; masks[j] = ut;
+        for (k = 0; k < p_len; k++) {
+          signed char t = consensus[i * p_len + k];
+          consensus[i * p_len + k] = consensus[j * p_len + k];
+          consensus[j * p_len + k] = t;
+        }
+        for (r = 0; r < na; r++) {
+          if (group_of[r] == i) group_of[r] = j;
+          else if (group_of[r] == j) group_of[r] = i;
+        }
+      }
+    }
+  }
+  /* selection */
+  min_div = n_groups ? divergent[0] : 0;
+  for (g = 1; g < n_groups; g++)
+    if (divergent[g] < min_div) min_div = divergent[g];
+  for (g = 0; g < n_groups; g++) {
+    int inc = n_good < max_groups;
+    if (require_both_dirs && dirs[g] != 3) inc = 0;
+    if (min_cov[g] < min_group_coverage) inc = 0;
+    if (sizes[g] < min_group_size) inc = 0;
+    if (divergent[g] > max_group_divergence) inc = 0;
+    if (divergent[g] > min_div + max_group_rdivergence) inc = 0;
+    if ((float) sizes[g] < ((float) sizes[0] * min_group_rsize)) inc = 0;
+    included[g] = (unsigned char) inc;
+    if (inc) good_groups[n_good++] = g;
+  }
+  *n_good_out = n_good;
+  free (cov_gp);
+  free (cnt);
+  free (gcnt);
+  return n_groups;
 }
