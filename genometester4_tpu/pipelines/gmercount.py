@@ -160,14 +160,6 @@ class DBCounter:
         self.hits: list[dict] = []
         self.result = CountResult(np.zeros(db.n_kmers, np.uint64))
         n = len(db.sorted_words)
-        # count mode: DB words act as QUERIES into each chunk's sorted
-        # uniques (inverted join, see _make_count_fn); device-resident
-        # u64-as-two-u32 accumulators per unique DB word
-        dbhi, dblo = split_u64(db.sorted_words)
-        self._dbhi = jnp.asarray(dbhi)
-        self._dblo = jnp.asarray(dblo)
-        self._acc_lo = jnp.zeros(n, jnp.uint32)
-        self._acc_hi = jnp.zeros(n, jnp.uint32)
         self._finalized = False
         # unique DB word -> flat slot via the reference's code decode
         # (garbage summed codes of duplicate k-mers decode out of range
@@ -179,17 +171,38 @@ class DBCounter:
         self._run_cache: dict = {}
         # count-mode placement: with no accelerator at all, the native
         # host kernels (extract + radix sort + searchsorted bounds) beat
-        # the jnp pipeline on the XLA CPU backend several-fold; with a
-        # device (even behind the tunnel — readback here is DB-sized,
-        # not output-sized) the device pipeline wins.
+        # the jnp pipeline on the XLA CPU backend several-fold. Behind
+        # the axon dev tunnel the device kernel measures fast when the
+        # tunnel is healthy, but the tunnel FLAPS (CLAUDE.md): a
+        # half-dead relay turns jax backend init or any dispatch into a
+        # multi-minute in-process hang no timeout can interrupt — a 17 s
+        # to 12 min wall on a run the host path finishes in 1 s
+        # (round-2 fixture finding). A user-facing CLI must never risk
+        # that, so auto picks the device only on a real fast link;
+        # accelerator_link_is_slow() answers from the environment
+        # without touching jax. GT4_TPU_COUNT_IMPL=device opts in.
         import os
+
+        from genometester4_tpu.utils.backend import accelerator_link_is_slow
 
         impl = os.environ.get("GT4_TPU_COUNT_IMPL", "auto")
         if impl == "auto":
-            impl = "host" if jax.default_backend() == "cpu" else "device"
+            if accelerator_link_is_slow():
+                impl = "host"
+            else:
+                impl = "host" if jax.default_backend() == "cpu" else "device"
         self._count_impl = impl
         if impl == "host":
             self._host_acc = np.zeros(n, np.uint64)
+        else:
+            # device-resident DB tables + u64-as-two-u32 accumulators,
+            # uploaded only on the device path (the upload itself
+            # initializes jax)
+            dbhi, dblo = split_u64(db.sorted_words)
+            self._dbhi = jnp.asarray(dbhi)
+            self._dblo = jnp.asarray(dblo)
+            self._acc_lo = jnp.zeros(n, jnp.uint32)
+            self._acc_hi = jnp.zeros(n, jnp.uint32)
         # index mode: per-window DB lookup (needs positions; padded table)
         if build_index:
             cap = 1 << max(10, math.ceil(math.log2(max(n, 2))))

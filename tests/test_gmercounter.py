@@ -398,3 +398,50 @@ def test_double_median_odd_nodes_u32_wrap(tmp_path, rng):
         rc = main(args)
     assert (rc or 0) == 0
     assert out.getvalue().encode() == ref.stdout
+
+
+def test_count_auto_never_touches_jax_behind_tunnel(tmp_path):
+    """Round-2 fixture finding: the flapping axon tunnel turns any jax
+    backend init into an unbounded in-process hang, so count-mode auto
+    must answer from the environment and stay native-host — the whole
+    run must finish without importing jax at all
+    (pipelines/gmercount.py placement comment)."""
+    import os
+    import subprocess
+    import sys as _sys
+    import random
+    rnd = random.Random(3)
+    db = tmp_path / "db.txt"
+    lines = []
+    for i in range(40):   # the format sniffer needs tens of lines
+        k1 = "".join(rnd.choice("ACGT") for _ in range(25))
+        k2 = "".join(rnd.choice("ACGT") for _ in range(25))
+        lines.append(f"n{i}\t2\t{k1}\t{k2}")
+    db.write_text("\n".join(lines) + "\n")
+    fa = tmp_path / "r.fa"
+    fa.write_text(">a\nACGTACGTACGTACGTACGTACGTACGTACGT\n")
+    code = (
+        "import sys\n"
+        "from genometester4_tpu.cli.gmer_counter import main\n"
+        "rc = main(['-db', %r, %r])\n"
+        "assert rc == 0, rc\n"
+        "assert 'jax' not in sys.modules, 'jax imported on host path'\n"
+        "print('HOSTPATH-CLEAN')\n" % (str(db), str(fa)))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("GT4_TPU_COUNT_IMPL", None)
+    # simulate the tunnel being this process's accelerator
+    env["PALLAS_AXON_POOL_IPS"] = "10.0.0.1"
+    env["GT4_TPU_LINK"] = "slow"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    import sysconfig
+    sp = sysconfig.get_paths()["purelib"]
+    r = subprocess.run([_sys.executable, "-S", "-c",
+                        "import sys;"
+                        "sys.path.insert(0, %r);"
+                        "sys.path.insert(0, %r);"
+                        % (sp, env["PYTHONPATH"])
+                        + code.replace("\n", ";")],
+                       capture_output=True, timeout=120, env=env, text=True)
+    assert "HOSTPATH-CLEAN" in r.stdout, (r.stdout, r.stderr)
