@@ -264,11 +264,6 @@ for _a, _b in ((65, 84), (84, 65), (67, 71), (71, 67)):  # A<->T C<->G
     _RC_TABLE[_a] = _b
 
 
-def _revcomp_str(s: str) -> str:
-    b = np.frombuffer(s.encode("latin1"), np.uint8)
-    return _RC_TABLE[b][::-1].tobytes().decode("latin1")
-
-
 @dataclass
 class GASMRead:
     name: object          # bytes; decoded on demand (never consumed hot)

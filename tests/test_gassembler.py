@@ -427,3 +427,35 @@ def test_debug_level1_stderr_parity(katk_fixture):
     err = b"\n".join(l for l in ours.stderr.splitlines()
                      if b"WARNING" not in l) + b"\n"
     assert err == ref.stderr
+
+
+def test_gapped_alignment_native_matches_numpy_twin():
+    """The C gapped-alignment walk (fgx_gapped_alignment) and its numpy
+    oracle agree on random alignments (twins keep differential tests —
+    CLAUDE.md)."""
+    from genometester4_tpu.pipelines import gassemble as ga
+    rng = np.random.default_rng(11)
+    p = ga.Params()
+    n = 80
+    ref_codes = rng.integers(0, 4, n).astype(np.int8)
+    reads = []
+    for i in range(40):
+        s = int(rng.integers(0, n - 40))
+        ln = int(rng.integers(30, 41))
+        codes = ref_codes[s:s + ln].copy()
+        for _ in range(int(rng.integers(0, 3))):     # mutations
+            codes[rng.integers(0, len(codes))] = rng.integers(0, 4)
+        if rng.random() < 0.3:                       # small indel
+            cut = int(rng.integers(5, len(codes) - 5))
+            codes = np.concatenate([codes[:cut], codes[cut + 1:]])
+        seq = "".join("ACGT"[c] for c in codes)
+        reads.append(ga.GASMRead(b"r%d" % i, seq.encode(),
+                                 codes.astype(np.int8), 1))
+    a_reads, a = ga.align_reads(ref_codes, reads, p)
+    assert len(a_reads) > 5, "fixture should align"
+    got = ga.create_gapped_alignment(ref_codes, 500, a_reads, a, p)
+    exp = ga.create_gapped_alignment_numpy(ref_codes, 500, a_reads, a, p)
+    assert got[0] == exp[0]
+    np.testing.assert_array_equal(got[1][:got[0]], exp[1][:exp[0]])
+    np.testing.assert_array_equal(got[2][:got[0]], exp[2][:exp[0]])
+    np.testing.assert_array_equal(got[3][:, :got[0]], exp[3][:, :exp[0]])
