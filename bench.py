@@ -94,6 +94,15 @@ def run_e2e():
                            check=True, capture_output=True)
             ref_times.append(_t.time() - t0)
         ref_e2e = min(ref_times)
+        # the number is only meaningful if the tools produced the same
+        # list — fail loudly rather than report a fast wrong answer
+        import filecmp
+        ours = "/tmp/bench_e2e_%d.list" % K
+        ref = "/tmp/bench_ref_%d.list" % K
+        if os.path.exists(ours) and os.path.exists(ref):
+            if not filecmp.cmp(ours, ref, shallow=False):
+                raise SystemExit("[bench] e2e outputs differ from the "
+                                 "reference — refusing to report")
     return e2e, ref_e2e
 
 
