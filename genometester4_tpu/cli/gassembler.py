@@ -465,7 +465,7 @@ def main(argv=None) -> int:
             elif a == "-D":
                 p.debug += 1
             elif a == "-DG":
-                pass
+                p.debug_groups += 1
             elif a == "-ta":
                 _test_alignment(argv[i + 1], argv[i + 2])
                 return 0

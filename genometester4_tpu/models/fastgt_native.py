@@ -100,7 +100,11 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_float,                   # min_group_rsize
             ctypes.POINTER(ctypes.c_ubyte),   # included
             ctypes.POINTER(ctypes.c_long),    # good_groups
-            ctypes.POINTER(ctypes.c_long)]    # n_good_out
+            ctypes.POINTER(ctypes.c_long),    # n_good_out
+            ctypes.c_int, ctypes.c_uint,      # debug_groups, chr
+            ctypes.POINTER(ctypes.c_longlong),  # ref_pos
+            ctypes.POINTER(ctypes.c_ubyte),   # snv_ref_c
+            ctypes.POINTER(ctypes.c_ubyte)]   # snv_alt_c
         lib.fgx_gapped_alignment.restype = ctypes.c_long
         lib.fgx_gapped_alignment.argtypes = [
             i8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, i16p,

@@ -102,6 +102,7 @@ class Params:
     max_reference_length: int = 200
     print_reads: bool = False
     debug: int = 0
+    debug_groups: int = 0
 
 
 @dataclass
@@ -826,12 +827,17 @@ class Assembler:
             max_groups = 1
 
         known = np.zeros(max(p_len, 1), np.uint8)
+        snv_ref_c = np.zeros(max(p_len, 1), np.uint8)
+        snv_alt_c = np.zeros(max(p_len, 1), np.uint8)
         if self.snvs is not None:
             for i in range(p_len):
                 snv = lookup_snv(self.snvs, region.chr, region.start + i)
-                known[i] = (snv < len(self.snvs)
-                            and self.snvs[snv][0] == region.chr
-                            and self.snvs[snv][1] == region.start + i)
+                if (snv < len(self.snvs)
+                        and self.snvs[snv][0] == region.chr
+                        and self.snvs[snv][1] == region.start + i):
+                    known[i] = 1
+                    snv_ref_c[i] = ord(N2C[self.snvs[snv][2]])
+                    snv_alt_c[i] = ord(N2C[self.snvs[snv][3]])
 
         # One native call runs the whole phase — greedy merge, coverage,
         # compat counts, consensus (global-count gate), divergence with
@@ -873,7 +879,13 @@ class Assembler:
             ctypes.c_long(p.max_group_rdivergence),
             ctypes.c_float(p.min_group_rsize),
             included_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
-            good_buf.ctypes.data_as(lp), ctypes.byref(n_good)))
+            good_buf.ctypes.data_as(lp), ctypes.byref(n_good),
+            ctypes.c_int(p.debug_groups), ctypes.c_uint(region.chr),
+            np.ascontiguousarray(state["ref_pos"][:max(p_len, 1)],
+                                 np.int64).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_longlong)),
+            snv_ref_c.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            snv_alt_c.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))))
         consensus = consensus_buf[:max(n_groups, 1), :p_len].astype(np.int64)
         included = included_buf[:n_groups].astype(bool)
         good_groups = [int(good_buf[i]) for i in range(n_good.value)]
@@ -916,6 +928,16 @@ class Assembler:
             common1 = masks[g1] & read_masks
             ok1 = (tags[g1] & common1) == (read_tags & common1)
             extra_base["compat_both"] = int((ok0 & ok1).sum())
+
+        if p.debug_groups:
+            # second group dump, at the top of recalculate_and_call
+            # (src/gassembler.c:1619-1623)
+            for gi in range(n_groups):
+                sys.stderr.write(
+                    "Group %u size %u divergent %u, min %u max %u, "
+                    "included %u\n" % (gi, sizes[gi], divergent[gi],
+                                       min_cov[gi], max_cov[gi],
+                                       int(included[gi])))
 
         # recalculated counts: only included groups, only consensus-
         # matching nucleotides (vectorized over the whole grid)

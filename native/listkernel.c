@@ -19,6 +19,7 @@
  * the single emit pass that writes the final 12-byte records.
  */
 
+#include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
 
@@ -1580,8 +1581,10 @@ static long popcount3 (unsigned long long x)
  * reference rescans all pairs each round; at gassembler scales
  * (<=1024 reads, typically ~100) the rescan is cheaper in C than any
  * incremental bookkeeping.  Returns the final group count. */
-long fgx_group_merge (unsigned long long *tags, unsigned long long *masks,
-                      long *sizes, long *dirs, long *group_of, long na)
+static long group_merge_impl (unsigned long long *tags,
+                              unsigned long long *masks,
+                              long *sizes, long *dirs, long *group_of,
+                              long na, int dbg)
 {
   long n = na, r;
   while (n > 1) {
@@ -1600,17 +1603,34 @@ long fgx_group_merge (unsigned long long *tags, unsigned long long *masks,
     }
     if (best_i < 0) break;
     i = best_i; j = best_j;
+    /* -DG merge trace (src/gassembler.c:1413-1418): the second half
+     * prints the UPDATED tag but group j's (unchanged) mask */
+    if (dbg) fprintf (stderr, "Merging groups %u (size %u) and %u "
+                      "(size %u) (common %u): %llx %llx %llx %llx -> ",
+                      (unsigned int) i, (unsigned int) sizes[i],
+                      (unsigned int) j, (unsigned int) sizes[j],
+                      (unsigned int) best_nc, tags[i], masks[i],
+                      tags[j], masks[j]);
     tags[i] = (tags[i] & masks[i]) | (tags[j] & masks[j]);
     masks[i] |= masks[j];
     sizes[i] += sizes[j];
     dirs[i] |= dirs[j];
+    if (dbg) fprintf (stderr, "%llx %llx\n", tags[i], masks[j]);
     for (r = 0; r < na; r++) if (group_of[r] == j) group_of[r] = i;
     n--;
     tags[j] = tags[n]; masks[j] = masks[n];
     sizes[j] = sizes[n]; dirs[j] = dirs[n];
     for (r = 0; r < na; r++) if (group_of[r] == n) group_of[r] = j;
   }
+  if (dbg) fprintf (stderr, "Num remaining groups: %u\n",
+                    (unsigned int) n);
   return n;
+}
+
+long fgx_group_merge (unsigned long long *tags, unsigned long long *masks,
+                      long *sizes, long *dirs, long *group_of, long na)
+{
+  return group_merge_impl (tags, masks, sizes, dirs, group_of, na, 0);
 }
 
 /* ------------------------------------------------------------------ */
@@ -1913,9 +1933,18 @@ long fgx_group_phase (unsigned long long *tags, unsigned long long *masks,
                       long max_group_divergence, long max_group_rdivergence,
                       float min_group_rsize,
                       unsigned char *included, long *good_groups,
-                      long *n_good_out)
+                      long *n_good_out,
+                      /* -DG chrome (src/gassembler.c:1404-1580): level,
+                       * chromosome id, per-position reference positions,
+                       * and the pre-rendered SNV allele chars for the
+                       * Known-SNV line (0 when not known) */
+                      int debug_groups, unsigned int chr_id,
+                      const long long *ref_pos,
+                      const unsigned char *snv_ref_c,
+                      const unsigned char *snv_alt_c)
 {
-  long n_groups = fgx_group_merge (tags, masks, sizes, dirs, group_of, na);
+  long n_groups = group_merge_impl (tags, masks, sizes, dirs, group_of,
+                                    na, debug_groups);
   long g, r, i, j, k;
   long *cov_gp = (long *) calloc ((size_t) (n_groups * (p_len ? p_len : 1)),
                                   sizeof (long));
@@ -1970,16 +1999,32 @@ long fgx_group_phase (unsigned long long *tags, unsigned long long *masks,
       consensus[g * p_len + i] = c;
     }
   }
-  /* divergence with the flattened carry across rows */
+  /* divergence with the flattened carry across rows; the -DG trace
+   * prints on EVERY consensus!=ref position, before the known-SNV
+   * gate (src/gassembler.c:1466-1479) */
   for (g = 0; g < n_groups; g++) {
     long d = 0;
     for (i = 0; i < p_len; i++) {
       signed char ar = aligned_ref[i];
       signed char cs = consensus[g * p_len + i];
-      int diff = (cs != ar) && !(known && known[i]);
-      int countable = ((last_ar != 5) || (ar != 5))
-        && ((last_cons != 5) || (cs != 5));
-      if (diff && countable) d += 1;
+      if (cs != ar) {
+        if (debug_groups)
+          fprintf (stderr, "Divergent position in group %u %u:%u\n",
+                   (unsigned int) g, chr_id,
+                   (unsigned int) (ref_pos ? ref_pos[i] : 0));
+        if (known && known[i]) {
+          if (debug_groups)
+            fprintf (stderr, "Known SNV (%c/%c)\n",
+                     snv_ref_c ? snv_ref_c[i] : '?',
+                     snv_alt_c ? snv_alt_c[i] : '?');
+        } else {
+          if (debug_groups)
+            fprintf (stderr, "Potential DeNovo\n");
+          if (((last_ar != 5) || (ar != 5))
+              && ((last_cons != 5) || (cs != 5)))
+            d += 1;
+        }
+      }
       last_ar = ar;
       last_cons = cs;
     }
@@ -2012,18 +2057,79 @@ long fgx_group_phase (unsigned long long *tags, unsigned long long *masks,
       }
     }
   }
-  /* selection */
+  /* post-sort -DG dumps (src/gassembler.c:1504-1521) */
+  if (debug_groups) {
+    for (g = 0; g < n_groups; g++)
+      fprintf (stderr, "%llu\t", tags[g]);
+    fprintf (stderr, "\n");
+    for (g = 0; g < n_groups; g++)
+      fprintf (stderr, "%llu\t", masks[g]);
+    fprintf (stderr, "\n");
+    fprintf (stderr, "Read groups:");
+    for (r = 0; r < na; r++)
+      fprintf (stderr, " %u:%u", (unsigned int) r,
+               (unsigned int) group_of[r]);
+    fprintf (stderr, "\n");
+    for (g = 0; g < n_groups; g++)
+      fprintf (stderr, "Group %u size %u divergent %u, min %u max %u "
+               "tag %llx mask %llx\n", (unsigned int) g,
+               (unsigned int) sizes[g], (unsigned int) divergent[g],
+               (unsigned int) min_cov[g], (unsigned int) max_cov[g],
+               tags[g], masks[g]);
+  }
+  /* selection; every filter prints its own discard line, so one group
+   * can print several (src/gassembler.c:1547-1575), and the
+   * min-coverage message ends with a LITERAL backslash-n (the C source
+   * says \\n — reproduced) */
   min_div = n_groups ? divergent[0] : 0;
   for (g = 1; g < n_groups; g++)
     if (divergent[g] < min_div) min_div = divergent[g];
   for (g = 0; g < n_groups; g++) {
     int inc = n_good < max_groups;
-    if (require_both_dirs && dirs[g] != 3) inc = 0;
-    if (min_cov[g] < min_group_coverage) inc = 0;
-    if (sizes[g] < min_group_size) inc = 0;
-    if (divergent[g] > max_group_divergence) inc = 0;
-    if (divergent[g] > min_div + max_group_rdivergence) inc = 0;
-    if ((float) sizes[g] < ((float) sizes[0] * min_group_rsize)) inc = 0;
+    if (require_both_dirs && dirs[g] != 3) {
+      inc = 0;
+      if (debug_groups)
+        fprintf (stderr, "Discarded group %u (%u): All reads have the "
+                 "same dir (%s)\n", (unsigned int) g,
+                 (unsigned int) sizes[g], dirs[g] == 2 ? "rev" : "fwd");
+    }
+    if (min_cov[g] < min_group_coverage) {
+      inc = 0;
+      if (debug_groups)
+        fprintf (stderr, "Discarded group %u (%u): Minimum coverage "
+                 "is 0\\n", (unsigned int) g, (unsigned int) sizes[g]);
+    }
+    if (sizes[g] < min_group_size) {
+      inc = 0;
+      if (debug_groups)
+        fprintf (stderr, "Discarded group %u (%u): size too small "
+                 "(%u < %u)\n", (unsigned int) g, (unsigned int) sizes[g],
+                 (unsigned int) sizes[g], (unsigned int) min_group_size);
+    }
+    if (divergent[g] > max_group_divergence) {
+      inc = 0;
+      if (debug_groups)
+        fprintf (stderr, "Discarded group %u (%u): too big divergence "
+                 "(%u > %u)\n", (unsigned int) g, (unsigned int) sizes[g],
+                 (unsigned int) divergent[g],
+                 (unsigned int) max_group_divergence);
+    }
+    if (divergent[g] > min_div + max_group_rdivergence) {
+      inc = 0;
+      if (debug_groups)
+        fprintf (stderr, "Discarded group %u (%u): too big relative "
+                 "divergence (%u > %u)\n", (unsigned int) g,
+                 (unsigned int) sizes[g], (unsigned int) divergent[g],
+                 (unsigned int) (min_div + max_group_rdivergence));
+    }
+    if ((float) sizes[g] < ((float) sizes[0] * min_group_rsize)) {
+      inc = 0;
+      if (debug_groups)
+        fprintf (stderr, "Discarded group %u (%u): relative size too "
+                 "small (%.2f < %.2f)\n", (unsigned int) g,
+                 (unsigned int) sizes[g],
+                 (double) sizes[g] / sizes[0], (double) min_group_rsize);
+    }
     included[g] = (unsigned char) inc;
     if (inc) good_groups[n_good++] = g;
   }

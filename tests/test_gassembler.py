@@ -459,3 +459,31 @@ def test_gapped_alignment_native_matches_numpy_twin():
     np.testing.assert_array_equal(got[1][:got[0]], exp[1][:exp[0]])
     np.testing.assert_array_equal(got[2][:got[0]], exp[2][:exp[0]])
     np.testing.assert_array_equal(got[3][:, :got[0]], exp[3][:, :exp[0]])
+
+
+def test_debug_groups_stderr_parity(katk_fixture):
+    """-DG level-1 stderr is byte-identical: the merge trace (updated
+    tag + old mask halves), Num remaining groups, divergent-position /
+    Known SNV / Potential DeNovo lines, both Group dumps, Read groups,
+    and the discard messages including the literal backslash-n quirk of
+    the min-coverage line (src/gassembler.c:1404-1580,1619-1623)."""
+    import subprocess
+    tmp = katk_fixture
+    region1 = (tmp / "regions.txt").read_text().splitlines()[0].split("\t")
+    ref_base = region1[3][100]
+    alt = "G" if ref_base != "G" else "T"
+    (tmp / "snvs_dg.txt").write_text(f"1:1101:rs1:{ref_base}/{alt}\tAB\n")
+    args = ["--dbi", "db.idx", "--region_file", "regions.txt",
+            "--num_threads", "1", "--coverage", "40", "--sex", "female",
+            "--snvs", "snvs_dg.txt", "-DG"]
+    ref = run_reference(["gassembler"] + args, cwd=tmp, timeout=600)
+    ours = subprocess.run(
+        [sys.executable, "-m", "genometester4_tpu.cli.gassembler"] + args,
+        cwd=tmp, capture_output=True, timeout=600,
+        env={**os.environ, "PYTHONPATH": os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))})
+    assert ours.returncode == ref.returncode
+    assert ours.stdout == ref.stdout
+    err = b"\n".join(l for l in ours.stderr.splitlines()
+                     if b"WARNING" not in l) + b"\n"
+    assert err == ref.stderr
