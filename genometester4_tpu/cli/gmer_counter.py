@@ -58,6 +58,52 @@ def _dump_db(path: str, db) -> None:
                     int(kmer_pos[k]), int(dirs[k])))
 
 
+def _eof_reader_lines(path: str) -> None:
+    """The reader's -D end-of-sequence chrome (src/fasta.c:116,273):
+    a FASTQ ending in a newline prints the line TWICE at size-1 (the
+    quality branch fires, then the outer EOF branch re-fires at the
+    same cpos); everything else — FASTA, or a FASTQ with no trailing
+    newline — prints once at the full decompressed size."""
+    size = None
+    last = b""
+    first = b""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(2)
+        if head == b"\x1f\x8b":
+            import zlib
+            d = zlib.decompressobj(wbits=31)
+            size = 0
+            with open(path, "rb") as f:
+                while True:
+                    raw = f.read(1 << 20)
+                    if not raw:
+                        break
+                    out = d.decompress(raw)
+                    if out:
+                        size += len(out)
+                        if not first:
+                            first = out[:1]
+                        last = out[-1:]
+        else:
+            size = os.path.getsize(path)
+            with open(path, "rb") as f:
+                first = f.read(1)
+                if size:
+                    f.seek(-1, 2)
+                    last = f.read(1)
+    except OSError:
+        return
+    is_fq = first == b"@"
+    if is_fq and last == b"\n":
+        line = ("fasta_reader_read_nwords: Reader %s end of sequence "
+                "at %d\n" % (path, size - 1))
+        sys.stderr.write(line * 2)
+    else:
+        sys.stderr.write("fasta_reader_read_nwords: Reader %s end of "
+                         "sequence at %d\n" % (path, size))
+
+
 def _main_impl(argv=None) -> int:
     from genometester4_tpu.cli._cstrtol import strtol as _strtol
 
@@ -234,17 +280,17 @@ def _main_impl(argv=None) -> int:
             return 1
         with f:
             write_binary_db(db, f)
+        if debug:
+            sys.stderr.write("Done\n")
+            sys.stderr.write("Writing time (database): %.1fs\n"
+                             % (time.time() - last_time))
+        last_time = time.time()
 
     if db is None:
         # counting sequences without any database segfaults upstream
         # (NULL db in read_file) — fail cleanly instead
         sys.stderr.write("Nothing to do!\n" + HELP)
         return 1
-        if debug:
-            sys.stderr.write("Done\n")
-            sys.stderr.write("Writing time (database): %.1fs\n"
-                             % (time.time() - last_time))
-        last_time = time.time()
 
     if seqnames:
         counter = DBCounter(db, collect_stats=bool(stats),
@@ -260,6 +306,8 @@ def _main_impl(argv=None) -> int:
                     f"read_file: Fasta reader {path} returned 4294967295\n")
                 return 1
             counter.add_file(path)
+            if debug and path != "-":
+                _eof_reader_lines(path)
         counter.finalize()
         counts = counter.result.clamped(db.count_bits)
         if debug:
