@@ -265,6 +265,8 @@ def _main_impl(argv=None) -> int:
         last_time = time.time()
     if wdb is not None:
         from genometester4_tpu.formats.gmerdb_binary import write_binary_db
+        if debug:
+            sys.stderr.write(f"Writing binary database to {wdb}\n")
         # the reference fopen()s before touching the (possibly NULL)
         # db pointer (src/gmer_counter.c:350-358)
         try:
