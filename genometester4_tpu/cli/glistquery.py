@@ -161,8 +161,9 @@ def _main_impl(argv=None) -> int:
         sys.stderr.write("No list/index files specified!\n" + HELP)
         return 1
 
-    if command in ("stats", "median", "distro", "gc"):
+    if command in ("stats", "median", "distro", "gc") and not debug:
         # numpy-free stat paths: header read + at most one native pass
+        # (skipped under -D so the generic loop prints its load chrome)
         # (the numpy import alone costs ~240 ms under the -S
         # launchers). Returns None -> generic pipeline (error chrome,
         # index counts, odd headers).
@@ -197,6 +198,8 @@ def _main_impl(argv=None) -> int:
             try:
                 if code == GT4_LIST_CODE:
                     m = lq.ListQuery(p)
+                    if debug:
+                        sys.stderr.write(f"List {p} loaded\n")
                     has_lists = True
                 else:
                     m = lq.IndexQuery(p)
@@ -266,7 +269,7 @@ def _main_impl(argv=None) -> int:
         return 0
     if command == "median":
         for m in maps:
-            lq.print_median(m)
+            lq.print_median(m, debug=debug)
         return 0
     if command == "distro":
         for m in maps:

@@ -616,20 +616,28 @@ def get_statistics(lst: ListQuery):
     sys.stdout.write(_stats_header_lines(lst))
 
 
-def print_median(lst: ListQuery):
+def print_median(lst: ListQuery, debug: int = 0):
     """Exact replica of the reference's iterative median search
     (src/glistquery.c:814-892) with vectorized count passes."""
     counts = np.asarray(lst.counts)
     n = len(counts)
     h = lst.header
+    if debug:
+        sys.stderr.write("Finding min/max...")
     gmin = int(counts.min()) if n else 0xFFFFFFFF
     gmax = int(counts.max()) if n else 0
+    if debug:
+        sys.stderr.write("done (%u %u)\n".replace("%u", "%d")
+                         % (gmin, gmax))
     mn, mx = gmin, gmax
     med = (mn + mx) // 2
     while mx > mn:
         above = int((counts > med).sum())
         below = int((counts < med).sum())
         equal = n - above - below
+        if debug:
+            sys.stderr.write("Trying median %d - equal %d, below %d, "
+                             "above %d\n" % (med, equal, below, above))
         if mx == mn + 1:
             if above > below + equal:
                 med = mx
