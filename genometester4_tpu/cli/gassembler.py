@@ -101,15 +101,26 @@ MAX_KMERS = 1024
 
 
 def _split_line(data: bytes, pos: int, max_tokens: int):
+    """split_line twin (src/utils.c:234-248). The outer loop has NO
+    csize bound — past EOF the reference's mmap reads the zero page
+    (0 != '\\n'), so an unterminated final line yields EMPTY trailing
+    tokens until max_tokens. Those become empty k-mers and gassembler
+    dies with "No such kmer: " exit 0 (stable zero-page fallout,
+    reproduced; a file ending exactly at a page boundary segfaults the
+    reference instead — non-oracle)."""
     toks = []
     p = pos
     n = len(data)
-    while len(toks) < max_tokens and p < n and data[p] != 0x0A:
+
+    def _byte(i):
+        return data[i] if i < n else 0
+
+    while len(toks) < max_tokens and _byte(p) != 0x0A:
         s = p
         while p < n and data[p] >= 0x20:
             p += 1
         toks.append((s, p))
-        if p < n and data[p] != 0x0A:
+        if _byte(p) != 0x0A:
             p += 1
     return toks
 

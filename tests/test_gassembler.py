@@ -81,7 +81,10 @@ def run_ours(args):
     old = sys.stdout
     sys.stdout = io.StringIO()
     try:
-        rc = main(args)
+        try:
+            rc = main(args)
+        except SystemExit as e:
+            rc = e.code if isinstance(e.code, int) else 0
         out = sys.stdout.getvalue()
     finally:
         sys.stdout = old
@@ -487,3 +490,31 @@ def test_debug_groups_stderr_parity(katk_fixture):
     err = b"\n".join(l for l in ours.stderr.splitlines()
                      if b"WARNING" not in l) + b"\n"
     assert err == ref.stderr
+
+
+def test_region_file_unterminated_last_line(katk_fixture):
+    """Fuzz regression: split_line has no csize bound on its outer
+    loop, so an unterminated final region line reads the mmap zero
+    page into ~1024 empty trailing tokens; the empty k-mers make the
+    reference print "No such kmer: " and exit 0 with no calls
+    (src/utils.c:234-248 + src/gassembler.c:2575-2580)."""
+    tmp = katk_fixture
+    line1 = (tmp / "regions.txt").read_text().splitlines()[0]
+    (tmp / "nonl.txt").write_text(line1)   # no trailing newline
+    args = ["--dbi", "db.idx", "--region_file", "nonl.txt",
+            "--num_threads", "1", "--coverage", "40", "--sex", "female"]
+    ref = run_reference(["gassembler"] + args, cwd=tmp, timeout=600)
+    if ref.returncode < 0:
+        # the 1028-token zero-page walk crossed into an unmapped page
+        # (depends on csize mod 4096) and the reference SIGSEGVed —
+        # not an oracle for this file size
+        pytest.skip("reference segfaulted on this size")
+    import os
+    old = os.getcwd()
+    os.chdir(tmp)
+    try:
+        rc, out = run_ours(args)
+    finally:
+        os.chdir(old)
+    assert rc == ref.returncode
+    assert out == ref.stdout.decode()
