@@ -137,48 +137,49 @@ def print_header(out, params: Params):
 
 
 def print_call(out, cb: CallBlock, call: Call, params: Params):
-    """src/gassembler.c:355-392."""
-    out.write("%s\t%u\t%u\t%c\t%u" % (CHR_NAMES[cb.chr], call.pos, call.sub,
-                                      N2C[call.ref], call.cov))
+    """src/gassembler.c:355-392 — one write per line (same bytes as the
+    reference's per-field fprintfs)."""
     q32 = float(np.float32(call.q))
     pd32 = float(np.float32(call.p_det))
     if (call.ref != N and call.cov >= params.min_coverage
             and q32 >= params.min_p
             and (call.poly or pd32 >= params.min_pmut)
             and call.nucl[0] != NONE):
-        out.write("\t%c%c" % (N2C[call.nucl[0]], N2C[call.nucl[1]]))
+        cstr = "\t%c%c" % (N2C[call.nucl[0]], N2C[call.nucl[1]])
     else:
-        out.write("\tNC")
+        cstr = "\tNC"
     if call.ref == GAP:
-        out.write("\tI")
+        klass = "\tI"
     elif call.nucl[1] == GAP:
-        out.write("\tD")
+        klass = "\tD"
     elif call.poly:
-        out.write("\tS")
+        klass = "\tS"
     else:
-        out.write("\t0")
-    out.write("\t%.3f" % q32)
-    out.write("\t%.3f" % pd32)
+        klass = "\t0"
+    parts = ["%s\t%u\t%u\t%c\t%u" % (CHR_NAMES[cb.chr], call.pos, call.sub,
+                                     N2C[call.ref], call.cov),
+             cstr, klass, "\t%.3f" % q32, "\t%.3f" % pd32]
     if params.print_extra > 1:
-        out.write("\t%c" % call.prev_ref)
+        parts.append("\t%c" % call.prev_ref)
     if params.print_extra > 0:
-        out.write("\t%u\t%u\t%u\t%u\t%u" % (
+        parts.append("\t%u\t%u\t%u\t%u\t%u" % (
             call.counts[A], call.counts[C], call.counts[G], call.counts[T],
             call.counts[GAP]))
     if params.print_extra > 1:
         e = call.extra
-        out.write("\t%.5f\t%.5f\t%.5f" % (
+        parts.append("\t%.5f\t%.5f\t%.5f" % (
             float(np.float32(e.get("prob", 0.0))),
             float(np.float32(e.get("rprob", 0.0))),
             float(np.float32(e.get("hzprob", 0.0)))))
-        out.write("\t%2u" % e.get("end_dist", 0))
-        out.write("\t%2u\t%2u\t%2u\t%2u" % (
+        parts.append("\t%2u" % e.get("end_dist", 0))
+        parts.append("\t%2u\t%2u\t%2u\t%2u" % (
             e.get("n_groups_total", 0), e.get("n_groups", 0),
             e.get("div_0", 0), e.get("div_1", 0)))
-        out.write("\t%2u\t%2u\t%2u\t%2u\t%2u" % (
+        parts.append("\t%2u\t%2u\t%2u\t%2u\t%2u" % (
             e.get("max_cov_0", 0), e.get("max_cov_1", 0),
             e.get("compat_0", 0), e.get("compat_1", 0),
             e.get("compat_both", 0)))
+    out.write("".join(parts))
 
 
 class OutputQueue:

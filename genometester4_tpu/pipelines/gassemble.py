@@ -105,7 +105,7 @@ class Params:
     debug_groups: int = 0
 
 
-@dataclass
+@dataclass(slots=True)
 class Call:
     pos: int = 0
     sub: int = 0
@@ -128,6 +128,7 @@ class CallBlock:
     end: int
     haploid: bool
     calls: list = field(default_factory=list)
+    _pos_list: object = None   # bisect cache (cli.gassembler._calls_at)
 
 
 def _rand():
@@ -265,7 +266,7 @@ for _a, _b in ((65, 84), (84, 65), (67, 71), (71, 67)):  # A<->T C<->G
     _RC_TABLE[_a] = _b
 
 
-@dataclass
+@dataclass(slots=True)
 class GASMRead:
     name: object          # bytes; decoded on demand (never consumed hot)
     seq_b: bytes          # oriented sequence bytes
