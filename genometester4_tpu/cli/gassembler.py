@@ -544,12 +544,26 @@ def main(argv=None) -> int:
 
     if p.debug:
         sys.stderr.write("Loading read sequences\n")
-    files = SeqFiles(db.index.files, seq_dir)
+    from genometester4_tpu.pipelines.gassemble import SeqFilesError
+    try:
+        files = SeqFiles(db.index.files, seq_dir)
+    except SeqFilesError:
+        sys.stderr.write("Cannot read sequences: terminating\n")
+        return 1
     sex = p.sex
     if sex == 0:
         sex = auto_sex(db)
     asm = Assembler(db, files, p, sex, coverage, snvs=snvs, fps=fps)
     out = sys.stdout
+
+    if input_name:
+        from genometester4_tpu.utils.gt4mmap import gt4_mmap_fail
+        mf = gt4_mmap_fail(input_name)
+        if mf is not None:
+            # src/gassembler.c:1000-1003 / 1035-1038
+            sys.stderr.write(mf)
+            sys.stderr.write(f"Cannot mmap input file {input_name}\n")
+            return 1
 
     if input_name and only_pos:
         # --pos: scan the region file for the covering region and run the

@@ -229,11 +229,18 @@ def auto_sex(db) -> int:
 # read extraction
 # ---------------------------------------------------------------------------
 
+class SeqFilesError(Exception):
+    """A sequence file named by the read index cannot be mapped; the
+    CLI prints the reference's terminating line (src/gassembler.c:949-952)."""
+
+
 class SeqFiles:
     """mmap'd FASTQ/FASTA sources named by the read index."""
 
     def __init__(self, names: list, seq_dir: str | None = None):
         import os
+
+        from genometester4_tpu.utils.gt4mmap import gt4_mmap_fail
         self.data = []
         self.names = []
         for nm in names:
@@ -241,6 +248,13 @@ class SeqFiles:
             if seq_dir:
                 nm = os.path.join(seq_dir, os.path.basename(nm))
             self.names.append(nm)
+            mf = gt4_mmap_fail(nm)
+            if mf is not None:
+                # map_sequences chrome (src/gassembler.c:2536-2545);
+                # the caller prints the terminating line
+                sys.stderr.write(mf)
+                sys.stderr.write("Cannot memory map %s\n" % nm)
+                raise SeqFilesError(nm)
             with open(nm, "rb") as f:
                 self.data.append(f.read())
         self._ptrs = None
@@ -1159,6 +1173,13 @@ def read_snvs(path: str):
     "CHR:POS[:ID]:R/A<TAB>GT..."; POS is 1-based in the file, stored
     0-based. Returns sorted (chr, pos, ref_allele, alt_allele) tuples."""
     out = []
+    from genometester4_tpu.utils.gt4mmap import gt4_mmap_fail
+    mf = gt4_mmap_fail(path)
+    if mf is not None:
+        # reference: read_snvs mmap failure just yields 0 SNVs and the
+        # run continues (src/gassembler.c:2335-2340)
+        sys.stderr.write(mf)
+        return out
     with open(path, "rb") as f:
         for line in f:
             if line[:1] == b"#":
@@ -1187,6 +1208,11 @@ def read_fps(path: str):
     """Known-false-positive positions (src/gassembler.c:2392-2438):
     POS stored as-is (NOT shifted, unlike read_snvs)."""
     out = []
+    from genometester4_tpu.utils.gt4mmap import gt4_mmap_fail
+    mf = gt4_mmap_fail(path)
+    if mf is not None:
+        sys.stderr.write(mf)
+        return out
     with open(path, "rb") as f:
         for line in f:
             if line[:1] == b"#":
