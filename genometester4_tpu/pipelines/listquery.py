@@ -342,6 +342,19 @@ def search_fasta(lst: ListQuery, path: str, nmm: int, pm3: int, min_freq: int,
     from genometester4_tpu.ops.kmers import extract_kmers
     from genometester4_tpu.ops.encode import join_u64
 
+    import os as _os
+    if path != "-" and not _os.path.isfile(path):
+        # the reference's stream constructor opens lazily; the reader
+        # fails in read(2). A missing path also fails fclose's az
+        # assertion; a directory opened fine, so only the read error
+        # prints (src/glistquery.c:688-696 + sequence-source.c:97)
+        sys.stderr.write(
+            f"fasta_reader_read_nwords: Reader {path} read error (-1) "
+            "at 0\n")
+        if not _os.path.isdir(path):
+            sys.stderr.write("File sequence-source.c line 97 (?): "
+                             "Assertion inst->open failed\n")
+        return 255
     parsed = load_file(path)
     codes = parsed.codes
     if len(codes) < lst.k:
@@ -378,8 +391,14 @@ def search_query_file(lst: ListQuery, path: str, nmm: int, pm3: int,
                       use_3p: bool, use_5p: bool):
     """-f: byte-level tokenizer parity (src/glistquery.c:619-640): collect
     up to 255 chars until newline, then skip bytes < 'A'."""
-    with open(path, "rb") as f:
-        data = f.read()
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+    except OSError:
+        # src/glistquery.c:614-618 (note the trailing period)
+        sys.stderr.write("search_n_query_strings: Cannot open file "
+                         f"{path}.\n")
+        return 1
     if (nmm == 0 and not print_all
             and not (lst.index_map is not None and lst.print_locations)):
         # clean-file fast path: exact-k ACGT tokens, one per line — the
