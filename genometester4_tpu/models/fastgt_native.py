@@ -147,6 +147,11 @@ def get_lib() -> ctypes.CDLL:
         lib.fgx_count_kmers_list.argtypes = [
             u8p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
             ctypes.c_uint, ctypes.c_uint, u8p, u64sp]
+        lib.fgx_index_hits.restype = ctypes.c_long
+        lib.fgx_index_hits.argtypes = [
+            u8p, ctypes.c_long, ctypes.c_int,
+            u64p, u32p, ctypes.c_long,
+            u32p, i64p_, u8p, ctypes.POINTER(ctypes.c_longlong)]
         lp_ = ctypes.POINTER(ctypes.c_long)
         lib.fgx_parse_fasta_slab.restype = ctypes.c_long
         lib.fgx_parse_fasta_slab.argtypes = [

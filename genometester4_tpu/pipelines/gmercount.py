@@ -203,19 +203,27 @@ class DBCounter:
             self._dblo = jnp.asarray(dblo)
             self._acc_lo = jnp.zeros(n, jnp.uint32)
             self._acc_hi = jnp.zeros(n, jnp.uint32)
-        # index mode: per-window DB lookup (needs positions; padded table)
+        # index mode: per-window DB lookup. Host placement runs the
+        # rolling native kernel (fgx_index_hits, binary search into the
+        # L2-resident sorted DB); the device path uploads padded tables.
         if build_index:
-            cap = 1 << max(10, math.ceil(math.log2(max(n, 2))))
-            w = np.zeros(cap, np.uint64)
-            w[:n] = db.sorted_words
-            c = np.zeros(cap, np.uint32)
-            c[:n] = db.sorted_codes
-            hi, lo = split_u64(w)
-            self._thi = jnp.asarray(hi)
-            self._tlo = jnp.asarray(lo)
-            self._tcode = jnp.asarray(c)
-            self._n = np.int32(n)
-            self._run_idx = _make_index_fn(db.wordsize, lookup_steps(cap))
+            if self._count_impl == "host":
+                self._hw = np.ascontiguousarray(db.sorted_words, np.uint64)
+                self._hc = np.ascontiguousarray(db.sorted_codes, np.uint32)
+                self._hit_bufs = None
+            else:
+                cap = 1 << max(10, math.ceil(math.log2(max(n, 2))))
+                w = np.zeros(cap, np.uint64)
+                w[:n] = db.sorted_words
+                c = np.zeros(cap, np.uint32)
+                c[:n] = db.sorted_codes
+                hi, lo = split_u64(w)
+                self._thi = jnp.asarray(hi)
+                self._tlo = jnp.asarray(lo)
+                self._tcode = jnp.asarray(c)
+                self._n = np.int32(n)
+                self._run_idx = _make_index_fn(db.wordsize,
+                                               lookup_steps(cap))
         # per-slot GC counts for --stats. Bug-compat: the reference
         # re-reads the UNSHIFTED word every loop iteration
         # (src/gmer_counter.c:798-803 redeclares `word` inside the loop),
@@ -224,6 +232,37 @@ class DBCounter:
             w = db.kmer_words
             self._slot_gc = (np.uint64(db.wordsize)
                              * ((w ^ (w >> np.uint64(1))) & np.uint64(1)))
+
+    def _idx_lookup(self, chunk_codes: np.ndarray):
+        """One chunk's (hcode, hpos, hdir, n_valid) as numpy, host or
+        device per placement. Host positions are already chunk-local
+        window starts, identical to the device program's iota."""
+        if self._count_impl == "host":
+            import ctypes
+
+            from genometester4_tpu.models.fastgt_native import get_lib
+            codes = np.ascontiguousarray(chunk_codes, np.uint8)
+            n = len(codes)
+            cap = max(n - self.db.wordsize + 1, 1)
+            bufs = self._hit_bufs
+            if bufs is None or len(bufs[0]) < cap:
+                bufs = (np.empty(cap, np.uint32), np.empty(cap, np.int64),
+                        np.empty(cap, np.uint8))
+                self._hit_bufs = bufs
+            hcode, hpos, hdir = bufs
+            nv = ctypes.c_longlong(0)
+            m = get_lib().fgx_index_hits(
+                codes, ctypes.c_long(n), ctypes.c_int(self.db.wordsize),
+                self._hw, self._hc, ctypes.c_long(len(self._hw)),
+                hcode, hpos, hdir, ctypes.byref(nv))
+            return (hcode[:m].copy(), hpos[:m].copy(), hdir[:m].copy(),
+                    int(nv.value))
+        chunk = pad_pow2_chunk(chunk_codes, self.chunk_bases)
+        n_hit, hcode, hpos, hdir, n_valid = self._run_idx(
+            jnp.asarray(chunk), self._thi, self._tlo, self._tcode, self._n)
+        m = int(n_hit)
+        return (np.asarray(hcode[:m]), np.asarray(hpos[:m]).astype(np.int64),
+                np.asarray(hdir[:m]), int(n_valid))
 
     def add_file(self, path: str, slab_bytes: int = 1 << 28):
         if self.build_index:
@@ -285,19 +324,13 @@ class DBCounter:
                 gpos_l, c_l, d_l = [], [], []
                 step = self.chunk_bases - (k - 1)
                 for start in range(0, max(n - (k - 1), 1), step):
-                    chunk = pad_pow2_chunk(codes[start:start
-                                                 + self.chunk_bases],
-                                           self.chunk_bases)
-                    n_hit, hcode, hpos, hdir, n_valid = self._run_idx(
-                        jnp.asarray(chunk), self._thi, self._tlo,
-                        self._tcode, self._n)
-                    m = int(n_hit)
-                    c_l.append(np.asarray(hcode[:m]))
-                    gpos_l.append(np.asarray(hpos[:m]).astype(np.int64)
-                                  + start)
-                    d_l.append(np.asarray(hdir[:m]))
+                    hcode, hpos, hdir, n_valid = self._idx_lookup(
+                        codes[start:start + self.chunk_bases])
+                    c_l.append(hcode)
+                    gpos_l.append(hpos + start)
+                    d_l.append(hdir)
                     if self.collect_stats:
-                        self.result.stats.n_kmers_total += int(n_valid)
+                        self.result.stats.n_kmers_total += n_valid
                 if c_l:
                     gpos = np.concatenate(gpos_l)
                     rec = np.searchsorted(meta.rec_starts, gpos,
@@ -363,17 +396,14 @@ class DBCounter:
                 continue
             step = self.chunk_bases - (k - 1)
             for start in range(0, max(n - (k - 1), 1), step):
-                chunk = pad_pow2_chunk(codes[start:start + self.chunk_bases],
-                                       self.chunk_bases)
-                n_hit, hcode, hpos, hdir, n_valid = self._run_idx(
-                    jnp.asarray(chunk), self._thi, self._tlo, self._tcode,
-                    self._n)
-                m = int(n_hit)
+                hcode, hpos, hdir, n_valid = self._idx_lookup(
+                    codes[start:start + self.chunk_bases])
+                m = len(hcode)
                 if self.collect_stats:
-                    self.result.stats.n_kmers_total += int(n_valid)
+                    self.result.stats.n_kmers_total += n_valid
                 if not m:
                     continue
-                spos = np.asarray(hpos[:m]).astype(np.int64) + start
+                spos = hpos + start
                 seg = np.searchsorted(meta.seg_starts, spos,
                                       side="right") - 1
                 rec_l.append(meta.seg_rec[seg])
@@ -432,17 +462,13 @@ class DBCounter:
         if n >= k:
             step = self.chunk_bases - (k - 1)
             for start in range(0, max(n - (k - 1), 1), step):
-                chunk = pad_pow2_chunk(codes[start:start + self.chunk_bases],
-                                       self.chunk_bases)
-                n_hit, hcode, hpos, hdir, n_valid = self._run_idx(
-                    jnp.asarray(chunk), self._thi, self._tlo, self._tcode,
-                    self._n)
-                m = int(n_hit)
-                code_l.append(np.asarray(hcode[:m]))
-                gpos_l.append(np.asarray(hpos[:m]).astype(np.int64) + start)
-                dir_l.append(np.asarray(hdir[:m]))
+                hcode, hpos, hdir, n_valid = self._idx_lookup(
+                    codes[start:start + self.chunk_bases])
+                code_l.append(hcode)
+                gpos_l.append(hpos + start)
+                dir_l.append(hdir)
                 if self.collect_stats:
-                    self.result.stats.n_kmers_total += int(n_valid)
+                    self.result.stats.n_kmers_total += n_valid
         code_a = (np.concatenate(code_l) if code_l
                   else np.empty(0, np.uint32))
         gpos = (np.concatenate(gpos_l) if gpos_l

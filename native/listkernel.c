@@ -2139,3 +2139,46 @@ long fgx_group_phase (unsigned long long *tags, unsigned long long *masks,
   free (gcnt);
   return n_groups;
 }
+
+/* --compile_index host kernel: rolling canonical windows binary-
+ * searched in the DB's sorted word array (L2-resident at SNV-DB
+ * sizes); emits (code, window-start, is_rc) per hit in stream order —
+ * the same triples as the device index program (pipelines/gmercount.
+ * _make_index_fn; reference semantics src/gmer_counter.c:905-917).
+ * Returns the hit count; *n_valid_out counts N-free windows. */
+long fgx_index_hits (const unsigned char *codes, long n, int k,
+                     const unsigned long long *db_words,
+                     const unsigned int *db_codes, long ndb,
+                     unsigned int *hit_code, long long *hit_pos,
+                     unsigned char *hit_dir, long long *n_valid_out)
+{
+  unsigned long long mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+  int rc_shift = 2 * (k - 1);
+  unsigned long long fw = 0, rc = 0;
+  int run = 0;
+  long i, m = 0;
+  long long n_valid = 0;
+  for (i = 0; i < n; i++) {
+    unsigned int c = codes[i];
+    if (c > 3) { run = 0; continue; }
+    fw = ((fw << 2) | c) & mask;
+    rc = (rc >> 2) | ((unsigned long long) (3 - c) << rc_shift);
+    if (++run >= k) {
+      unsigned long long w = (fw < rc) ? fw : rc;
+      long lo = 0, hi = ndb;
+      n_valid += 1;
+      while (lo < hi) {
+        long mid = (lo + hi) >> 1;
+        if (db_words[mid] < w) lo = mid + 1; else hi = mid;
+      }
+      if (lo < ndb && db_words[lo] == w) {
+        hit_code[m] = db_codes[lo];
+        hit_pos[m] = i - k + 1;
+        hit_dir[m] = (unsigned char) (w != fw);
+        m += 1;
+      }
+    }
+  }
+  *n_valid_out = n_valid;
+  return m;
+}
