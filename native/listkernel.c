@@ -2158,6 +2158,24 @@ long fgx_index_hits (const unsigned char *codes, long n, int k,
   int run = 0;
   long i, m = 0;
   long long n_valid = 0;
+  /* top-PBITS prefix offset table (SURVEY hard-parts note): at FastGT
+   * production scale (~30 M DB words, 240 MB) a plain binary search
+   * cache-misses ~25 levels per window; the 4 MB offset table cuts it
+   * to the 1-2 resident levels of a short range. Prefix of the CODED
+   * word's top bits within 2k. */
+  enum { PBITS = 20 };
+  int shift = 2 * k - PBITS;
+  unsigned int *off = NULL;
+  if (shift > 0 && ndb >= (1 << 16)) {
+    long p, d = 0;
+    off = (unsigned int *) malloc (((1 << PBITS) + 1) * sizeof (unsigned int));
+    if (off) {
+      for (p = 0; p <= (1 << PBITS); p++) {
+        while (d < ndb && (long) (db_words[d] >> shift) < p) d += 1;
+        off[p] = (unsigned int) d;
+      }
+    }
+  }
   for (i = 0; i < n; i++) {
     unsigned int c = codes[i];
     if (c > 3) { run = 0; continue; }
@@ -2165,7 +2183,15 @@ long fgx_index_hits (const unsigned char *codes, long n, int k,
     rc = (rc >> 2) | ((unsigned long long) (3 - c) << rc_shift);
     if (++run >= k) {
       unsigned long long w = (fw < rc) ? fw : rc;
-      long lo = 0, hi = ndb;
+      long lo, hi;
+      if (off) {
+        unsigned long long p = w >> shift;
+        lo = off[p];
+        hi = off[p + 1];
+      } else {
+        lo = 0;
+        hi = ndb;
+      }
       n_valid += 1;
       while (lo < hi) {
         long mid = (lo + hi) >> 1;
@@ -2179,6 +2205,7 @@ long fgx_index_hits (const unsigned char *codes, long n, int k,
       }
     }
   }
+  free (off);
   *n_valid_out = n_valid;
   return m;
 }
