@@ -11,6 +11,7 @@ rand() stream and blocks finish out of order).
 
 from __future__ import annotations
 
+import bisect
 import sys
 
 import numpy as np
@@ -233,13 +234,12 @@ class OutputQueue:
         reference's break/continue linear scan (calls are pos-sorted);
         bisect turns the O(len(calls)) rescan per position into
         O(log)."""
-        import bisect
-        pl = getattr(ccb, "_pos_list", None)
+        pl = ccb._pos_list
         if pl is None or len(pl) != len(ccb.calls):
             pl = [c.pos for c in ccb.calls]
             ccb._pos_list = pl
-        return ccb.calls[bisect.bisect_left(pl, pos):
-                         bisect.bisect_right(pl, pos)]
+        lo = bisect.bisect_left(pl, pos)
+        return ccb.calls[lo:bisect.bisect_right(pl, pos, lo)]
 
     def _print_poly_best(self, cb_f: CallBlock, only_poly: bool):
         """src/gassembler.c:394-463."""

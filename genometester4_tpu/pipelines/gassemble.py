@@ -1017,57 +1017,76 @@ class Assembler:
         # (print_call, params.print_extra > 1); default runs share one
         # dict and skip ~130 copies per region
         collect_extra = p.print_extra > 1
+        # plain-int views: per-element numpy indexing dominates this
+        # loop otherwise (26k positions per run)
+        rp_l = ref_pos[:p_len].tolist()
+        ar_l = aligned_ref[:p_len].tolist()
+        cov_l = coverage.tolist()
+        st_l = status.tolist()
+        n0_l = nucl0.tolist()
+        n1_l = nucl1.tolist()
+        p_l = p_arr.tolist()
+        q_l = q_arr.tolist()
+        pd_l = pdet_arr.tolist()
+        rpr_l = rprob_arr.tolist()
+        av_l = alt_valid.tolist()
+        want_counts = p.print_extra > 0
+        reg_ref = region.ref
+        reg_start = region.start
+        calls_append = cb.calls.append
         for i in range(p.skip_end_call, p_len - p.skip_end_call):
-            if int(ref_pos[i]) == last_call_pos:
+            pos = rp_l[i]
+            if pos == last_call_pos:
                 sub += 1
             else:
                 sub = 0
-            last_call_pos = int(ref_pos[i])
+            last_call_pos = pos
             extra = dict(extra_base) if collect_extra else extra_base
             if collect_extra:
                 extra["end_dist"] = min(i, p_len - 1 - i)
+            ar = ar_l[i]
             # counts are only printed with --counts/--extra
             # (print_call, params.print_extra > 0)
-            call = Call(counts=(nucl_counts[i].copy() if p.print_extra
+            call = Call(counts=(nucl_counts[i].copy() if want_counts
                                 else None),
-                        pos=int(ref_pos[i]), sub=sub,
-                        ref=int(aligned_ref[i]), cov=int(coverage[i]),
+                        pos=pos, sub=sub, ref=ar, cov=cov_l[i],
                         extra=extra)
-            if call.ref == GAP:
-                call.prev_ref = region.ref[call.pos - region.start]
-            elif call.pos > region.start:
-                call.prev_ref = region.ref[call.pos - region.start - 1]
+            if ar == GAP:
+                call.prev_ref = reg_ref[pos - reg_start]
+            elif pos > reg_start:
+                call.prev_ref = reg_ref[pos - reg_start - 1]
             else:
                 call.prev_ref = "!"
-            if status[i] == 0:
-                call.nucl = (int(nucl0[i]), int(nucl1[i]))
-                call.p = float(p_arr[i])
-                call.q = float(q_arr[i])
-                call.p_det = float(pdet_arr[i])
-                call.poly = int(call.nucl[0] != aligned_ref[i]
-                                or call.nucl[1] != aligned_ref[i])
+            if st_l[i] == 0:
+                n0 = n0_l[i]
+                n1 = n1_l[i]
+                call.nucl = (n0, n1)
+                call.p = p_l[i]
+                call.q = q_l[i]
+                call.p_det = pd_l[i]
+                call.poly = int(n0 != ar or n1 != ar)
                 extra["prob"] = 1.0
-                extra["rprob"] = float(rprob_arr[i])
+                extra["rprob"] = rpr_l[i]
                 extra["hzprob"] = 1.0
-            cb.calls.append(call)
-            if alt_valid[i]:
+            calls_append(call)
+            if av_l[i]:
                 extra2 = dict(extra_base) if collect_extra else extra_base
                 if collect_extra:
                     extra2["end_dist"] = extra["end_dist"]
-                call2 = Call(counts=(nucl_counts[i].copy() if p.print_extra
+                an = int(alt_nucl[i])
+                call2 = Call(counts=(nucl_counts[i].copy() if want_counts
                                      else None),
-                             pos=call.pos, sub=sub, ref=call.ref,
+                             pos=pos, sub=sub, ref=ar,
                              cov=call.cov, extra=extra2,
                              prev_ref=call.prev_ref,
-                             nucl=(int(alt_nucl[i]), int(alt_nucl[i])),
+                             nucl=(an, an),
                              p=float(alt_p[i]), q=float(alt_q[i]),
                              p_det=float(alt_pdet[i]))
-                call2.poly = int(call2.nucl[0] != aligned_ref[i]
-                                 or call2.nucl[1] != aligned_ref[i])
+                call2.poly = int(an != ar)
                 extra2["prob"] = 1.0
                 extra2["rprob"] = float(alt_rprob[i])
                 extra2["hzprob"] = 1.0
-                cb.calls.append(call2)
+                calls_append(call2)
 
     def _call_one(self, region, a_pos, sub, extra, aligned_ref, ref_pos,
                   nucl_counts, coverage, chr_cov, haploid_region,
