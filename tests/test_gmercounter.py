@@ -445,3 +445,33 @@ def test_count_auto_never_touches_jax_behind_tunnel(tmp_path):
                         + code.replace("\n", ";")],
                        capture_output=True, timeout=120, env=env, text=True)
     assert "HOSTPATH-CLEAN" in r.stdout, (r.stdout, r.stderr)
+
+
+def test_compile_index_from_binary_db_matches_text_chain(tmp_path, rng):
+    """Upstream bug discovered in round 2: the reference's
+    `-dbb DB.dbb --compile_index` writes a CORRUPT read index
+    (truncated n_reads, garbage read_blocks tails; its own gassembler
+    segfaults or emits nonsense on it), while its text-DB chain is
+    fine. Our -dbb chain must equal our -db chain byte-for-byte in
+    every real field (the reference text chain is the oracle for
+    those), so a user gets a working binary-DB workflow."""
+    w = 12
+    db_text, kmers = make_db(rng, n_nodes=15, kmers_per_node=2, w=w)
+    (tmp_path / "db.txt").write_text(db_text)
+    (tmp_path / "reads.fq").write_text(make_fastq_reads(rng, kmers, w))
+    import os
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        rc, _ = run_ours(["-db", "db.txt", "-w", "c.dbb"])
+        assert rc == 0
+        for dbargs, out in (( ["-db", "db.txt"], "ti.idx"),
+                            (["-dbb", "c.dbb"], "bi.idx")):
+            rc, _ = run_ours(dbargs + ["--compile_index", out, "--silent",
+                                       "reads.fq"])
+            assert rc == 0
+    finally:
+        os.chdir(old)
+    a = (tmp_path / "ti.idx").read_bytes()
+    b = (tmp_path / "bi.idx").read_bytes()
+    assert a == b, "binary-DB index chain diverged from the text chain"
