@@ -279,10 +279,16 @@ def mm_lookup_sum(lst: ListQuery, word: int, nmm: int, pm3: int):
 
 def search_one_word(lst: ListQuery, word: int, nmm: int, pm3: int,
                     min_freq: int, max_freq: int, print_all: bool,
-                    out: list):
-    """src/glistquery.c:543-567 semantics for one query word."""
+                    out: list, reverse: int = 0):
+    """src/glistquery.c:543-567 semantics for one query word.
+
+    ``reverse`` is the caller's qd->reverse state: the reference SETS it
+    when a query canonicalizes to its reverse complement but never
+    clears it, so it is STICKY across the words of a -f/-s/-l stream
+    (src/glistquery.c:517-523). Returns the updated state."""
     cword = int(canonical_u64(np.array([word], np.uint64), lst.k)[0])
-    reverse = 1 if cword != word else 0
+    if cword != word:
+        reverse = 1
     word = cword
     ws = word_to_string(word, lst.k)
     with_locs = lst.index_map is not None and lst.print_locations
@@ -305,7 +311,7 @@ def search_one_word(lst: ListQuery, word: int, nmm: int, pm3: int,
                 out.append(f"{word_to_string(int(w), lst.k)}\t{c}\n")
         if not hit.any() and not min_freq:
             out.append(f"{ws}\t0\n")
-        return
+        return reverse
     if nmm == 0:
         cnt = int(lst.lookup_host(np.array([word], np.uint64))[0])
         if cnt:
@@ -313,13 +319,14 @@ def search_one_word(lst: ListQuery, word: int, nmm: int, pm3: int,
                 out.append(f"{ws}\t{cnt}\n")
         elif not min_freq:
             out.append(f"{ws}\t0\n")
-        return
+        return reverse
     total, fw, fc = mm_lookup_sum(lst, word, nmm, pm3)
     if total:
         if min_freq <= total <= max_freq:
             out.append(f"{ws}\t{total}\n")
     elif not min_freq:
         out.append(f"{ws}\t0\n")
+    return reverse
 
 
 def query_words_bulk(lst: ListQuery, words: np.ndarray, min_freq: int,
@@ -375,13 +382,15 @@ def search_fasta(lst: ListQuery, path: str, nmm: int, pm3: int, min_freq: int,
         hi, lo, valid = extract_kmers(jnp.asarray(codes), lst.k,
                                       canonical=False)
         words = join_u64(np.asarray(hi), np.asarray(lo))[np.asarray(valid)]
-    if nmm == 0 and not print_all:
+    with_locs = lst.index_map is not None and lst.print_locations
+    if nmm == 0 and not print_all and not with_locs:
         query_words_bulk(lst, words, min_freq, max_freq)
     else:
         out = []
+        rev = 0
         for w in words:
-            search_one_word(lst, int(w), nmm, pm3, min_freq, max_freq,
-                            print_all, out)
+            rev = search_one_word(lst, int(w), nmm, pm3, min_freq,
+                                  max_freq, print_all, out, rev)
         _emit(out)
     return 0
 
@@ -420,6 +429,7 @@ def search_query_file(lst: ListQuery, path: str, nmm: int, pm3: int,
                 query_words_bulk(lst, words, min_freq, max_freq)
                 return 0
     out: list[str] = []
+    rev = 0
     i, n = 0, len(data)
     while i < n:
         j = i
@@ -438,7 +448,8 @@ def search_query_file(lst: ListQuery, path: str, nmm: int, pm3: int,
         if word is None:
             _emit(out)
             return 1
-        search_one_word(lst, word, nmm, pm3, min_freq, max_freq, print_all, out)
+        rev = search_one_word(lst, word, nmm, pm3, min_freq, max_freq,
+                              print_all, out, rev)
     _emit(out)
     return 0
 
@@ -484,12 +495,25 @@ def search_list(lst: ListQuery, query_path: str, nmm: int, pm3: int,
         qw = np.asarray(qw)
         counts = lst.lookup(qw)
         hit = counts > 0
-        _emit_records(qw[hit], np.asarray(qc)[hit], lst.k)
+        if lst.index_map is not None and lst.print_locations:
+            # index + --locations: cb_print's three-column form with
+            # qd->reverse (never set on this path, so 0) and the word's
+            # location lines; no min/max filter applies
+            # (src/glistquery.c:529-538,712)
+            out: list[str] = []
+            for w, c in zip(qw[hit], np.asarray(qc)[hit]):
+                out.append(f"{word_to_string(int(w), lst.k)}\t{c}\t0\n")
+                _location_lines(lst.index_map, _word_index(lst, int(w)),
+                                0, out)
+            _emit(out)
+        else:
+            _emit_records(qw[hit], np.asarray(qc)[hit], lst.k)
     else:
         out: list[str] = []
+        rev = 0
         for w in np.asarray(qw):
-            search_one_word(lst, int(w), nmm, pm3, min_freq, max_freq,
-                            print_all, out)
+            rev = search_one_word(lst, int(w), nmm, pm3, min_freq,
+                                  max_freq, print_all, out, rev)
         _emit(out)
     return 0
 

@@ -193,3 +193,34 @@ def test_corrupt_list_chrome_parity(tmp_path, capsys):
         assert rc == r.returncode, (name, rc, r.returncode, r.stderr)
         assert cap.out == r.stdout.decode(), name
         assert cap.err == r.stderr.decode(), name
+
+
+def test_index_locations_through_query_surfaces(tmp_path, rng, capsys):
+    """Fuzz regressions: -l/-s/-f against an INDEX with --locations use
+    cb_print's three-column form plus per-word location lines, with the
+    reference's STICKY qd->reverse (set on the first reverse-canonical
+    query, never cleared — src/glistquery.c:517-523,529-538)."""
+    base = random_fasta(rng, 3, 2000, 3000)
+    (tmp_path / "a.fa").write_text(base)
+    (tmp_path / "q.fa").write_text(random_fasta(rng, 1, 800, 900)
+                                   + base[:400])
+    r = run_reference(["glistmaker", str(tmp_path / "a.fa"), "-w", "12",
+                       "--index", "-o", str(tmp_path / "I")])
+    assert r.returncode == 0
+    r = run_reference(["glistmaker", str(tmp_path / "q.fa"), "-w", "12",
+                       "-o", str(tmp_path / "Q")])
+    assert r.returncode == 0
+    idx = str(tmp_path / "I_12.index")
+    q = str(tmp_path / "Q_12.list")
+    words = tmp_path / "w.txt"
+    words.write_text("".join(
+        "".join(rng.choice(list("ACGT"), 12)) + "\n" for _ in range(20)))
+    for args in ([idx, "-l", q, "--locations"],
+                 [idx, "-s", str(tmp_path / "q.fa"), "--locations"],
+                 [idx, "-f", str(words), "--locations"],
+                 [idx, "-f", str(words), "--locations", "-mm", "1"]):
+        ref = run_reference(["glistquery"] + args)
+        rc = cli.main(list(args))
+        out = capsys.readouterr().out
+        assert rc == ref.returncode, args
+        assert out == ref.stdout.decode(), args
