@@ -475,3 +475,30 @@ def test_compile_index_from_binary_db_matches_text_chain(tmp_path, rng):
     a = (tmp_path / "ti.idx").read_bytes()
     b = (tmp_path / "bi.idx").read_bytes()
     assert a == b, "binary-DB index chain diverged from the text chain"
+
+
+@pytest.mark.parametrize("impl", ["host", "device"])
+def test_compile_index_impl_parity(tmp_path, rng, impl, monkeypatch):
+    """The host (fgx_index_hits) and device (_make_index_fn) index
+    lookups emit identical hit triples: the .idx bytes must match the
+    reference on both placements."""
+    w = 12
+    db_text, kmers = make_db(rng, n_nodes=15, kmers_per_node=2, w=w)
+    (tmp_path / "db.txt").write_text(db_text)
+    (tmp_path / "reads.fq").write_text(make_fastq_reads(rng, kmers, w))
+    ref = run_reference(
+        ["gmer_counter", "-db", "db.txt", "--compile_index", "ref.idx",
+         "--num_threads", "1", "reads.fq"], cwd=tmp_path)
+    assert ref.returncode == 0, ref.stderr
+    monkeypatch.setenv("GT4_TPU_COUNT_IMPL", impl)
+    import os
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        rc, _ = run_ours(["-db", "db.txt", "--compile_index", "tpu.idx",
+                          "--num_threads", "1", "reads.fq"])
+    finally:
+        os.chdir(old)
+    assert rc == 0
+    assert ((tmp_path / "tpu.idx").read_bytes()
+            == (tmp_path / "ref.idx").read_bytes()), impl
