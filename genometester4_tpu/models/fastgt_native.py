@@ -54,6 +54,7 @@ def get_lib() -> ctypes.CDLL:
         lp = ctypes.POINTER(ctypes.c_long)
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
         u64sp = ctypes.POINTER(ctypes.c_ulonglong)
+        u64sp2 = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
         lib.fgx_pair_ops_rec.restype = None
         lib.fgx_pair_ops_rec.argtypes = [
             u8p, ctypes.c_long, u8p, ctypes.c_long,
@@ -147,6 +148,13 @@ def get_lib() -> ctypes.CDLL:
         lib.fgx_count_kmers_list.argtypes = [
             u8p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
             ctypes.c_uint, ctypes.c_uint, u8p, u64sp]
+        lib.fgx_format_node_counts.restype = ctypes.c_long
+        lib.fgx_format_node_counts.argtypes = [
+            u8p, ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_longlong), u64sp2,
+            ctypes.c_long, u8p]
         lib.fgx_index_hits.restype = ctypes.c_long
         lib.fgx_index_hits.argtypes = [
             u8p, ctypes.c_long, ctypes.c_int,

@@ -745,6 +745,38 @@ def format_counts(db: GmerDB, counts: np.ndarray, show_total: bool,
     counts = counts.astype(np.uint64)
     if show_unique and db.count_bits == 32:
         aliased16 = counts.astype(np.uint32).view(np.uint16)
+    if (not show_total and not show_unique and show_kmers and not distro
+            and read_index is None):
+        # default output shape: one native pass formats every line
+        # (the Python str() loop cost ~0.5 s at 100k nodes)
+        import ctypes
+
+        from genometester4_tpu.models.fastgt_native import get_lib
+        n = db.n_nodes
+        name_off = np.empty(n, np.int64)
+        name_len = np.empty(n, np.int32)
+        blob_parts = []
+        off = 0
+        for i, nm in enumerate(db.names):
+            name_off[i] = off
+            name_len[i] = len(nm)
+            off += len(nm)
+        blob = b"".join(bytes(nm) for nm in db.names)
+        cap = off + int(nks.sum()) * 22 + n * 26
+        buf = np.empty(cap, np.uint8)
+        counts_c = np.ascontiguousarray(counts, np.uint64)
+        m = get_lib().fgx_format_node_counts(
+            np.frombuffer(blob, np.uint8),
+            name_off.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+            name_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            np.ascontiguousarray(starts).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_longlong)),
+            np.ascontiguousarray(nks).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_longlong)),
+            counts_c, ctypes.c_long(n), buf)
+        out.write(buf[:m].tobytes().decode("latin1"))
+        return
+
     idx_info = None
     if read_index is not None and hasattr(read_index, "_print_info"):
         slot, file_idx, subseq, kmer_pos, gidx = read_index._print_info

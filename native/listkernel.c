@@ -2209,3 +2209,31 @@ long fgx_index_hits (const unsigned char *codes, long n, int k,
   *n_valid_out = n_valid;
   return m;
 }
+
+/* gmer_counter default per-node output: "NAME\tNK\tc1\t...\tcNK\n"
+ * (src/gmer_counter.c:636-663, --kmers only). names is a blob indexed
+ * by name_off (NUL- or tab-terminated; name_len gives the byte count).
+ * Returns bytes written. */
+long fgx_format_node_counts (const unsigned char *names,
+                             const long long *name_off,
+                             const int *name_len,
+                             const long long *starts,
+                             const long long *nks,
+                             const unsigned long long *counts,
+                             long n_nodes, unsigned char *out)
+{
+  long o = 0, i, j;
+  for (i = 0; i < n_nodes; i++) {
+    long nk = nks[i];
+    __builtin_memcpy (out + o, names + name_off[i], (size_t) name_len[i]);
+    o += name_len[i];
+    out[o++] = '\t';
+    o += put_uint (out + o, (unsigned long long) nk);
+    for (j = 0; j < nk; j++) {
+      out[o++] = '\t';
+      o += put_uint (out + o, counts[starts[i] + j]);
+    }
+    out[o++] = '\n';
+  }
+  return o;
+}
