@@ -428,7 +428,7 @@ def test_debug_level1_stderr_parity(katk_fixture):
     assert ours.returncode == ref.returncode
     assert ours.stdout == ref.stdout
     err = b"\n".join(l for l in ours.stderr.splitlines()
-                     if b"WARNING" not in l) + b"\n"
+                     if b"xla_bridge" not in l) + b"\n"
     assert err == ref.stderr
 
 
@@ -488,7 +488,7 @@ def test_debug_groups_stderr_parity(katk_fixture):
     assert ours.returncode == ref.returncode
     assert ours.stdout == ref.stdout
     err = b"\n".join(l for l in ours.stderr.splitlines()
-                     if b"WARNING" not in l) + b"\n"
+                     if b"xla_bridge" not in l) + b"\n"
     assert err == ref.stderr
 
 
