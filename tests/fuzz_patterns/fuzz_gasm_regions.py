@@ -3,6 +3,19 @@ on randomized region files vs the reference, byte-compare everything."""
 import subprocess, sys, os, random
 random.seed(int(sys.argv[1]) if len(sys.argv) > 1 else 0)
 FIX = "/tmp/gasm_bench"
+if not os.path.exists(os.path.join(FIX, "regions.txt")):
+    # regenerate the fixture via the test module's generator
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    sys.path.insert(0, os.path.dirname(sys.path[0]))
+    import pathlib
+    import test_gassembler as tg
+
+    class _F:
+        def mktemp(self, n):
+            os.makedirs(FIX, exist_ok=True)
+            return pathlib.Path(FIX)
+    tg.katk_fixture.__wrapped__(_F())
 regions = open(os.path.join(FIX, "regions.txt")).read().splitlines()
 fails = 0
 for trial in range(14):
