@@ -1371,9 +1371,9 @@ long fgx_gapped_alignment (const signed char *ref, int n, int ref_start,
 #define SW_LANES 32
 
 static void sw_fill_lanes (const signed char *ref, int n,
-                           const signed char *rd /* [8][m] */, int m,
+                           const signed char *rdt /* [m][LANES] */, int m,
                            short *sc, short *sx, short *sy,
-                           short *tgs /* [(m+1)*8] */, short *tgl)
+                           short *tgs /* [(m+1)*LANES] */, short *tgl)
 {
   int i, j, l;
   for (j = 0; j <= m; j++)
@@ -1392,8 +1392,9 @@ static void sw_fill_lanes (const signed char *ref, int n,
     for (j = 1; j <= m; j++) {
       short *tgsj = tgs + j * SW_LANES;
       short *tglj = tgl + j * SW_LANES;
+      const signed char *bcol = rdt + (long) (j - 1) * SW_LANES;
       for (l = 0; l < SW_LANES; l++) {
-        int b_n = rd[l * m + j - 1];
+        int b_n = bcol[l];
         short sub = (a_n >= 4 || b_n >= 4) ? 0 : (a_n == b_n ? 2 : -3);
         short dsc = (short) (prow[(j - 1) * SW_LANES + l] + sub);
         int take = dsc > 0;
@@ -1495,10 +1496,17 @@ long fgx_sw_align_region8 (const signed char *ref, int n,
     int nl = (B - b0 < SW_LANES) ? (int) (B - b0) : SW_LANES;
     int l;
     /* pad the partial block with NONE(6): zero-substitution lanes never
-     * score above 0, so their traceback is empty and they are skipped */
+     * score above 0, so their traceback is empty and they are skipped.
+     * TRANSPOSED layout [pos][lane]: the fill's inner lane loop then
+     * reads 32 contiguous int8s — the strided [lane][pos] access
+     * blocked AVX2 vectorization of the substitution load */
     memset (rblk, 6, (size_t) SW_LANES * m);
-    for (l = 0; l < nl; l++)
-      memcpy (rblk + (size_t) l * m, reads + (b0 + l) * (long) m, m);
+    for (l = 0; l < nl; l++) {
+      const signed char *src = reads + (b0 + l) * (long) m;
+      int jj;
+      for (jj = 0; jj < m; jj++)
+        rblk[(long) jj * SW_LANES + l] = src[jj];
+    }
     sw_fill_lanes (ref, n, rblk, m, sc, sx, sy, tgs, tgl);
     for (l = 0; l < nl; l++) {
       long b = b0 + l;
