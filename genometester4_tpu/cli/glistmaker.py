@@ -199,7 +199,16 @@ def _main_impl(argv=None) -> int:
 
 def main(argv=None) -> int:
     from genometester4_tpu.utils.backend import output_heavy_compute
-    
+
+    # GT4_DIST_*: join the process group BEFORE anything can initialize
+    # the XLA backend (jax.distributed.initialize requires it); the
+    # group's mesh then overrides the local placement cost model
+    # (parallel/multihost.py)
+    from genometester4_tpu.parallel.multihost import (distributed_env,
+                                                      init_from_env)
+    if distributed_env() is not None:
+        init_from_env()
+
     with output_heavy_compute():
         return _main_impl(argv)
 

@@ -566,6 +566,18 @@ def make_list(input_files, word_length: int, output_path: str,
     reference's -D accounting (src/glistmaker.c:355-359), with phases
     renamed to this pipeline's stages (parse / device count / merge+write).
     """
+    # GT4_DIST_* configured: this process is one host of a multi-process
+    # group — count over the global mesh (parallel/multihost.py); only
+    # process 0 writes the (byte-identical) output. Overrides the local
+    # cost model: a distributed launch is an explicit placement choice.
+    if canonical:
+        from genometester4_tpu.parallel.multihost import is_multiprocess
+        if is_multiprocess():
+            from genometester4_tpu.parallel.multihost import \
+                make_list_multihost
+            return make_list_multihost(input_files, word_length,
+                                       output_path, min_count, max_count,
+                                       slab_bytes, debug)
     if _count_impl() == "host":
         return _make_list_host(input_files, word_length, output_path,
                                min_count, max_count, canonical, debug,
