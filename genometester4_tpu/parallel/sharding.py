@@ -304,12 +304,23 @@ def rank_bounds(word_lists, n_parts: int) -> np.ndarray:
 def sharded_pair_op(words1, counts1, words2, counts2, mesh: Mesh, op: str,
                     rule: str = "default", cutoff: int = 1,
                     count_override: int = 1, subtract: bool = False):
-    """Run one glistcompare pair operation SPMD over every mesh device.
+    """One glistcompare pair operation SPMD over every mesh device."""
+    return sharded_pair_ops(words1, counts1, words2, counts2, mesh, [op],
+                            rule, cutoff, count_override, subtract)[op]
+
+
+def sharded_pair_ops(words1, counts1, words2, counts2, mesh: Mesh, ops,
+                     rule: str = "default", cutoff: int = 1,
+                     count_override: int = 1, subtract: bool = False):
+    """Run glistcompare pair operations SPMD over every mesh device.
 
     words/counts are host-sorted unique u64/u32 arrays. Buckets are cut
     at the quantiles of the combined word population (merge-path rank
     select, no host sort) so device loads balance regardless of skew.
-    Returns (words, counts) sorted.
+    All requested ops share ONE aligned pair table per device — the
+    mesh analogue of the reference zipper's single pass feeding four
+    output files at once (src/glistcompare.c:843-905). Returns
+    {op: (words, counts)} sorted.
     """
     from genometester4_tpu.ops import setops
     from genometester4_tpu.ops.encode import join_u64, split_u64
@@ -318,8 +329,10 @@ def sharded_pair_op(words1, counts1, words2, counts2, mesh: Mesh, op: str,
     n_dev = len(devs)
     flat = Mesh(devs, ("sp",))
 
+    ops = list(ops)
     if len(words1) + len(words2) == 0:
-        return np.empty(0, np.uint64), np.empty(0, np.uint32)
+        return {op: (np.empty(0, np.uint64), np.empty(0, np.uint32))
+                for op in ops}
     bounds = rank_bounds([words1, words2], n_dev)
     s1 = np.searchsorted(words1, bounds)
     s2 = np.searchsorted(words2, bounds)
@@ -348,26 +361,34 @@ def sharded_pair_op(words1, counts1, words2, counts2, mesh: Mesh, op: str,
     def per_device(h1, l1, c1, v1, h2, l2, c2, v2):
         aligned = setops.pair_align(h1[0], l1[0], c1[0], v1[0],
                                     h2[0], l2[0], c2[0], v2[0])
-        n_out, ohi, olo, oc = setops.apply_pair_op(
-            *aligned, op=op, rule=rule, cutoff=cutoff,
-            count_override=count_override, subtract=subtract)
-        return ohi[None], olo[None], oc[None], n_out[None]
+        outs = []
+        for op in ops:
+            n_out, ohi, olo, oc = setops.apply_pair_op(
+                *aligned, op=op, rule=rule, cutoff=cutoff,
+                count_override=count_override, subtract=subtract)
+            outs.append((ohi[None], olo[None], oc[None], n_out[None]))
+        return tuple(outs)
 
     fn = jax.jit(jax.shard_map(
         per_device, mesh=flat,
-        in_specs=P("sp"), out_specs=P("sp")))
-    ohi, olo, oc, n_out = fn(*(jnp.asarray(x) for x in a1 + a2))
-    ohi, olo = np.asarray(ohi), np.asarray(olo)
-    oc, n_out = np.asarray(oc), np.asarray(n_out)
-    parts_w, parts_c = [], []
-    for d in range(n_dev):
-        m = int(n_out[d])
-        if m:
-            parts_w.append(join_u64(ohi[d, :m], olo[d, :m]))
-            parts_c.append(oc[d, :m].astype(np.uint32))
-    if not parts_w:
-        return np.empty(0, np.uint64), np.empty(0, np.uint32)
-    return np.concatenate(parts_w), np.concatenate(parts_c)
+        in_specs=P("sp"),
+        out_specs=tuple((P("sp"),) * 4 for _ in ops)))
+    results = fn(*(jnp.asarray(x) for x in a1 + a2))
+    out = {}
+    for op, (ohi, olo, oc, n_out) in zip(ops, results):
+        ohi, olo = np.asarray(ohi), np.asarray(olo)
+        oc, n_out = np.asarray(oc), np.asarray(n_out)
+        parts_w, parts_c = [], []
+        for d in range(n_dev):
+            m = int(n_out[d])
+            if m:
+                parts_w.append(join_u64(ohi[d, :m], olo[d, :m]))
+                parts_c.append(oc[d, :m].astype(np.uint32))
+        if not parts_w:
+            out[op] = (np.empty(0, np.uint64), np.empty(0, np.uint32))
+        else:
+            out[op] = (np.concatenate(parts_w), np.concatenate(parts_c))
+    return out
 
 
 def sharded_multi_op(word_lists, count_lists, mesh: Mesh, op: str,

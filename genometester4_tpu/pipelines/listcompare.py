@@ -393,6 +393,30 @@ def compare_pair(list1: str, list2: str, ops: list[str], outputname: str = "out"
         return {op: (sink.n_words, sink.total_count)
                 for op, sink in sinks.items()}
 
+    # device path, >1 visible device: the production route is the SPMD
+    # mesh (parallel/sharding.py) — merge-path word-range buckets, one
+    # aligned pair table per device feeding every requested op, output
+    # concatenation globally sorted (same invariant as the mesh
+    # glistmaker path). GT4_TPU_MESH=0 opts out.
+    from genometester4_tpu.utils.lazyjax import ensure_jax
+    if (len(ensure_jax().devices()) > 1
+            and os.environ.get("GT4_TPU_MESH", "1") != "0"):
+        from genometester4_tpu.parallel.sharding import (make_mesh,
+                                                         sharded_pair_ops)
+        res = sharded_pair_ops(
+            np.ascontiguousarray(w1, np.uint64),
+            np.ascontiguousarray(c1, np.uint32),
+            np.ascontiguousarray(w2, np.uint64),
+            np.ascontiguousarray(c2, np.uint32),
+            make_mesh(), list(sinks), rule=RULES[rule], cutoff=cutoff,
+            count_override=count_override, subtract=subtract)
+        results = {}
+        for op, sink in sinks.items():
+            sink.append(*res[op])
+            sink.close()
+            results[op] = (sink.n_words, sink.total_count)
+        return results
+
     n_buckets, bounds = _buckets(h1.n_words + h2.n_words, bucket_target)
     for b in range(n_buckets):
         a1, z1 = _bucket_slices(w1, bounds, b, n_buckets)
@@ -534,6 +558,21 @@ def compare_multi(paths: list[str], op: str, outputname: str = "out",
             q.put(None)
             th.join()
             lib.fgx_multi_stream_free(st)
+        sink.close()
+        return {op: (sink.n_words, sink.total_count)}
+
+    # device path, >1 visible device: SPMD mesh (see compare_pair)
+    from genometester4_tpu.utils.lazyjax import ensure_jax
+    if (len(ensure_jax().devices()) > 1
+            and os.environ.get("GT4_TPU_MESH", "1") != "0"):
+        from genometester4_tpu.parallel.sharding import (make_mesh,
+                                                         sharded_multi_op)
+        w, c = sharded_multi_op(
+            [np.ascontiguousarray(w, np.uint64) for _, w, _ in data],
+            [np.ascontiguousarray(c, np.uint32) for _, _, c in data],
+            make_mesh(), op, rule=RULES.get(rule, setops.RULE_NUMBER),
+            cutoff=cutoff, count_override=count_override)
+        sink.append(w, c)
         sink.close()
         return {op: (sink.n_words, sink.total_count)}
 

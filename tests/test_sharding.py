@@ -213,3 +213,50 @@ def test_sharded_pair_op_20m_words(rng):
     exp_c = np.add.reduceat(sc, starts).astype(np.uint32)
     np.testing.assert_array_equal(uw, exp_w)
     np.testing.assert_array_equal(uc, exp_c)
+
+
+def test_glistcompare_pipeline_uses_mesh_byte_identical(rng, tmp_path):
+    """Production path: compare_pair / compare_multi on the 8-device
+    mesh (forced device impl) emit the same bytes as the reference —
+    the glistcompare analogue of the mesh glistmaker path."""
+    import os
+
+    from tests.conftest import run_reference
+    for name, n, L in (("a", 3, 5000), ("b", 2, 4000), ("c", 2, 3000)):
+        (tmp_path / f"{name}.fa").write_text(
+            random_fasta(rng, n, L, L + 2000, n_prob=0.01))
+        r = run_reference(["glistmaker", str(tmp_path / f"{name}.fa"),
+                           "-w", "14", "-o", str(tmp_path / name)])
+        assert r.returncode == 0, r.stderr
+    la, lb, lc = (str(tmp_path / f"{x}_14.list") for x in "abc")
+
+    r = run_reference(["glistcompare", la, lb, "-u", "-i", "-d", "-dd",
+                       "-c", "2", "-o", str(tmp_path / "refp")])
+    assert r.returncode == 0, r.stderr
+    r = run_reference(["glistcompare", la, lb, lc, "-u",
+                       "-o", str(tmp_path / "refm")])
+    assert r.returncode == 0, r.stderr
+
+    from genometester4_tpu.pipelines.listcompare import (_op_filename,
+                                                         compare_multi,
+                                                         compare_pair)
+    old = os.environ.get("GT4_TPU_SETOPS_IMPL")
+    os.environ["GT4_TPU_SETOPS_IMPL"] = "device"
+    try:
+        assert len(jax.devices()) == 8
+        compare_pair(la, lb, ["union", "intrsec", "diff1", "diff2"],
+                     outputname=str(tmp_path / "mesh"), cutoff=2)
+        compare_multi([la, lb, lc], "union",
+                      outputname=str(tmp_path / "meshm"))
+    finally:
+        if old is None:
+            del os.environ["GT4_TPU_SETOPS_IMPL"]
+        else:
+            os.environ["GT4_TPU_SETOPS_IMPL"] = old
+    for op in ("union", "intrsec", "diff1", "diff2"):
+        got = _op_filename(str(tmp_path / "mesh"), 14, op)
+        exp = _op_filename(str(tmp_path / "refp"), 14, op)
+        assert open(got, "rb").read() == open(exp, "rb").read(), op
+    got = _op_filename(str(tmp_path / "meshm"), 14, "union")
+    exp = _op_filename(str(tmp_path / "refm"), 14, "union")
+    assert open(got, "rb").read() == open(exp, "rb").read()
