@@ -116,6 +116,52 @@ def _make_count_fn(k: int, chunk_cap: int):
     return run
 
 
+def _make_count_fn_mesh(k: int, chunk_cap: int, mesh):
+    """Multi-device twin of _make_count_fn: chunks shard over a flat
+    ("dp",) mesh, the DB tables and accumulators replicate, and one
+    psum over dp merges per-chunk bound differences — the FastGT
+    analogue of the mesh glistmaker/glistcompare paths. The count
+    vector is tiny next to the window stream, so the only collective
+    is cheap."""
+    from genometester4_tpu.parallel.sharding import P
+
+    steps = lookup_steps(chunk_cap)
+    hi_bits = max(0, 2 * k - 32)
+
+    def per_device(acc_lo, acc_hi, codes_block, dbhi, dblo):
+        from genometester4_tpu.ops.kmers import extract_kmers_best
+        from genometester4_tpu.ops.lookup import batched_bounds_pair
+        codes = codes_block.reshape(-1)
+        hi, lo, valid = extract_kmers_best(codes, k, canonical=True)
+        total = jnp.sum(valid.astype(jnp.int32))
+        if hi_bits <= 30:
+            packed = jnp.where(valid, jnp.uint32(0),
+                               jnp.uint32(1 << hi_bits)) | hi
+            shi, slo = jax.lax.sort((packed, lo), num_keys=2,
+                                    is_stable=False)
+        else:
+            inv = (~valid).astype(jnp.uint32)
+            _, shi, slo = jax.lax.sort((inv, hi, lo), num_keys=3,
+                                       is_stable=False)
+        lo_b, up_b = batched_bounds_pair(shi, slo, total, dbhi, dblo,
+                                         steps=steps)
+        add = jax.lax.psum((up_b - lo_b).astype(jnp.uint32), "dp")
+        total = jax.lax.psum(total, "dp")
+        new_lo = acc_lo + add
+        acc_hi = acc_hi + (new_lo < add).astype(jnp.uint32)
+        return (new_lo, acc_hi, total, jnp.sum(add, dtype=jnp.uint32))
+
+    return jax.jit(
+        jax.shard_map(per_device, mesh=mesh,
+                      in_specs=(P(), P(), P("dp", None), P(), P()),
+                      out_specs=(P(), P(), P(), P()),
+                      # the binary-search carries mix dp-varying window
+                      # tables with replicated query bounds; outputs are
+                      # made replicated by the psums
+                      check_vma=False),
+        donate_argnums=(0, 1))
+
+
 def _make_index_fn(k: int, steps: int):
     """Index-mode device program: like the count path but compacting
     per-hit (code, window position, direction) triples in stream order
@@ -192,6 +238,7 @@ class DBCounter:
             else:
                 impl = "host" if jax.default_backend() == "cpu" else "device"
         self._count_impl = impl
+        self._mesh = None
         if impl == "host":
             self._host_acc = np.zeros(n, np.uint64)
         else:
@@ -203,6 +250,13 @@ class DBCounter:
             self._dblo = jnp.asarray(dblo)
             self._acc_lo = jnp.zeros(n, jnp.uint32)
             self._acc_hi = jnp.zeros(n, jnp.uint32)
+            # >1 device: chunks shard over the flat mesh, counts psum
+            # (GT4_TPU_MESH=0 opts out; index mode stays single-device —
+            # its per-hit position stream is inherently chunk-ordered)
+            if (not build_index and len(jax.devices()) > 1
+                    and os.environ.get("GT4_TPU_MESH", "1") != "0"):
+                from genometester4_tpu.parallel.sharding import Mesh
+                self._mesh = Mesh(np.array(jax.devices()), ("dp",))
         # index mode: per-window DB lookup. Host placement runs the
         # rolling native kernel (fgx_index_hits, binary search into the
         # L2-resident sorted DB); the device path uploads padded tables.
@@ -522,7 +576,32 @@ class DBCounter:
             self._host_acc += (hi - lo).astype(np.uint64)
             return
         step = self.chunk_bases - (k - 1)
-        for start in range(0, max(n - (k - 1), 1), step):
+        starts = list(range(0, max(n - (k - 1), 1), step))
+        if self._mesh is not None:
+            n_dev = self._mesh.devices.size
+            for gi in range(0, len(starts), n_dev):
+                batch = starts[gi:gi + n_dev]
+                # one static cap per dispatch: the longest chunk rounded
+                # up (same pow2 policy as pad_pow2_chunk)
+                longest = max(min(n - s, self.chunk_bases) for s in batch)
+                cap = min(self.chunk_bases,
+                          1 << max(10, math.ceil(math.log2(max(longest,
+                                                               2)))))
+                blocks = np.full((n_dev, cap), 255, np.uint8)
+                for bi, s in enumerate(batch):
+                    c = codes[s:s + cap]
+                    blocks[bi, : len(c)] = c
+                run = self._run_cache.get(("mesh", cap))
+                if run is None:
+                    run = _make_count_fn_mesh(k, cap, self._mesh)
+                    self._run_cache[("mesh", cap)] = run
+                self._acc_lo, self._acc_hi, n_valid, _ = run(
+                    self._acc_lo, self._acc_hi, blocks,
+                    self._dbhi, self._dblo)
+                if self.collect_stats:
+                    self.result.stats.n_kmers_total += int(n_valid)
+            return
+        for start in starts:
             chunk = pad_pow2_chunk(codes[start:start + self.chunk_bases],
                                    self.chunk_bases)
             cap = len(chunk)

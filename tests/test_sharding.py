@@ -260,3 +260,56 @@ def test_glistcompare_pipeline_uses_mesh_byte_identical(rng, tmp_path):
     got = _op_filename(str(tmp_path / "meshm"), 14, "union")
     exp = _op_filename(str(tmp_path / "refm"), 14, "union")
     assert open(got, "rb").read() == open(exp, "rb").read()
+
+
+def test_gmer_counter_device_mesh_matches_reference(rng, tmp_path):
+    """Production path: gmer_counter counting on the 8-device flat mesh
+    (forced device impl; chunks shard over dp, counts psum) matches the
+    reference binary's stdout."""
+    import io
+    import os
+    import sys
+
+    from tests.conftest import run_reference
+
+    w = 14
+    BASES = np.frombuffer(b"ACGT", np.uint8)
+    lines, kmers = [], []
+    for i in range(20):
+        ks = ["".join(chr(c) for c in rng.choice(BASES, w))
+              for _ in range(3)]
+        kmers.extend(ks)
+        lines.append(f"SNP{i}\t3\t" + "\t".join(ks))
+    (tmp_path / "db.txt").write_text("\n".join(lines) + "\n")
+    recs = []
+    for r in range(250):
+        seq = "".join(chr(c) for c in rng.choice(BASES, 120))
+        if rng.random() < 0.6:
+            km = kmers[int(rng.integers(len(kmers)))]
+            p = int(rng.integers(0, 120 - w))
+            seq = seq[:p] + km + seq[p + w:]
+        recs.append(f">r{r}\n{seq}")
+    (tmp_path / "reads.fa").write_text("\n".join(recs) + "\n")
+
+    ref = run_reference(["gmer_counter", "-db", str(tmp_path / "db.txt"),
+                         str(tmp_path / "reads.fa")])
+    assert ref.returncode == 0, ref.stderr
+
+    from genometester4_tpu.cli.gmer_counter import main
+    old = os.environ.get("GT4_TPU_COUNT_IMPL")
+    os.environ["GT4_TPU_COUNT_IMPL"] = "device"
+    out = io.StringIO()
+    so = sys.stdout
+    sys.stdout = out
+    try:
+        assert len(jax.devices()) == 8
+        rc = main(["-db", str(tmp_path / "db.txt"),
+                   str(tmp_path / "reads.fa")])
+    finally:
+        sys.stdout = so
+        if old is None:
+            del os.environ["GT4_TPU_COUNT_IMPL"]
+        else:
+            os.environ["GT4_TPU_COUNT_IMPL"] = old
+    assert rc == 0
+    assert out.getvalue() == ref.stdout.decode()
