@@ -37,11 +37,13 @@ per host::
     GT4_DIST_COORD=host0:9999 GT4_DIST_NPROCS=4 GT4_DIST_PROC_ID=i \
         glistmaker reads.fa -w 25 -o out
 
-Only process 0 writes the output file and prints; the run ends with a
-cross-process barrier so every process returns after the file is
-durable. tests/test_multihost.py drives real multi-process runs (Gloo
-collectives over loopback stand in for DCN) and byte-compares against
-the reference binary.
+pipelines.listmaker.make_list hosts the distributed run (so spill,
+cutoffs, and -D accounting are the single code path): non-writer
+processes participate in every collective but accumulate nothing;
+process 0 merges and writes; a cross-process barrier makes every
+process return only after the file is published. tests/test_multihost.py
+drives real multi-process runs (Gloo collectives over loopback stand in
+for DCN) and byte-compares against the reference binary.
 """
 
 from __future__ import annotations
@@ -201,46 +203,3 @@ def iter_count_kmers_multihost(codes: np.ndarray, k: int, mesh,
         yield from merge_sorted_shards(per_shard)
 
 
-def make_list_multihost(input_files, word_length: int, output_path: str,
-                        min_count: int = 1, max_count: int = 0xFFFFFFFF,
-                        slab_bytes: int = 1 << 28, debug: int = 0):
-    """Distributed glistmaker: parse → global-mesh count → proc-0 write.
-
-    Byte-identical to the single-process ``make_list`` output at every
-    mesh shape (tests/test_multihost.py checks against the reference
-    binary). Returns the ListHeader on process 0, None elsewhere; all
-    processes leave together (barrier after the rename publishes the
-    file)."""
-    from genometester4_tpu.formats.list_format import ListHeader, ListWriter
-    from genometester4_tpu.io.fasta import iter_code_slabs
-    from genometester4_tpu.pipelines.listmaker import merge_sorted_shards
-
-    mesh = make_global_mesh()
-    pid = jax.process_index()
-
-    # each slab yields an already-sorted (words, counts) bucket stream;
-    # buckets from DIFFERENT slabs/files overlap in word space, so they
-    # are collected as shards and merged once at the end, exactly like
-    # the single-process make_list
-    shards = []
-    for path in input_files:
-        for codes, _meta in iter_code_slabs(path, word_length, slab_bytes):
-            shards.extend(iter_count_kmers_multihost(
-                codes, word_length, mesh))
-
-    hdr = None
-    if pid == 0:
-        with ListWriter(output_path, word_length) as writer:
-            for words, counts in merge_sorted_shards(
-                    shards, word_length=word_length):
-                if min_count > 1 or max_count != 0xFFFFFFFF:
-                    keep = counts >= np.uint32(min_count)
-                    if max_count != 0xFFFFFFFF:
-                        keep &= counts <= np.uint32(max_count)
-                    words, counts = words[keep], counts[keep]
-                writer.append(words, counts)
-        hdr = ListHeader(word_length, writer.n_words, writer.total_count)
-    # barrier: no process returns before the output file is published
-    from jax.experimental import multihost_utils
-    multihost_utils.sync_global_devices("gt4_make_list_multihost")
-    return hdr

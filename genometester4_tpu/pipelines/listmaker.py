@@ -570,15 +570,11 @@ def make_list(input_files, word_length: int, output_path: str,
     # group — count over the global mesh (parallel/multihost.py); only
     # process 0 writes the (byte-identical) output. Overrides the local
     # cost model: a distributed launch is an explicit placement choice.
+    multihost = False
     if canonical:
         from genometester4_tpu.parallel.multihost import is_multiprocess
-        if is_multiprocess():
-            from genometester4_tpu.parallel.multihost import \
-                make_list_multihost
-            return make_list_multihost(input_files, word_length,
-                                       output_path, min_count, max_count,
-                                       slab_bytes, debug)
-    if _count_impl() == "host":
+        multihost = is_multiprocess()
+    if not multihost and _count_impl() == "host":
         return _make_list_host(input_files, word_length, output_path,
                                min_count, max_count, canonical, debug,
                                spill_bytes, slab_bytes)
@@ -626,13 +622,26 @@ def make_list(input_files, word_length: int, output_path: str,
     from genometester4_tpu.utils.lazyjax import ensure_jax
     jax = ensure_jax()
     mesh = None
-    if (canonical and len(jax.devices()) > 1
+    is_writer = True
+    if multihost:
+        # global (dp=process, kp=local-devices) mesh; every process
+        # participates in the collectives, only process 0 accumulates
+        # shards and writes (results are dp-replicated by construction)
+        from genometester4_tpu.parallel.multihost import make_global_mesh
+        mesh = make_global_mesh()
+        is_writer = jax.process_index() == 0
+    elif (canonical and len(jax.devices()) > 1
             and os.environ.get("GT4_TPU_MESH", "1") != "0"):
         from genometester4_tpu.parallel.sharding import (
             count_kmers_sharded, make_mesh)
         mesh = make_mesh()
 
     def slab_shards(codes):
+        if multihost:
+            from genometester4_tpu.parallel.multihost import \
+                iter_count_kmers_multihost
+            yield from iter_count_kmers_multihost(codes, word_length, mesh)
+            return
         if mesh is not None:
             w, c = count_kmers_sharded(codes, word_length, mesh)
             if len(w):
@@ -658,6 +667,8 @@ def make_list(input_files, word_length: int, output_path: str,
             codes, meta = item
             t0 = time.time()
             for w, c in slab_shards(codes):
+                if not is_writer:
+                    continue  # non-writer processes only participate
                 shards.append((w, c))
                 ram_bytes += w.nbytes + c.nbytes
                 if ram_bytes > spill_bytes:
@@ -666,22 +677,29 @@ def make_list(input_files, word_length: int, output_path: str,
             n_words_in += max(0, meta.total_bases - (word_length - 1)
                               * meta.n_records)
     t_merge0 = time.time()
-    with ListWriter(output_path, word_length) as w:
-        for words, counts in merge_sorted_shards(shards,
-                                                 word_length=word_length):
-            if min_count > 1 or max_count != 0xFFFFFFFF:
-                keep = counts >= np.uint32(min_count)
-                if max_count != 0xFFFFFFFF:
-                    keep &= counts <= np.uint32(max_count)
-                words, counts = words[keep], counts[keep]
-            w.append(words, counts)
-    hdr = ListHeader(word_length, w.n_words, w.total_count)
-    if debug:
-        t_merge = time.time() - t_merge0
-        _print_phase_debug(hdr, n_words_in, t_parse, t_count, t_merge)
+    if is_writer:
+        with ListWriter(output_path, word_length) as w:
+            for words, counts in merge_sorted_shards(
+                    shards, word_length=word_length):
+                if min_count > 1 or max_count != 0xFFFFFFFF:
+                    keep = counts >= np.uint32(min_count)
+                    if max_count != 0xFFFFFFFF:
+                        keep &= counts <= np.uint32(max_count)
+                    words, counts = words[keep], counts[keep]
+                w.append(words, counts)
+        hdr = ListHeader(word_length, w.n_words, w.total_count)
+        if debug:
+            t_merge = time.time() - t_merge0
+            _print_phase_debug(hdr, n_words_in, t_parse, t_count, t_merge)
+    else:
+        hdr = None
     for tmp in tmp_files:
         try:
             os.unlink(tmp)
         except OSError:
             pass
+    if multihost:
+        # no process returns before the output file is published
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("gt4_make_list_multihost")
     return hdr
