@@ -55,18 +55,25 @@ def ensure_input():
             f.write(b"\n")
 
 
-def tunnel_alive(timeout: int = 120) -> bool:
+def tunnel_alive(timeout: int = 120, attempts: int = 2) -> bool:
     """Probe the default JAX backend in a SUBPROCESS: a hung axon
     tunnel blocks forever inside XLA, which no in-process timeout can
-    interrupt."""
+    interrupt.  The tunnel flaps (and the chip is single-process
+    exclusive, so a concurrent holder looks like an outage) — retry
+    once after a short pause before declaring it down."""
     import subprocess
     code = "import jax, jax.numpy as jnp; print(int(jnp.arange(8).sum()))"
-    try:
-        r = subprocess.run([sys.executable, "-c", code], timeout=timeout,
-                           capture_output=True)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for i in range(attempts):
+        if i:
+            time.sleep(15)
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=timeout, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
 
 
 def run_e2e():
@@ -162,23 +169,31 @@ def device_kernel_bench():
                       "checksum": checksum}))
 
 
-def run_device_bench(timeout: int = 420):
+def run_device_bench(timeout: int = 420, attempts: int = 2):
+    """Run the device section in a timeout-guarded subprocess (a flaky
+    tunnel hangs inside XLA beyond in-process timeouts).  Retry once:
+    the tunnel flaps, and a transient flap mid-measurement should not
+    degrade the recorded artifact to host-only numbers."""
     import subprocess
-    try:
-        r = subprocess.run([sys.executable, os.path.abspath(__file__),
-                            "--device-kernel-only"], timeout=timeout,
-                           capture_output=True)
-    except subprocess.TimeoutExpired:
-        return None
-    if r.returncode != 0:
-        return None
-    try:
-        return json.loads(r.stdout.strip().splitlines()[-1])
-    except Exception:
-        return None
+    for i in range(attempts):
+        if i and not tunnel_alive():
+            return None
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                                "--device-kernel-only"], timeout=timeout,
+                               capture_output=True)
+        except subprocess.TimeoutExpired:
+            continue
+        if r.returncode != 0:
+            continue
+        try:
+            return json.loads(r.stdout.strip().splitlines()[-1])
+        except Exception:
+            continue
+    return None
 
 
-def emit_fallback():
+def emit_fallback(note: str):
     import jax
     jax.config.update("jax_platforms", "cpu")
     e2e, ref_e2e = run_e2e()
@@ -192,11 +207,10 @@ def emit_fallback():
         "e2e_s": round(e2e, 2),
         "ref_e2e_s": round(ref_e2e, 2),
         "e2e_vs_reference": round(ref_e2e / e2e, 2),
-        "note": "accelerator tunnel unreachable; end-to-end host "
-                "pipeline numbers only",
+        "note": note + "; end-to-end host pipeline numbers only",
     }))
     sys.stderr.write(
-        f"[bench] TUNNEL DOWN; end-to-end glistmaker: {e2e:.2f}s vs "
+        f"[bench] {note}; end-to-end glistmaker: {e2e:.2f}s vs "
         f"reference {ref_e2e:.2f}s = {ref_e2e/e2e:.2f}x\n")
 
 
@@ -208,29 +222,11 @@ def main():
     if not tunnel_alive():
         # accelerator unreachable (dev-tunnel outage): report the honest
         # end-to-end host numbers so the driver still gets a real line
-        import jax
-        jax.config.update("jax_platforms", "cpu")
-        e2e, ref_e2e = run_e2e()
-        n_inst = 49999976
-        value = n_inst / e2e
-        print(json.dumps({
-            "metric": "kmer_count_throughput_per_chip",
-            "value": round(value, 1),
-            "unit": "kmers/s",
-            "vs_baseline": round(value / BASELINE_KMERS_PER_S, 3),
-            "e2e_s": round(e2e, 2),
-            "ref_e2e_s": round(ref_e2e, 2),
-            "e2e_vs_reference": round(ref_e2e / e2e, 2),
-            "note": "accelerator tunnel unreachable; end-to-end host "
-                    "pipeline numbers only",
-        }))
-        sys.stderr.write(
-            f"[bench] TUNNEL DOWN; end-to-end glistmaker: {e2e:.2f}s vs "
-            f"reference {ref_e2e:.2f}s = {ref_e2e/e2e:.2f}x\n")
+        emit_fallback("accelerator tunnel unreachable")
         return
     dev = run_device_bench()
     if dev is None:
-        emit_fallback()
+        emit_fallback("device bench failed (tunnel flap mid-run)")
         return
     value = dev["value"]
     dt = dev["dt"]
