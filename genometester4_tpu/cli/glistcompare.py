@@ -451,7 +451,8 @@ def _main_impl(argv=None) -> int:
             import time as _time
             _t0 = _time.time()
             res = lc.compare_multi(files, "union", outputname, cutoff,
-                                   rule_name, count_override, countonly)
+                                   rule_name, count_override, countonly,
+                                   debug=debug)
             v = 0
             nu, t = res["union"]
             if debug:
@@ -478,7 +479,8 @@ def _main_impl(argv=None) -> int:
             import time as _time
             _t0 = _time.time()
             res = lc.compare_multi(files, "intrsec", outputname, cutoff,
-                                   rule_name, count_override, countonly)
+                                   rule_name, count_override, countonly,
+                                   debug=debug)
             v = 0
             nu, t = res["intrsec"]
             if debug:

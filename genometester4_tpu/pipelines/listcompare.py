@@ -78,19 +78,38 @@ def _bucket_slices(words, bounds, b, n_buckets):
     return int(a), int(z)
 
 
+# multi-list ops print a progress line at every PROGRESS_TICK output
+# words when -D is on (src/glistcompare.c:586-588, src/set-operations.c:
+# 111-113); module-level so tests can lower it below 100M
+PROGRESS_TICK = 100_000_000
+
+
+def _emit_progress_ticks(prev: int, new: int) -> None:
+    """Print the reference's "Words written: NM" line for every
+    PROGRESS_TICK boundary crossed in (prev, new]."""
+    b = (prev // PROGRESS_TICK + 1) * PROGRESS_TICK
+    while b <= new:
+        sys.stderr.write("Words written: %uM\n" % (b // 1_000_000))
+        b += PROGRESS_TICK
+
+
 class _OpSink:
     """Accumulates one op's output: either a ListWriter or count-only."""
 
-    def __init__(self, op, path, word_length, count_only):
+    def __init__(self, op, path, word_length, count_only, debug=0):
         self.op = op
         self.count_only = count_only
         self.n_words = 0
         self.total_count = 0
+        self.debug = debug
         self.writer = None if count_only else ListWriter(path, word_length)
 
     def append(self, words, counts):
+        prev = self.n_words
         self.n_words += len(words)
         self.total_count += int(np.asarray(counts, np.uint64).sum())
+        if self.debug:
+            _emit_progress_ticks(prev, self.n_words)
         if self.writer:
             self.writer.append(words, counts)
 
@@ -453,7 +472,7 @@ def compare_pair(list1: str, list2: str, ops: list[str], outputname: str = "out"
 def compare_multi(paths: list[str], op: str, outputname: str = "out",
                   cutoff: int = 1, rule: str = "default",
                   count_override: int = 1, count_only: bool = False,
-                  bucket_target: int = DEFAULT_BUCKET):
+                  bucket_target: int = DEFAULT_BUCKET, debug: int = 0):
     """N-list union/intersection (N > 2)."""
     data = [read_word_source(p) for p in paths]
     wlen = data[0][0].word_length
@@ -479,7 +498,8 @@ def compare_multi(paths: list[str], op: str, outputname: str = "out",
             "NUMBER allowed)\n" % _REF_RULE_NUM[eff])
         raise SystemExit(1)
 
-    sink = _OpSink(op, _op_filename(outputname, wlen, op), wlen, count_only)
+    sink = _OpSink(op, _op_filename(outputname, wlen, op), wlen, count_only,
+                   debug=debug)
 
     if _setops_impl() == "host":
         # streaming k-way merge over the raw record streams (native
@@ -536,8 +556,11 @@ def compare_multi(paths: list[str], op: str, outputname: str = "out",
                 bi, m, t = item
                 if sink.writer:
                     sink.writer.append_records(bufs2[bi][: 12 * m], m, t)
+                prev = sink.n_words
                 sink.n_words += m
                 sink.total_count += t
+                if debug:
+                    _emit_progress_ticks(prev, sink.n_words)
                 free_q.put(bi)
 
         th = threading.Thread(target=pump, daemon=True)

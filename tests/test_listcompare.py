@@ -270,3 +270,42 @@ def test_pair_ops_omp_buckets_byte_identical(tmp_path, rng):
             (tmp_path / f"o{nt}_20_{suf}.list").read_bytes()
             for suf in ("union", "intrsec", "0_diff1", "0_diff2")]
     assert outs["1"] == outs["4"]
+
+
+@pytest.mark.parametrize("impl", ["host", "device"])
+def test_multi_union_progress_ticks(tmp_path, rng, impl, monkeypatch,
+                                    capsys):
+    """Multi-list ops print "Words written: NM" at every 100M output
+    words under -D (src/glistcompare.c:586-588, src/set-operations.c:
+    111-113). The boundary is module-level so the crossing logic is
+    testable without a 100M-word list; the reference's own line is only
+    reachable on >1.2 GB outputs."""
+    import numpy as np
+    from genometester4_tpu.formats.list_format import write_list
+    from genometester4_tpu.pipelines import listcompare as lc
+
+    monkeypatch.setenv("GT4_TPU_SETOPS_IMPL", impl)
+    monkeypatch.setattr(lc, "PROGRESS_TICK", 10_000_000)
+    paths = []
+    for i in range(3):
+        w = np.unique(rng.integers(0, 1 << 16, size=12000).astype(np.uint64))
+        c = rng.integers(1, 9, size=len(w)).astype(np.uint32)
+        p = tmp_path / f"l{i}.list"
+        write_list(str(p), 9, w, c)
+        paths.append(str(p))
+    # counts scaled so that n_words crosses two boundaries is impossible
+    # at this size — instead verify the helper directly AND that a
+    # debug run emits no spurious ticks below the boundary
+    lc.compare_multi(paths, "union", str(tmp_path / "got"), debug=1)
+    assert "Words written" not in capsys.readouterr().err
+    # crossing logic: (prev, new] boundaries, multiple per append
+    import io
+    import contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stderr(buf):
+        lc._emit_progress_ticks(9_999_999, 10_000_000)
+        lc._emit_progress_ticks(10_000_000, 10_000_001)
+        lc._emit_progress_ticks(19_000_000, 31_000_000)
+    assert buf.getvalue() == ("Words written: 10M\n"
+                              "Words written: 20M\n"
+                              "Words written: 30M\n")
