@@ -504,6 +504,7 @@ def main(argv=None) -> int:
     from genometester4_tpu.formats.gmerdb_binary import load_binary_db
     from genometester4_tpu.models.fastgt_native import srand
 
+    p.db_name = db_name   # echoed by the -DD Arguments trace
     srand(1)
     # stderr chrome order mirrors the reference main
     # (src/gassembler.c:929-961): db load -> coverage -> SNV/FP ->

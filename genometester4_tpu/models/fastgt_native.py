@@ -105,7 +105,8 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int, ctypes.c_uint,      # debug_groups, chr
             ctypes.POINTER(ctypes.c_longlong),  # ref_pos
             ctypes.POINTER(ctypes.c_ubyte),   # snv_ref_c
-            ctypes.POINTER(ctypes.c_ubyte)]   # snv_alt_c
+            ctypes.POINTER(ctypes.c_ubyte),   # snv_alt_c
+            ctypes.POINTER(ctypes.c_char_p)]  # read_names (-DG2, or None)
         lib.fgx_gapped_alignment.restype = ctypes.c_long
         lib.fgx_gapped_alignment.argtypes = [
             i8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, i16p,
@@ -115,7 +116,8 @@ def get_lib() -> ctypes.CDLL:
         lib.fgx_sw_align_region8.argtypes = [
             i8p, ctypes.c_int, i8p, ctypes.c_long, ctypes.c_int, i32p,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_long, i32p, i32p, ctypes.POINTER(ctypes.c_int)]
+            ctypes.c_long, i32p, i32p, ctypes.POINTER(ctypes.c_int),
+            i32p]                         # stats (int[B*6], may be None)
         lib.fgx_sw_align_region.restype = ctypes.c_long
         lib.fgx_sw_align_region.argtypes = [
             i8p, ctypes.c_int, i8p, ctypes.c_long, ctypes.c_int, i32p,

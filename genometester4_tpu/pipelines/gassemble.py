@@ -103,6 +103,7 @@ class Params:
     print_reads: bool = False
     debug: int = 0
     debug_groups: int = 0
+    db_name: str = ""     # -db path, echoed by the -DD Arguments trace
 
 
 @dataclass(slots=True)
@@ -298,7 +299,8 @@ class GASMRead:
                 else self.seq_b)
 
 
-def _collect_read_infos(db, kmers: list, max_reads_per_kmer: int):
+def _collect_read_infos(db, kmers: list, max_reads_per_kmer: int,
+                        debug: int = 0):
     """The deterministic (rand-free) part of get_unique_reads: per-k-mer
     index lookups + (file, name_pos) dedup + MAX_READS cap. Split out so
     the parallel scheduler can precompute each region's rand()
@@ -312,7 +314,7 @@ def _collect_read_infos(db, kmers: list, max_reads_per_kmer: int):
     n_reads_total = index.n_reads
     seen = {}
     infos = []  # (name_pos, file_idx, dir)
-    for km in kmers:
+    for ki, km in enumerate(kmers):
         word = string_to_word(km, strict=False)
         rword = int(reverse_complement_u64(np.array([word], np.uint64),
                                            len(km))[0])
@@ -322,6 +324,9 @@ def _collect_read_infos(db, kmers: list, max_reads_per_kmer: int):
             sys.stderr.write(f"No such kmer: {km}\n")
             raise SystemExit(0)
         kmer_dir = 1 if (code & 0x80000000) else 0
+        if debug > 1:
+            # src/gassembler.c:2575: code still carries the dir bit
+            sys.stderr.write("Kmer %s word %u code %u\n" % (km, cword, code))
         code &= 0x7FFFFFFF
         node_idx = (code >> db.kmer_bits) - 1
         node_kmer = code & ((1 << db.kmer_bits) - 1)
@@ -336,19 +341,34 @@ def _collect_read_infos(db, kmers: list, max_reads_per_kmer: int):
                 "range (duplicate k-mers in the database?)\n" % km)
             raise SystemExit(1)
         kmer_idx = int(db.node_kmers_start[node_idx]) + node_kmer
+        if debug > 1:
+            sys.stderr.write("Node %u kmer %u idx %u dir %u\n"
+                             % (node_idx, node_kmer, kmer_idx, kmer_dir))
         first = int(blocks[kmer_idx])
         end = int(blocks[kmer_idx + 1]) if kmer_idx < len(blocks) - 1 \
             else n_reads_total
         n_reads = end - first
         if n_reads > max_reads_per_kmer:
+            if debug > 1:
+                sys.stderr.write("Kmer %u has too many reads: %u\n"
+                                 % (ki, n_reads))
             continue
+        if debug > 1:
+            sys.stderr.write("Num reads %u\n" % n_reads)
         codes = index.reads[first:end]
         kmer_pos, name_pos, file_idx, dirs = index.decode_reads(codes)
+        n_new = 0
         for j in range(n_reads):
             key = (int(file_idx[j]), int(name_pos[j]))
             if key in seen:
                 continue
             seen[key] = True
+            n_new += 1
+            if debug > 1:
+                # src/gassembler.c:2599 prints the read's RAW index dir,
+                # not the stored xor with kmer_dir
+                sys.stderr.write("Adding read %u dir %u\n"
+                                 % (len(infos), int(dirs[j])))
             infos.append((int(name_pos[j]), int(file_idx[j]),
                           1 if int(dirs[j]) != kmer_dir else 0))
             if len(infos) >= MAX_READS:
@@ -356,6 +376,11 @@ def _collect_read_infos(db, kmers: list, max_reads_per_kmer: int):
                     "get_unique_reads: Maximum number of reads (%u) reached,"
                     " ignoring the rest\n" % MAX_READS)
                 break
+        if debug > 1:
+            # trailing per-kmer summary prints even on the MAX_READS
+            # break (src/gassembler.c:2615 runs before the cap check)
+            sys.stderr.write("Kmer %u %s reads %u new %u\n"
+                             % (ki, km, n_reads, n_new))
         if len(infos) >= MAX_READS:
             break
     return infos
@@ -378,7 +403,8 @@ def get_unique_reads(db, files: SeqFiles, kmers: list, params: Params,
                      max_reads_per_kmer: int):
     """src/gassembler.c:2556-2628: trie lookup per k-mer, dedupe by
     (file, name_pos), cap reads/kmer, rand()-subsample past 200."""
-    infos = _collect_read_infos(db, kmers, max_reads_per_kmer)
+    infos = _collect_read_infos(db, kmers, max_reads_per_kmer,
+                                debug=params.debug)
     if len(infos) > MAX_READS_PER_REGION:
         # reference "shuffle" (src/gassembler.c:2619-2626):
         # p = (unsigned)(rand() / (1.0 + RAND_MAX)) is ALWAYS 0, so it
@@ -435,8 +461,14 @@ def get_read_sequences(infos, files: SeqFiles, params: Params):
                 "(%u, max %u), truncating\n" % (int(orig_len[i]), maxlen))
         data = files.data[int(file_idx[i])]
         name = data[int(name_pos[i]):int(name_end[i])]
-        reads.append(GASMRead(name, seq_arena[i, :sl].tobytes(),
-                              code_arena[i, :sl], 1 << int(rdir[i])))
+        rd = GASMRead(name, seq_arena[i, :sl].tobytes(),
+                      code_arena[i, :sl], 1 << int(rdir[i]))
+        if params.debug > 1:
+            # src/gassembler.c:2662 — name/seq as fetched (oriented)
+            sys.stderr.write("Read %2u(%u): >%s\n%s\n"
+                             % (i, int(rdir[i]),
+                                name.decode("latin1"), rd.seq))
+        reads.append(rd)
     return reads
 
 
@@ -489,6 +521,29 @@ def _device_sw_enabled() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def _print_read_trace(i, read, st, params: Params):
+    """-DD per-read alignment trace (src/gassembler.c:1928-1962):
+    stats line then the first matching filter's reason."""
+    cnt, n_div, n_gaps, gaps_total, s_gap, e_gap = (int(x) for x in st)
+    sys.stderr.write(
+        "Read %u: %u divergen %u gaps %u gap length start %u end %u\n"
+        % (i, n_div, n_gaps, gaps_total, s_gap, e_gap))
+    if n_div > params.max_divergent:
+        sys.stderr.write("Read %u: %s\n" % (i, read.seq))
+        sys.stderr.write(
+            "  has too many divergences: %u total, %u gaps (len = %u)\n"
+            % (n_div, n_gaps, gaps_total))
+    elif cnt < params.min_align_len:
+        sys.stderr.write("Read %u: %s\n" % (i, read.seq))
+        sys.stderr.write("  has too short alignment: %u\n" % cnt)
+    elif s_gap > MAX_ENDGAP or e_gap > MAX_ENDGAP:
+        sys.stderr.write("Read %u: %s\n" % (i, read.seq))
+        sys.stderr.write("  has too long endgaps: %u/%u\n" % (s_gap, e_gap))
+    elif gaps_total > MAX_GAPS:
+        sys.stderr.write("Read %u: %s\n" % (i, read.seq))
+        sys.stderr.write("  has too long gaps: %u\n" % gaps_total)
+
+
 def align_reads(ref_codes: np.ndarray, reads: list, params: Params):
     """SW every read against the reference, filter, and build the
     per-reference-position read-position table
@@ -524,13 +579,24 @@ def align_reads(ref_codes: np.ndarray, reads: list, params: Params):
         rows = np.empty((max(1, cap_rows), n), np.int32)
         keep_idx = np.empty(max(1, cap_rows), np.int32)
         hit_cap = ctypes.c_int(0)
+        stats = np.full(B * 6, -2, np.int32)  # -2 = never processed
         kept = lib.fgx_sw_align_region8(
             np.ascontiguousarray(ref_codes, np.int8), n, batch, B, m_cap,
             read_lens, params.max_divergent, params.min_align_len,
             MAX_ENDGAP, MAX_GAPS, MAX_ALIGNED_READS, rows, keep_idx,
-            ctypes.byref(hit_cap))
+            ctypes.byref(hit_cap), stats)
         if kept < 0:
             raise MemoryError("sw align scratch allocation failed")
+        if params.debug > 1:
+            # post-hoc in read order == the reference's in-loop order
+            # (nothing else writes stderr during the align loop); reads
+            # with an empty traceback are skipped — the reference reads
+            # uninitialized ref_p/read_p there (src/gassembler.c:1927,
+            # non-oracle UB)
+            for i in range(B):
+                if stats[i * 6] > 0:
+                    _print_read_trace(i, reads[i], stats[i * 6:i * 6 + 6],
+                                      params)
         if hit_cap.value:
             sys.stderr.write(
                 "align_reads_to_reference: maximum number of aligned reads "
@@ -547,6 +613,9 @@ def align_reads(ref_codes: np.ndarray, reads: list, params: Params):
             continue
         n_div, n_gaps, s_gap, e_gap, gaps_total = count_divergent(
             ref_codes, r.nucl, a_p, b_p)
+        if params.debug > 1:
+            _print_read_trace(i, r, (len(a_p), n_div, n_gaps, gaps_total,
+                                     s_gap, e_gap), params)
         if n_div > params.max_divergent:
             continue
         if len(a_p) < params.min_align_len:
@@ -711,6 +780,15 @@ class Assembler:
 
     def assemble(self, region: Region, cb: CallBlock):
         """src/gassembler.c:1856-1897: align + group, NC-fill on failure."""
+        if self.p.debug > 1:
+            # virtual command line (src/gassembler.c:1862-1868)
+            sys.stderr.write(
+                "Arguments: -db %s --reference %s %u %u "
+                % (self.p.db_name, CHR_NAMES[region.chr], region.start,
+                   region.end))
+            sys.stderr.write(region.ref[:region.end - region.start])
+            sys.stderr.write("".join(" %s" % km for km in region.kmers))
+            sys.stderr.write("\n")
         res, state = self._align_phase(region)
         if res > 0:
             res = self._group_phase(region, cb, state)
@@ -744,10 +822,19 @@ class Assembler:
         max_rpk = 2000 if region.chr == CHR_MT else MAX_READS_PER_KMER
         infos = get_unique_reads(self.db, self.files, region.kmers, p,
                                  max_rpk)
+        if p.debug > 1:
+            sys.stderr.write("Got %u unique reads\n" % len(infos))
         reads = get_read_sequences(infos, self.files, p)
         if p.print_reads:
             for i, r in enumerate(reads):
                 sys.stdout.write(f">Read_{i}\n{r.seq}\n")
+        if p.debug > 1:
+            sys.stderr.write("Number of usable reads: %u\n" % len(reads))
+        if p.print_reads:
+            # the reference dumps the read list TWICE (src/gassembler.c:
+            # 1227-1241 has two identical print_reads blocks around the
+            # sanitize step) — as two full passes, not doubled lines
+            for i, r in enumerate(reads):
                 sys.stdout.write(f">Read_{i}\n{r.seq}\n")
         if p.debug == 1:
             sys.stderr.write("Block: %s %u %u Reads: %u\n" % (
@@ -757,7 +844,11 @@ class Assembler:
                 sys.stderr.write("Final number of reads (%u) too low "
                                  "(min %u)\n" % (len(reads), MIN_READS))
             return -1, None
+        if p.debug > 1:
+            sys.stderr.write("Aligning reads to reference...")
         a_reads, a = align_reads(ref_codes, reads, p)
+        if p.debug > 1:
+            sys.stderr.write("\n")
         p_len, aligned_ref, ref_pos, ga = create_gapped_alignment(
             ref_codes, region.start, a_reads, a, p)
         na = len(a_reads)
@@ -782,6 +873,9 @@ class Assembler:
                 sys.stderr.write("assemble: Too many divergent positions "
                                  "(max 21), ignoring the rest\n")
                 break
+            if p.debug > 1:
+                sys.stderr.write("Divergent position: %u\n"
+                                 % int(ref_pos[i]))
             known = False
             ref_allele = alt_allele = 0
             if self.snvs is not None:
@@ -792,6 +886,14 @@ class Assembler:
                     known = True
                     ref_allele = self.snvs[snv][2]
                     alt_allele = self.snvs[snv][3]
+                    if p.debug > 1:
+                        # snv id is the literal "*" upstream
+                        # (src/gassembler.c:2367-2369)
+                        sys.stderr.write(
+                            "Known SNV * (%s/%s)\n"
+                            % (N2C[ref_allele], N2C[alt_allele]))
+                elif p.debug > 1:
+                    sys.stderr.write("Potential DeNovo\n")
             ref_n = int(aligned_ref[i])
             for j in range(na):
                 nucl = int(ga[j, i])
@@ -874,6 +976,17 @@ class Assembler:
         ga_c = np.ascontiguousarray(ga[:na, :p_len], np.int8)
         ar_c = np.ascontiguousarray(aligned_ref[:p_len], np.int8)
         lp = ctypes.POINTER(ctypes.c_long)
+        if p.debug > 1:
+            # initial per-read group tag/mask hex dump, before the merge
+            # loop (src/gassembler.c:1356-1361)
+            sys.stderr.write("".join("%x\t" % int(t) for t in tags) + "\n")
+            sys.stderr.write("".join("%x\t" % int(m) for m in masks) + "\n")
+        names_arr = None
+        if p.debug_groups > 1:
+            name_bytes = [r.name if isinstance(r.name, (bytes, bytearray))
+                          else r.name.encode("latin1") for r in a_reads]
+            names_arr = (ctypes.c_char_p * max(na, 1))(
+                *[bytes(b) for b in name_bytes])
         n_groups = int(get_lib().fgx_group_phase(
             tags, masks,
             sizes.ctypes.data_as(lp), dirs.ctypes.data_as(lp),
@@ -900,7 +1013,8 @@ class Assembler:
                                  np.int64).ctypes.data_as(
                 ctypes.POINTER(ctypes.c_longlong)),
             snv_ref_c.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
-            snv_alt_c.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))))
+            snv_alt_c.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            names_arr))
         consensus = consensus_buf[:max(n_groups, 1), :p_len].astype(np.int64)
         included = included_buf[:n_groups].astype(bool)
         good_groups = [int(good_buf[i]) for i in range(n_good.value)]
@@ -946,13 +1060,26 @@ class Assembler:
 
         if p.debug_groups:
             # second group dump, at the top of recalculate_and_call
-            # (src/gassembler.c:1619-1623)
+            # (src/gassembler.c:1619-1633)
+            a_reads = state["a_reads"]
             for gi in range(n_groups):
                 sys.stderr.write(
                     "Group %u size %u divergent %u, min %u max %u, "
                     "included %u\n" % (gi, sizes[gi], divergent[gi],
                                        min_cov[gi], max_cov[gi],
                                        int(included[gi])))
+                if p.debug_groups > 1:
+                    # -DG level 2: consensus string + member read names
+                    sys.stderr.write("".join(
+                        N2C[int(consensus[gi, j])] for j in range(p_len))
+                        + "\n")
+                    for r in range(len(a_reads)):
+                        if group_of[r] == gi:
+                            nm = a_reads[r].name
+                            sys.stderr.write(
+                                (nm.decode("latin1")
+                                 if isinstance(nm, (bytes, bytearray))
+                                 else nm) + "\n")
 
         # recalculated counts: only included groups, only consensus-
         # matching nucleotides (vectorized over the whole grid)

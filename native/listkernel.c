@@ -1466,13 +1466,19 @@ static int sw_traceback_lane (const short *sc, const short *sx,
 
 /* Lane-parallel version of fgx_sw_align_region (fastgt_exact.c): same
  * filters, same row semantics, internal scratch.  Returns kept count,
- * -1 on allocation failure. */
+ * -1 on allocation failure.
+ * stats (optional, NULL to skip): int[B*6] of per-read
+ * {align_len, n_divergent, n_gaps, gaps_total, s_gap, e_gap} for every
+ * PROCESSED read (kept or filtered) — the -DD per-read alignment trace
+ * (src/gassembler.c:1928-1970) prints from these; entries of reads
+ * never reached (early stop at max_aligned) are left untouched. */
 long fgx_sw_align_region8 (const signed char *ref, int n,
                            const signed char *reads, long B, int m,
                            const int *read_lens,
                            int max_divergent, int min_align_len,
                            int max_endgap, int max_gaps, long max_aligned,
-                           int *rows, int *keep_idx, int *hit_cap)
+                           int *rows, int *keep_idx, int *hit_cap,
+                           int *stats)
 {
   long blk = (long) (n + 1) * (m + 1) * SW_LANES;
   short *sc = (short *) calloc (blk, sizeof (short));
@@ -1513,7 +1519,14 @@ long fgx_sw_align_region8 (const signed char *ref, int n,
       const signed char *rd = reads + b * (long) m;
       int rl = read_lens[b];
       int cnt = sw_traceback_lane (sc, sx, sy, n, m, l, rl, a_pos, b_pos);
-      if (cnt == 0) continue;
+      if (cnt == 0) {
+        if (stats) {
+          stats[b * 6 + 0] = 0; stats[b * 6 + 1] = -1;
+          stats[b * 6 + 2] = -1; stats[b * 6 + 3] = -1;
+          stats[b * 6 + 4] = -1; stats[b * 6 + 5] = -1;
+        }
+        continue;
+      }
       {
         int n_gaps = 0, gaps_total = 0, s_gap = 0, e_gap = 0, n_div, t;
         if (a_pos[0] > 0 && b_pos[0] > 0) {
@@ -1529,6 +1542,11 @@ long fgx_sw_align_region8 (const signed char *ref, int n,
         n_div = n_gaps;
         for (t = 0; t < cnt; t++)
           if (ref[a_pos[t]] != rd[b_pos[t]]) n_div++;
+        if (stats) {
+          stats[b * 6 + 0] = cnt; stats[b * 6 + 1] = n_div;
+          stats[b * 6 + 2] = n_gaps; stats[b * 6 + 3] = gaps_total;
+          stats[b * 6 + 4] = s_gap; stats[b * 6 + 5] = e_gap;
+        }
         if (n_div > max_divergent) continue;
         if (cnt < min_align_len) continue;
         if (s_gap > max_endgap || e_gap > max_endgap) continue;
@@ -1949,7 +1967,11 @@ long fgx_group_phase (unsigned long long *tags, unsigned long long *masks,
                       int debug_groups, unsigned int chr_id,
                       const long long *ref_pos,
                       const unsigned char *snv_ref_c,
-                      const unsigned char *snv_alt_c)
+                      const unsigned char *snv_alt_c,
+                      /* -DG level-2 (src/gassembler.c:1521-1526):
+                       * per-read name strings for the member dump;
+                       * NULL skips the level-2 lines */
+                      const char *const *read_names)
 {
   long n_groups = group_merge_impl (tags, masks, sizes, dirs, group_of,
                                     na, debug_groups);
@@ -2078,12 +2100,24 @@ long fgx_group_phase (unsigned long long *tags, unsigned long long *masks,
       fprintf (stderr, " %u:%u", (unsigned int) r,
                (unsigned int) group_of[r]);
     fprintf (stderr, "\n");
-    for (g = 0; g < n_groups; g++)
+    for (g = 0; g < n_groups; g++) {
       fprintf (stderr, "Group %u size %u divergent %u, min %u max %u "
                "tag %llx mask %llx\n", (unsigned int) g,
                (unsigned int) sizes[g], (unsigned int) divergent[g],
                (unsigned int) min_cov[g], (unsigned int) max_cov[g],
                tags[g], masks[g]);
+      if (debug_groups > 1 && read_names) {
+        /* level-2: consensus chars + member read names
+         * (src/gassembler.c:1521-1526) */
+        static const char n2c[] = "ACGTN- ";
+        for (i = 0; i < p_len; i++)
+          fputc (n2c[consensus[g * p_len + i]], stderr);
+        fputc ('\n', stderr);
+        for (r = 0; r < na; r++)
+          if (group_of[r] == g)
+            fprintf (stderr, "%s\n", read_names[r]);
+      }
+    }
   }
   /* selection; every filter prints its own discard line, so one group
    * can print several (src/gassembler.c:1547-1575), and the

@@ -518,3 +518,56 @@ def test_region_file_unterminated_last_line(katk_fixture):
         os.chdir(old)
     assert rc == ref.returncode
     assert out == ref.stdout.decode()
+
+
+def test_debug_level2_stderr_parity(katk_fixture):
+    """-D -D per-read/per-kmer diagnostic firehose is byte-identical:
+    the Arguments virtual command line, Kmer/Node/Num reads/Adding read
+    traces, Got/usable counts, per-read fetch dumps, the
+    Aligning-reads progress + per-read divergence/filter traces, the
+    initial group tag/mask hex dumps, and Divergent position /
+    Known SNV / Potential DeNovo lines
+    (src/gassembler.c:1862-1868,2575-2615,2662,1223-1251,1928-1962,
+    1356-1361,1285-1294)."""
+    import subprocess
+    tmp = katk_fixture
+    region1 = (tmp / "regions.txt").read_text().splitlines()[0].split("\t")
+    ref_base = region1[3][100]
+    alt = "G" if ref_base != "G" else "T"
+    (tmp / "snvs_dd.txt").write_text(f"1:1101:rs1:{ref_base}/{alt}\tAB\n")
+    args = ["--dbi", "db.idx", "--region_file", "regions.txt",
+            "--num_threads", "1", "--coverage", "40", "--sex", "female",
+            "--snvs", "snvs_dd.txt", "-D", "-D"]
+    ref = run_reference(["gassembler"] + args, cwd=tmp, timeout=600)
+    ours = subprocess.run(
+        [sys.executable, "-m", "genometester4_tpu.cli.gassembler"] + args,
+        cwd=tmp, capture_output=True, timeout=600,
+        env={**os.environ, "PYTHONPATH": os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))})
+    assert ours.returncode == ref.returncode
+    assert ours.stdout == ref.stdout
+    err = b"\n".join(l for l in ours.stderr.splitlines()
+                     if b"xla_bridge" not in l) + b"\n"
+    assert err == ref.stderr
+
+
+def test_debug_groups_level2_stderr_parity(katk_fixture):
+    """-DG -DG adds per-group consensus strings and member read names
+    to both Group dumps (src/gassembler.c:1521-1526,1623-1630) —
+    byte-identical."""
+    import subprocess
+    tmp = katk_fixture
+    args = ["--dbi", "db.idx", "--region_file", "regions.txt",
+            "--num_threads", "1", "--coverage", "40", "--sex", "female",
+            "-DG", "-DG"]
+    ref = run_reference(["gassembler"] + args, cwd=tmp, timeout=600)
+    ours = subprocess.run(
+        [sys.executable, "-m", "genometester4_tpu.cli.gassembler"] + args,
+        cwd=tmp, capture_output=True, timeout=600,
+        env={**os.environ, "PYTHONPATH": os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))})
+    assert ours.returncode == ref.returncode
+    assert ours.stdout == ref.stdout
+    err = b"\n".join(l for l in ours.stderr.splitlines()
+                     if b"xla_bridge" not in l) + b"\n"
+    assert err == ref.stderr
