@@ -162,6 +162,8 @@ def get_lib() -> ctypes.CDLL:
             u8p, ctypes.c_long, ctypes.c_int,
             u64p, u32p, ctypes.c_long,
             u32p, i64p_, u8p, ctypes.POINTER(ctypes.c_longlong)]
+        lib.fgx_index_hits_batched.restype = ctypes.c_long
+        lib.fgx_index_hits_batched.argtypes = lib.fgx_index_hits.argtypes
         lp_ = ctypes.POINTER(ctypes.c_long)
         lib.fgx_parse_fasta_slab.restype = ctypes.c_long
         lib.fgx_parse_fasta_slab.argtypes = [

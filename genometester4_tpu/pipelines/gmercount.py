@@ -305,7 +305,14 @@ class DBCounter:
                 self._hit_bufs = bufs
             hcode, hpos, hdir = bufs
             nv = ctypes.c_longlong(0)
-            m = get_lib().fgx_index_hits(
+            # past ~4M DB words the table is DRAM-resident and the
+            # software-pipelined batched search wins (~1.4x at 30M,
+            # identical hit stream); below, the plain rolling loop
+            # (native/listkernel.c fgx_index_hits_batched comment)
+            lib = get_lib()
+            fn = (lib.fgx_index_hits_batched
+                  if len(self._hw) >= (1 << 22) else lib.fgx_index_hits)
+            m = fn(
                 codes, ctypes.c_long(n), ctypes.c_int(self.db.wordsize),
                 self._hw, self._hc, ctypes.c_long(len(self._hw)),
                 hcode, hpos, hdir, ctypes.byref(nv))

@@ -2252,6 +2252,122 @@ long fgx_index_hits (const unsigned char *codes, long n, int k,
   return m;
 }
 
+/* Big-DB twin of fgx_index_hits (same contract, same hit stream
+ * bit-for-bit).  Past a few million DB words the sorted table no
+ * longer fits cache and the rolling binary search pays DRAM misses
+ * per level (~8 M windows/s measured at 30 M words / 240 MB).
+ * MEASURED COUNTER-RESULT (round 3, this 1-vCPU container): a full
+ * inverted join — MSD-bucket (word, pos) pairs so each bucket
+ * searches an L2-resident DB range, then radix-sort the hits back to
+ * stream order — is SLOWER at every DB size (14 vs 77 M windows/s at
+ * 200k words, 7 vs 9 M at 30 M): the pair scatter's first-touch +
+ * random-write traffic costs more than the misses it saves.  What
+ * wins is keeping the rolling search but running BATCHES of windows
+ * through software-pipelined binary search: per level, one pass
+ * computes every lane's midpoint and prefetches it, the next pass
+ * consumes it — FGX_SEARCH_LANES independent misses in flight instead
+ * of one (memory-level parallelism).  64 lanes measured best (256
+ * overflows the miss queue and regresses); ~1.4x at 30 M DB words,
+ * below ~4 M the plain loop wins (BASELINE.md row). */
+#define FGX_SEARCH_LANES 64
+
+long fgx_index_hits_batched (const unsigned char *codes, long n, int k,
+                             const unsigned long long *db_words,
+                             const unsigned int *db_codes, long ndb,
+                             unsigned int *hit_code, long long *hit_pos,
+                             unsigned char *hit_dir,
+                             long long *n_valid_out)
+{
+  unsigned long long wmask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+  int rc_shift = 2 * (k - 1);
+  unsigned long long fw = 0, rc = 0;
+  int run = 0;
+  long i, m = 0;
+  long long n_valid = 0;
+  enum { PBITS = 20 };
+  int shift = 2 * k - PBITS;
+  unsigned int *off = NULL;
+  unsigned long long bw[FGX_SEARCH_LANES];
+  long bp[FGX_SEARCH_LANES];
+  unsigned char bd[FGX_SEARCH_LANES];
+  long lo[FGX_SEARCH_LANES], hi[FGX_SEARCH_LANES], mid[FGX_SEARCH_LANES];
+  int nb = 0, j;
+  if (shift > 0 && ndb >= (1 << 16)) {
+    long p, d = 0;
+    off = (unsigned int *) malloc (((1 << PBITS) + 1)
+                                   * sizeof (unsigned int));
+    if (off) {
+      for (p = 0; p <= (1 << PBITS); p++) {
+        while (d < ndb && (long) (db_words[d] >> shift) < p) d += 1;
+        off[p] = (unsigned int) d;
+      }
+    }
+  }
+  for (i = 0; i <= n; i++) {
+    if (i < n) {
+      unsigned int c = codes[i];
+      if (c > 3) { run = 0; }
+      else {
+        fw = ((fw << 2) | c) & wmask;
+        rc = (rc >> 2) | ((unsigned long long) (3 - c) << rc_shift);
+        if (++run >= k) {
+          unsigned long long w = (fw < rc) ? fw : rc;
+          bw[nb] = w;
+          bp[nb] = i - k + 1;
+          bd[nb] = (unsigned char) (w != fw);
+          /* the 4 MB offset table misses too — start its line now so
+           * the flush's range setup finds it resident */
+          if (off) __builtin_prefetch (&off[w >> shift], 0, 0);
+          nb += 1;
+          n_valid += 1;
+        }
+      }
+      if (nb < FGX_SEARCH_LANES) continue;
+    }
+    if (nb == 0) continue;
+    /* flush: interleaved binary search, one level per round */
+    for (j = 0; j < nb; j++) {
+      if (off) {
+        unsigned long long p = bw[j] >> shift;
+        lo[j] = off[p];
+        hi[j] = off[p + 1];
+      } else {
+        lo[j] = 0;
+        hi[j] = ndb;
+      }
+    }
+    for (;;) {
+      int active = 0;
+      for (j = 0; j < nb; j++) {
+        if (lo[j] < hi[j]) {
+          mid[j] = (lo[j] + hi[j]) >> 1;
+          __builtin_prefetch (&db_words[mid[j]], 0, 0);
+          active = 1;
+        }
+      }
+      if (!active) break;
+      for (j = 0; j < nb; j++) {
+        if (lo[j] < hi[j]) {
+          if (db_words[mid[j]] < bw[j]) lo[j] = mid[j] + 1;
+          else hi[j] = mid[j];
+        }
+      }
+    }
+    for (j = 0; j < nb; j++) {
+      if (lo[j] < ndb && db_words[lo[j]] == bw[j]) {
+        hit_code[m] = db_codes[lo[j]];
+        hit_pos[m] = bp[j];
+        hit_dir[m] = bd[j];
+        m += 1;
+      }
+    }
+    nb = 0;
+  }
+  free (off);
+  *n_valid_out = n_valid;
+  return m;
+}
+
 /* gmer_counter default per-node output: "NAME\tNK\tc1\t...\tcNK\n"
  * (src/gmer_counter.c:636-663, --kmers only). names is a blob indexed
  * by name_off (NUL- or tab-terminated; name_len gives the byte count).

@@ -502,3 +502,45 @@ def test_compile_index_impl_parity(tmp_path, rng, impl, monkeypatch):
     assert rc == 0
     assert ((tmp_path / "tpu.idx").read_bytes()
             == (tmp_path / "ref.idx").read_bytes()), impl
+
+
+def test_index_hits_batched_matches_plain():
+    """The software-pipelined batched DB search (fgx_index_hits_batched,
+    used past ~4M DB words) emits the exact hit stream + n_valid of the
+    rolling kernel on random inputs with N resets, hits, and both
+    directions (twins keep differential tests — CLAUDE.md)."""
+    import ctypes
+
+    import numpy as np
+
+    from genometester4_tpu.models.fastgt_native import get_lib
+    lib = get_lib()
+    rng = np.random.default_rng(5)
+    for k, n, ndb0 in ((25, 300_000, 5_000), (16, 100_000, 70_000),
+                       (31, 200_000, 20_000), (7, 50_000, 300)):
+        codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+        codes[rng.integers(0, n, size=n // 100)] = 255  # N resets
+        # DB drawn from the stream's own canonical words so hits exist
+        buf = np.empty(n, np.uint64)
+        m0 = lib.fgx_extract_canonical(np.ascontiguousarray(codes), n, k,
+                                       buf)
+        pick = rng.choice(m0, size=min(ndb0, m0), replace=False)
+        dbw = np.unique(buf[:m0][pick])
+        dbc = np.arange(1, len(dbw) + 1, dtype=np.uint32)
+        dbw = np.ascontiguousarray(dbw)
+        cap = n - k + 1
+        out = []
+        for fn in (lib.fgx_index_hits, lib.fgx_index_hits_batched):
+            hc = np.empty(cap, np.uint32)
+            hp = np.empty(cap, np.int64)
+            hd = np.empty(cap, np.uint8)
+            nv = ctypes.c_longlong(0)
+            m = fn(codes, ctypes.c_long(n), ctypes.c_int(k), dbw, dbc,
+                   ctypes.c_long(len(dbw)), hc, hp, hd, ctypes.byref(nv))
+            out.append((m, int(nv.value), hc[:m].copy(), hp[:m].copy(),
+                        hd[:m].copy()))
+        (m1, nv1, c1, p1, d1), (m2, nv2, c2, p2, d2) = out
+        assert m1 == m2 and nv1 == nv2 and m1 > 0, (k, m1, m2)
+        np.testing.assert_array_equal(c1, c2)
+        np.testing.assert_array_equal(p1, p2)
+        np.testing.assert_array_equal(d1, d2)
