@@ -30,31 +30,57 @@ def build():
     # contraction exists to diverge from.
     # fastgt_exact.c stays at -O2 (bit-parity proven there; see its
     # header); listkernel.c has no float math and gets -O3.
-    o1 = SO_PATH + ".fastgt.o"
-    o2 = SO_PATH + ".listk.o"
-    subprocess.run(["cc", "-O2", "-Wall", "-c", "-fPIC", "-fopenmp",
-                    SRC_FASTGT, "-o", o1], check=True)
-    # listkernel.c is integer-only, so wider vectors cannot change any
-    # result bit. x86-64-v3 (AVX2, no AVX512) measured fastest for the
-    # SW fill on this VM class — -march=native picks AVX512 and LOSES
-    # ~10% (downclock/wider-lane tails); plain SSE loses ~5%. The .so
-    # rebuilds per container on first use, and we fall back to plain
-    # codegen if the local cc rejects the flag.
-    cmd = ["cc", "-O3", "-funroll-loops", "-march=x86-64-v3", "-Wall",
-           "-c", "-fPIC", "-fopenmp", SRC_LIST, "-o", o2]
-    if subprocess.run(cmd).returncode != 0:
-        subprocess.run(["cc", "-O3", "-funroll-loops", "-Wall", "-c",
-                        "-fPIC", "-fopenmp", SRC_LIST, "-o", o2],
-                       check=True)
-    subprocess.run(["cc", "-shared", "-fopenmp", o1, o2, "-o", SO_PATH,
-                    "-lm"], check=True)
+    pid = os.getpid()
+    o1 = "%s.fastgt.%d.o" % (SO_PATH, pid)
+    o2 = "%s.listk.%d.o" % (SO_PATH, pid)
+    tmp_so = "%s.tmp.%d" % (SO_PATH, pid)
+    try:
+        subprocess.run(["cc", "-O2", "-Wall", "-c", "-fPIC", "-fopenmp",
+                        SRC_FASTGT, "-o", o1], check=True)
+        # listkernel.c is integer-only, so wider vectors cannot change
+        # any result bit. x86-64-v3 (AVX2, no AVX512) measured fastest
+        # for the SW fill on this VM class — -march=native picks AVX512
+        # and LOSES ~10% (downclock/wider-lane tails); plain SSE loses
+        # ~5%. The .so rebuilds per container on first use, and we fall
+        # back to plain codegen if the local cc rejects the flag.
+        cmd = ["cc", "-O3", "-funroll-loops", "-march=x86-64-v3", "-Wall",
+               "-c", "-fPIC", "-fopenmp", SRC_LIST, "-o", o2]
+        if subprocess.run(cmd).returncode != 0:
+            subprocess.run(["cc", "-O3", "-funroll-loops", "-Wall", "-c",
+                            "-fPIC", "-fopenmp", SRC_LIST, "-o", o2],
+                           check=True)
+        subprocess.run(["cc", "-shared", "-fopenmp", o1, o2, "-o", tmp_so,
+                        "-lm"], check=True)
+        # atomic publish: a concurrent process must never dlopen a
+        # half-linked .so (round-3 fuzz artifact: a run alongside a
+        # rebuilding test suite loaded a torn library)
+        os.replace(tmp_so, SO_PATH)
+    finally:
+        for p in (o1, o2, tmp_so):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+
+
+def _stale():
+    return (not os.path.exists(SO_PATH)
+            or os.path.getmtime(SO_PATH) < max(os.path.getmtime(SRC_FASTGT),
+                                               os.path.getmtime(SRC_LIST)))
 
 
 def ensure_built():
-    if (not os.path.exists(SO_PATH)
-            or os.path.getmtime(SO_PATH) < max(os.path.getmtime(SRC_FASTGT),
-                                               os.path.getmtime(SRC_LIST))):
-        build()
+    if not _stale():
+        return
+    # inter-process build lock: concurrent CLIs/tests must not link
+    # over each other (the threading lock below only covers one
+    # process); re-check staleness once the lock is held
+    import fcntl
+    lock_path = SO_PATH + ".lock"
+    with open(lock_path, "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        if _stale():
+            build()
 
 
 def load_raw() -> ctypes.CDLL:
