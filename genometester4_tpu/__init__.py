@@ -30,4 +30,20 @@ cli       argv-compatible command line entry points
 
 __version__ = "0.1.0"
 
-from genometester4_tpu.formats.list_format import ListHeader, read_list, write_list  # noqa: F401
+# Lazy re-exports (PEP 562): list_format drags numpy (~220 ms), which
+# would defeat the numpy-free bin/ stat fast paths that answer in ~20 ms
+# (BASELINE.md interpreter-floor rows; round-3 regression find — the
+# eager import here had pushed glistquery --distribution startup to
+# 0.25 s).
+_LAZY = {"ListHeader", "read_list", "write_list"}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        from genometester4_tpu.formats import list_format
+        return getattr(list_format, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY))

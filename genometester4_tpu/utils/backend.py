@@ -113,7 +113,15 @@ class output_heavy_compute:
     all."""
 
     def __init__(self):
-        disable_numpy_thp()   # large host temporaries: see its docstring
+        # large host temporaries: see disable_numpy_thp. Only when numpy
+        # is already loaded — importing it here costs ~220 ms and
+        # defeats the numpy-free bin/ stat fast paths (round-3 find:
+        # glistquery --distribution spent 0.22 s of its 0.40 s wall
+        # importing numpy to toggle a madvise numpy never made). Every
+        # numpy-allocating host pipeline calls disable_numpy_thp()
+        # itself after importing numpy (CLAUDE.md).
+        if "numpy" in sys.modules:
+            disable_numpy_thp()
         if "jax" not in sys.modules:
             from genometester4_tpu.utils import lazyjax
             if prefer_host_for_output_heavy():
