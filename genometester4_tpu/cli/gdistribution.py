@@ -25,8 +25,6 @@ from __future__ import annotations
 
 import sys
 
-import numpy as np
-
 
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
@@ -35,6 +33,7 @@ def main(argv: list[str] | None = None) -> int:
         # src/gdistribution.c:46-48,57-60: usage to stderr, exit 1
         sys.stderr.write("gdistribution LIST LIST2\n")
         return 1
+    import numpy as np
     names = argv[:2]
     sys.stderr.write("%s %s\n" % (names[0], names[1]))
 
