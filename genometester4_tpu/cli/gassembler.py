@@ -540,7 +540,7 @@ def main(argv=None) -> int:
     if fp_db_name:
         from genometester4_tpu.pipelines.gassemble import read_fps
         sys.stderr.write("Loading known false positives\n")
-        fps = read_fps(fp_db_name)
+        fps = read_fps(fp_db_name, debug=p.debug)
         sys.stderr.write("Num false positives %d\n" % len(fps))
 
     if p.debug:

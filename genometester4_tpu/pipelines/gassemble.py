@@ -299,8 +299,44 @@ class GASMRead:
                 else self.seq_b)
 
 
+def _print_db_reads(index, files, kmer_idx: int, kmer_dir: int):
+    """print_db_reads twin (src/gassembler.c:2668-2723, -DDD only):
+    per-kmer read dump — raw block value, per-read index decode line,
+    then the read's name (sans its first byte) and sequence oriented to
+    the k-mer's direction."""
+    raw = int(index.read_blocks[kmer_idx])
+    codes = index.kmer_reads(kmer_idx)
+    first = raw if index.version >= (0, 4) else (raw >> 24)
+    sys.stderr.write("Reads %u first %u num %u\n"
+                     % (raw, first, len(codes)))
+    kmer_pos, name_pos, file_idx, dirs = index.decode_reads(codes)
+    for i in range(len(codes)):
+        fi = int(file_idx[i])
+        npos = int(name_pos[i])
+        sys.stderr.write("%u %s %u %u %u (dir %u)\n" % (
+            i, index.files[fi].decode("latin1"), fi, npos,
+            int(kmer_pos[i]), int(dirs[i])))
+        data = files.data[fi]
+        # name: from name_pos+1 (the record's '@'/'>' byte is skipped)
+        j = npos + 1
+        e = j
+        while e < len(data) and data[e] >= 0x20:
+            e += 1
+        sys.stderr.write(">" + bytes(data[j:e]).decode("latin1") + "\n")
+        j = e
+        while j < len(data) and data[j] < 0x20:
+            j += 1
+        e = j
+        while e < len(data) and data[e] >= 0x20:
+            e += 1
+        seq = bytes(data[j:e])
+        if int(dirs[i]) != kmer_dir:
+            seq = seq[::-1].translate(bytes.maketrans(b"ACGT", b"TGCA"))
+        sys.stderr.write(seq.decode("latin1") + "\n")
+
+
 def _collect_read_infos(db, kmers: list, max_reads_per_kmer: int,
-                        debug: int = 0):
+                        debug: int = 0, files=None):
     """The deterministic (rand-free) part of get_unique_reads: per-k-mer
     index lookups + (file, name_pos) dedup + MAX_READS cap. Split out so
     the parallel scheduler can precompute each region's rand()
@@ -344,6 +380,8 @@ def _collect_read_infos(db, kmers: list, max_reads_per_kmer: int,
         if debug > 1:
             sys.stderr.write("Node %u kmer %u idx %u dir %u\n"
                              % (node_idx, node_kmer, kmer_idx, kmer_dir))
+        if debug > 2 and files is not None:
+            _print_db_reads(index, files, kmer_idx, kmer_dir)
         first = int(blocks[kmer_idx])
         end = int(blocks[kmer_idx + 1]) if kmer_idx < len(blocks) - 1 \
             else n_reads_total
@@ -361,9 +399,13 @@ def _collect_read_infos(db, kmers: list, max_reads_per_kmer: int,
         for j in range(n_reads):
             key = (int(file_idx[j]), int(name_pos[j]))
             if key in seen:
+                if debug > 2:
+                    # src/gassembler.c:2612 (two leading spaces)
+                    sys.stderr.write("  Already registered as %u\n"
+                                     % seen[key])
                 continue
-            seen[key] = True
-            n_new += 1
+            seen[key] = len(infos)   # slot index, echoed by the
+            n_new += 1               # -DDD dedup trace
             if debug > 1:
                 # src/gassembler.c:2599 prints the read's RAW index dir,
                 # not the stored xor with kmer_dir
@@ -404,7 +446,7 @@ def get_unique_reads(db, files: SeqFiles, kmers: list, params: Params,
     """src/gassembler.c:2556-2628: trie lookup per k-mer, dedupe by
     (file, name_pos), cap reads/kmer, rand()-subsample past 200."""
     infos = _collect_read_infos(db, kmers, max_reads_per_kmer,
-                                debug=params.debug)
+                                debug=params.debug, files=files)
     if len(infos) > MAX_READS_PER_REGION:
         # reference "shuffle" (src/gassembler.c:2619-2626):
         # p = (unsigned)(rand() / (1.0 + RAND_MAX)) is ALWAYS 0, so it
@@ -521,13 +563,18 @@ def _device_sw_enabled() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
-def _print_read_trace(i, read, st, params: Params):
-    """-DD per-read alignment trace (src/gassembler.c:1928-1962):
-    stats line then the first matching filter's reason."""
+def _trace_stats_line(i, st):
+    """-DD per-read stats line (src/gassembler.c:1928)."""
     cnt, n_div, n_gaps, gaps_total, s_gap, e_gap = (int(x) for x in st)
     sys.stderr.write(
         "Read %u: %u divergen %u gaps %u gap length start %u end %u\n"
         % (i, n_div, n_gaps, gaps_total, s_gap, e_gap))
+
+
+def _trace_reason(i, read, st, params: Params):
+    """-DD filter-reason lines (src/gassembler.c:1937-1962): the first
+    matching filter prints the read and its reason."""
+    cnt, n_div, n_gaps, gaps_total, s_gap, e_gap = (int(x) for x in st)
     if n_div > params.max_divergent:
         sys.stderr.write("Read %u: %s\n" % (i, read.seq))
         sys.stderr.write(
@@ -544,6 +591,69 @@ def _print_read_trace(i, read, st, params: Params):
         sys.stderr.write("  has too long gaps: %u\n" % gaps_total)
 
 
+def _print_read_trace(i, read, st, params: Params):
+    """-DD per-read alignment trace: stats line then reason."""
+    _trace_stats_line(i, st)
+    _trace_reason(i, read, st, params)
+
+
+def _print_alignment(a_pos, b_pos, a_codes, b_codes):
+    """print_alignment twin (src/gassembler.c:2079-2170): three stderr
+    lines — reference row with read-insertion dashes, match bars, read
+    row with reference-gap dashes."""
+    length = len(a_pos)
+    left = max(int(a_pos[0]), int(b_pos[0]))
+    out = []
+    # A row
+    for i in range(left):
+        a_p = int(a_pos[0]) - (left - i)
+        out.append(N2C[int(a_codes[a_p])] if a_p >= 0 else " ")
+    last_a, last_b = int(a_pos[0]), int(b_pos[0])
+    for i in range(length):
+        while int(b_pos[i]) > last_b:
+            out.append("-")
+            last_b += 1
+        while last_a <= int(a_pos[i]):
+            out.append(N2C[int(a_codes[last_a])])
+            last_a += 1
+        last_b = int(b_pos[i]) + 1
+    for i in range(int(a_pos[length - 1]) + 1, len(a_codes)):
+        out.append(N2C[int(a_codes[i])])
+    out.append("\n")
+    # match row
+    out.extend(" " * left)
+    last_a, last_b = int(a_pos[0]), int(b_pos[0])
+    for i in range(length):
+        while int(b_pos[i]) > last_b:
+            out.append(" ")
+            last_b += 1
+        while int(a_pos[i]) > last_a:
+            out.append(" ")
+            last_a += 1
+        out.append("|" if a_codes[int(a_pos[i])] == b_codes[int(b_pos[i])]
+                   else " ")
+        last_a = int(a_pos[i]) + 1
+        last_b = int(b_pos[i]) + 1
+    out.append("\n")
+    # B row
+    for i in range(left):
+        b_p = int(b_pos[0]) - (left - i)
+        out.append(N2C[int(b_codes[b_p])] if b_p >= 0 else " ")
+    last_a, last_b = int(a_pos[0]), int(b_pos[0])
+    for i in range(length):
+        while int(a_pos[i]) > last_a:
+            out.append("-")
+            last_a += 1
+        while last_b <= int(b_pos[i]):
+            out.append(N2C[int(b_codes[last_b])])
+            last_b += 1
+        last_a = int(a_pos[i]) + 1
+    for i in range(int(b_pos[length - 1]) + 1, len(b_codes)):
+        out.append(N2C[int(b_codes[i])])
+    out.append("\n")
+    sys.stderr.write("".join(out))
+
+
 def align_reads(ref_codes: np.ndarray, reads: list, params: Params):
     """SW every read against the reference, filter, and build the
     per-reference-position read-position table
@@ -555,7 +665,12 @@ def align_reads(ref_codes: np.ndarray, reads: list, params: Params):
     batch = np.full((len(reads), m_cap), NONE, np.int8)
     for i, r in enumerate(reads):
         batch[i, :len(r.nucl)] = r.nucl
-    if _device_sw_enabled():
+    # -DDD: per-read host fills with gap-state export feed the matrix/
+    # alignment dumps, so the fused native kernel is bypassed
+    use_slow = params.debug > 2
+    if use_slow:
+        score = sx = sy = None
+    elif _device_sw_enabled():
         # lane-batched Pallas kernel (integer-exact twin); pays off when
         # the accelerator link is low-latency — opt in with
         # GT4_TPU_DEVICE_SW=1
@@ -607,15 +722,36 @@ def align_reads(ref_codes: np.ndarray, reads: list, params: Params):
     a_rows = []
     a_reads = []
     for i, r in enumerate(reads):
-        a_p, b_p = swalign.sw_traceback(score[i], sx[i], sy[i], len(r.nucl))
+        if use_slow:
+            # -DDD needs per-read (a_p, b_p) for print_alignment, which
+            # the fused native kernel does not export; a per-read host
+            # fill keeps this diagnostic path simple. (The reference's
+            # own in-fill matrix/traceback dumps are DEAD CODE: the
+            # smith_waterman_seq debug PARAMETER is hardwired 0 at the
+            # align call, src/gassembler.c:1925,2275,2314.)
+            sc1, sx1, sy1 = swalign.sw_matrices_batch(
+                ref_codes.astype(np.int8), r.nucl[None, :])
+            a_p, b_p = swalign.sw_traceback(sc1[0], sx1[0], sy1[0],
+                                            len(r.nucl))
+        else:
+            a_p, b_p = swalign.sw_traceback(score[i], sx[i], sy[i],
+                                            len(r.nucl))
         if len(a_p) == 0:
-            # zero-length alignment: min_align_len rejects it
+            # zero-length alignment: min_align_len rejects it (the
+            # reference reads uninitialized ref_p/read_p here —
+            # src/gassembler.c:1927, non-oracle UB)
             continue
         n_div, n_gaps, s_gap, e_gap, gaps_total = count_divergent(
             ref_codes, r.nucl, a_p, b_p)
+        st = (len(a_p), n_div, n_gaps, gaps_total, s_gap, e_gap)
         if params.debug > 1:
-            _print_read_trace(i, r, (len(a_p), n_div, n_gaps, gaps_total,
-                                     s_gap, e_gap), params)
+            _trace_stats_line(i, st)
+            if params.debug > 2:
+                # src/gassembler.c:1930-1935: between the stats line
+                # and the filter reasons
+                sys.stderr.write(">%u/%u\n" % (i, len(a_reads)))
+                _print_alignment(a_p, b_p, ref_codes, r.nucl)
+            _trace_reason(i, r, st, params)
         if n_div > params.max_divergent:
             continue
         if len(a_p) < params.min_align_len:
@@ -1350,9 +1486,10 @@ def read_snvs(path: str):
     return out
 
 
-def read_fps(path: str):
+def read_fps(path: str, debug: int = 0):
     """Known-false-positive positions (src/gassembler.c:2392-2438):
-    POS stored as-is (NOT shifted, unlike read_snvs)."""
+    POS stored as-is (NOT shifted, unlike read_snvs); -DDD echoes each
+    accepted entry (src/gassembler.c:2428)."""
     out = []
     from genometester4_tpu.utils.gt4mmap import gt4_mmap_fail
     mf = gt4_mmap_fail(path)
@@ -1376,6 +1513,8 @@ def read_fps(path: str):
                 pos = int(sub[1])
             except (ValueError, IndexError):
                 continue
+            if debug > 2:
+                sys.stderr.write("FP: %u %u\n" % (chr_, pos))
             out.append((chr_, pos, 0, 0))
     return out
 

@@ -1738,7 +1738,6 @@ void fgx_sw_batch (const signed char *ref, int n, const signed char *reads,
   }
 }
 
-
 /* Traceback one read's SW matrices (src/gassembler.c:2298-2320): first
  * row-major maximum over columns 0..m_valid, then walk sx/sy. Returns
  * the number of aligned pairs; a_pos/b_pos are filled in ascending

@@ -571,3 +571,36 @@ def test_debug_groups_level2_stderr_parity(katk_fixture):
     err = b"\n".join(l for l in ours.stderr.splitlines()
                      if b"xla_bridge" not in l) + b"\n"
     assert err == ref.stderr
+
+
+def test_debug_level3_stderr_parity(katk_fixture):
+    """-D -D -D byte-identical: adds print_db_reads index dumps, the
+    'Already registered' dedup trace, FP: echo lines, and the per-read
+    >i/na + print_alignment blocks (src/gassembler.c:2581,2612,2428,
+    1930-1935). The reference's own in-fill SW matrix/traceback dumps
+    (src/gassembler.c:2275,2314) are DEAD CODE — smith_waterman_seq's
+    debug parameter is hardwired 0 at the align call
+    (src/gassembler.c:1925) — so nothing prints from them upstream or
+    here."""
+    import subprocess
+    tmp = katk_fixture
+    region1 = (tmp / "regions.txt").read_text().splitlines()[0].split("\t")
+    ref_base = region1[3][100]
+    alt = "G" if ref_base != "G" else "T"
+    (tmp / "snvs_d3.txt").write_text(f"1:1101:rs1:{ref_base}/{alt}\tAB\n")
+    (tmp / "fp_d3.txt").write_text("1:1120\nX:7\n")
+    args = ["--dbi", "db.idx", "--region_file", "regions.txt",
+            "--num_threads", "1", "--coverage", "40", "--sex", "female",
+            "--snvs", "snvs_d3.txt", "--fp", "fp_d3.txt",
+            "-D", "-D", "-D"]
+    ref = run_reference(["gassembler"] + args, cwd=tmp, timeout=600)
+    ours = subprocess.run(
+        [sys.executable, "-m", "genometester4_tpu.cli.gassembler"] + args,
+        cwd=tmp, capture_output=True, timeout=600,
+        env={**os.environ, "PYTHONPATH": os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))})
+    assert ours.returncode == ref.returncode
+    assert ours.stdout == ref.stdout
+    err = b"\n".join(l for l in ours.stderr.splitlines()
+                     if b"xla_bridge" not in l) + b"\n"
+    assert err == ref.stderr
