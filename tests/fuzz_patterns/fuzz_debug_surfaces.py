@@ -23,7 +23,8 @@ fails = 0
 for trial in range(16):
     dbg = random.choice([["-D"], ["-D", "-D"], ["-DG"], ["-DG", "-DG"],
                          ["-D", "-D", "-DG"], ["-D", "-DG", "-DG"],
-                         ["-D", "-D", "-DG", "-DG"]])
+                         ["-D", "-D", "-DG", "-DG"], ["-D", "-D", "-D"],
+                         ["-D", "-D", "-D", "-DG", "-DG"]])
     args = ["--dbi", "db.idx", "--num_threads", "1",
             "--coverage", "40", "--sex", "female"] + dbg
     sel = random.sample(regions, random.randint(1, 4))
