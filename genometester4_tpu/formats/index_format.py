@@ -158,6 +158,14 @@ def read_index_map(path: str | os.PathLike) -> IndexMap:
                     kmer_recs=recs)
 
 
+def _write_chunked(f, view, chunk: int = 1 << 20):
+    """write(2) calls >= 12 MB stall in dirty-page throttling on this
+    VM class (CLAUDE.md; same split ListWriter uses) — and a memoryview
+    source skips the tobytes copy."""
+    for i in range(0, len(view), chunk):
+        f.write(view[i:i + chunk])
+
+
 def write_index_file(path: str | os.PathLike, word_length: int,
                      files: list, words: np.ndarray, loc_start: np.ndarray,
                      num_locations: int, locations: np.ndarray,
@@ -179,15 +187,25 @@ def write_index_file(path: str | os.PathLike, word_length: int,
         f.write(struct.pack("<II", 4, 2))
         f.write(struct.pack("<I", len(files)))
         blen = 16
+        subseq_dt = np.dtype([("np", "<u8"), ("nl", "<u4"),
+                              ("sp", "<u8"), ("sl", "<u8")])
+        assert subseq_dt.itemsize == 28
         for fi in files:
             name = fi.name if isinstance(fi.name, bytes) else fi.name.encode()
             f.write(struct.pack("<QQ", fi.size, len(fi.subseqs)))
             f.write(struct.pack("<H", len(name) + 1))
             f.write(name + b"\0")
             blen += 18 + len(name) + 1
-            for (np_, nl, sp, sl) in fi.subseqs:
-                f.write(struct.pack("<QIQQ", int(np_), int(nl), int(sp),
-                                    int(sl)))
+            # vectorized: the per-record struct.pack loop cost seconds
+            # on multi-million-read FASTQ registries
+            ss = np.asarray(fi.subseqs)
+            blob = np.empty(len(ss), subseq_dt)
+            if len(ss):
+                blob["np"] = ss[:, 0]
+                blob["nl"] = ss[:, 1]
+                blob["sp"] = ss[:, 2]
+                blob["sl"] = ss[:, 3]
+            _write_chunked(f, memoryview(blob).cast("B"))
             blen += 28 * len(fi.subseqs)
         if blen & 7:
             f.write(b"\0" * (8 - (blen & 7)))
@@ -195,9 +213,10 @@ def write_index_file(path: str | os.PathLike, word_length: int,
         recs = np.empty(len(words) * 2, np.uint64)
         recs[0::2] = words
         recs[1::2] = loc_start
-        f.write(recs.tobytes())
+        _write_chunked(f, memoryview(recs).cast("B"))
         locations_start = f.tell()
-        f.write(np.ascontiguousarray(locations, np.uint64).tobytes())
+        _write_chunked(f, memoryview(
+            np.ascontiguousarray(locations, np.uint64)).cast("B"))
         f.seek(starts_at)
         f.write(struct.pack("<QQQ", files_start, kmers_start,
                             locations_start))

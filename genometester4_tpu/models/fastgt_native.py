@@ -164,6 +164,12 @@ def get_lib() -> ctypes.CDLL:
             u32p, i64p_, u8p, ctypes.POINTER(ctypes.c_longlong)]
         lib.fgx_index_hits_batched.restype = ctypes.c_long
         lib.fgx_index_hits_batched.argtypes = lib.fgx_index_hits.argtypes
+        lib.fgx_extract_canonical_posdir.restype = ctypes.c_long
+        lib.fgx_extract_canonical_posdir.argtypes = [
+            u8p, ctypes.c_long, ctypes.c_int, u64p, i64p_, u8p]
+        lib.fgx_sort_pair_u64.restype = ctypes.c_int
+        lib.fgx_sort_pair_u64.argtypes = [
+            u64p, u64p, ctypes.c_long, ctypes.c_int]
         lp_ = ctypes.POINTER(ctypes.c_long)
         lib.fgx_parse_fasta_slab.restype = ctypes.c_long
         lib.fgx_parse_fasta_slab.argtypes = [

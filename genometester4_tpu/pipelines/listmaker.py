@@ -227,7 +227,21 @@ def make_index(input_files, word_length: int, output_path: str,
     from genometester4_tpu.io.fasta import iter_slabs_indexed
 
     k = word_length
-    run = _make_index_chunk_fn(k)
+    impl = _count_impl()
+    if impl == "host":
+        # host-native extraction (one rolling C pass per slab, no
+        # chunk seams, no accelerator round-trips) — the same cost
+        # model as make_list: behind the axon tunnel / on CPU backends
+        # the XLA chunk path measured 3x the reference wall
+        # (22 s vs 7 s at 10 Mbp, round 3), the native path beats it
+        from genometester4_tpu.models.fastgt_native import get_lib
+        from genometester4_tpu.utils.backend import disable_numpy_thp
+        disable_numpy_thp()
+        _lib = get_lib()
+        run = None
+    else:
+        _lib = None
+        run = _make_index_chunk_fn(k)
     files_meta = []
     per_file = []  # (words, rec, lpos, dirs)
     max_lpos = 0
@@ -250,6 +264,25 @@ def make_index(input_files, word_length: int, output_path: str,
                 len_parts.append(meta.rec_lengths)
             n = len(codes)
             if n < k:
+                continue
+            if _lib is not None:
+                cap = max(n - k + 1, 1)
+                wbuf = np.empty(cap, np.uint64)
+                pbuf = np.empty(cap, np.int64)
+                dbuf = np.empty(cap, np.uint8)
+                m = _lib.fgx_extract_canonical_posdir(
+                    np.ascontiguousarray(codes, np.uint8), n, k,
+                    wbuf, pbuf, dbuf)
+                if not m:
+                    continue
+                w_l.append(wbuf[:m].copy())
+                spos = pbuf[:m]
+                seg = np.searchsorted(meta.seg_starts, spos,
+                                      side="right") - 1
+                r_l.append(meta.seg_rec[seg])
+                p_l.append(spos - meta.seg_starts[seg]
+                           + meta.seg_lpos0[seg])
+                d_l.append(dbuf[:m].copy())
                 continue
             step = chunk_bases - (k - 1)
             for start in range(0, max(n - (k - 1), 1), step):
@@ -335,10 +368,16 @@ def make_index(input_files, word_length: int, output_path: str,
         words_parts.append(words)
         code_parts.append(code)
     if words_parts:
-        aw = np.concatenate(words_parts)
-        ac = np.concatenate(code_parts)
-        order = np.lexsort((ac, aw))
-        aw, ac = aw[order], ac[order]
+        aw = np.ascontiguousarray(np.concatenate(words_parts))
+        ac = np.ascontiguousarray(np.concatenate(code_parts))
+        # lexicographic (word, code) via two stable LSD pair sorts
+        # (secondary key first) — ~6x numpy.lexsort at 10M windows
+        from genometester4_tpu.models.fastgt_native import get_lib
+        _slib = get_lib()
+        code_bits = n_file_bits + n_subseq_bits + n_pos_bits + 1
+        if (_slib.fgx_sort_pair_u64(ac, aw, len(ac), min(code_bits, 64))
+                or _slib.fgx_sort_pair_u64(aw, ac, len(aw), 2 * k)):
+            raise MemoryError("pair sort scratch allocation failed")
         head = np.concatenate([[True], aw[1:] != aw[:-1]])
         uw = aw[head]
         starts = np.flatnonzero(head)

@@ -2367,6 +2367,77 @@ long fgx_index_hits_batched (const unsigned char *codes, long n, int k,
   return m;
 }
 
+/* Rolling canonical extraction with window positions + directions —
+ * the glistmaker --index host path needs (word, start, is_rc) per
+ * valid window (reference record loop src/glistmaker.c:1052-1068).
+ * Same rolling recurrence as fgx_extract_canonical. Returns the
+ * window count. */
+long fgx_extract_canonical_posdir (const unsigned char *codes, long n,
+                                   int k, unsigned long long *words,
+                                   long long *pos, unsigned char *dirs)
+{
+  unsigned long long wmask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+  int rc_shift = 2 * (k - 1);
+  unsigned long long fw = 0, rc = 0;
+  int run = 0;
+  long i, m = 0;
+  for (i = 0; i < n; i++) {
+    unsigned int c = codes[i];
+    if (c > 3) { run = 0; continue; }
+    fw = ((fw << 2) | c) & wmask;
+    rc = (rc >> 2) | ((unsigned long long) (3 - c) << rc_shift);
+    if (++run >= k) {
+      unsigned long long w = (fw < rc) ? fw : rc;
+      words[m] = w;
+      pos[m] = i - k + 1;
+      dirs[m] = (unsigned char) (w != fw);
+      m += 1;
+    }
+  }
+  return m;
+}
+
+/* STABLE LSD radix pair sort: orders (keys[i], vals[i]) by keys,
+ * preserving the relative order of equal keys — two passes of this
+ * (first by the secondary key, then by the primary) give the
+ * lexicographic (primary, secondary) order numpy.lexsort produces.
+ * 8-bit digits over key_bits; digit passes where all keys agree are
+ * skipped. Returns 0, or -1 on allocation failure. */
+int fgx_sort_pair_u64 (unsigned long long *keys, unsigned long long *vals,
+                       long n, int key_bits)
+{
+  int n_digits = (key_bits + 7) / 8, d;
+  unsigned long long *kt = (unsigned long long *)
+    malloc ((size_t) (n > 0 ? n : 1) * 8);
+  unsigned long long *vt = (unsigned long long *)
+    malloc ((size_t) (n > 0 ? n : 1) * 8);
+  unsigned long long *ks = keys, *vs = vals, *kd = kt, *vd = vt;
+  long i;
+  if (!kt || !vt) { free (kt); free (vt); return -1; }
+  for (d = 0; d < n_digits; d++) {
+    long h[257];
+    int sh = d * 8;
+    memset (h, 0, sizeof (h));
+    for (i = 0; i < n; i++) h[((ks[i] >> sh) & 255) + 1] += 1;
+    if (n > 0 && h[(int) ((ks[0] >> sh) & 255) + 1] == n) continue;
+    for (i = 0; i < 256; i++) h[i + 1] += h[i];
+    for (i = 0; i < n; i++) {
+      long t = h[(ks[i] >> sh) & 255]++;
+      kd[t] = ks[i];
+      vd[t] = vs[i];
+    }
+    { unsigned long long *t = ks; ks = kd; kd = t; }
+    { unsigned long long *t = vs; vs = vd; vd = t; }
+  }
+  if (ks != keys) {
+    memcpy (keys, ks, (size_t) n * 8);
+    memcpy (vals, vs, (size_t) n * 8);
+  }
+  free (kt);
+  free (vt);
+  return 0;
+}
+
 /* gmer_counter default per-node output: "NAME\tNK\tc1\t...\tcNK\n"
  * (src/gmer_counter.c:636-663, --kmers only). names is a blob indexed
  * by name_off (NUL- or tab-terminated; name_len gives the byte count).
