@@ -328,8 +328,6 @@ def _main_impl(argv=None) -> int:
         sys.stderr.write("Stopping...\n")
         return 1
 
-    from genometester4_tpu.pipelines import listcompare as lc
-
     # Subset (src/glistcompare.c:291-315)
     if find_subset:
         if len(files) != 1:
@@ -341,8 +339,18 @@ def _main_impl(argv=None) -> int:
                              "bigger than number of unique kmers "
                              f"({n_words_of[0]})\n")
             return 1
-        lc.make_subset(files[0], subset_method, subset_size, outputname, seed)
+        # numpy-free fast path (plain .list inputs): the native pass
+        # starts before any numpy import (pipelines/subset_fast.py)
+        from genometester4_tpu.pipelines.subset_fast import try_fast_subset
+        if try_fast_subset(files[0], subset_method, subset_size,
+                           outputname, seed) is not None:
+            return 0
+        from genometester4_tpu.pipelines import listcompare as lc
+        lc.make_subset(files[0], subset_method, subset_size, outputname,
+                       seed)
         return 0
+
+    from genometester4_tpu.pipelines import listcompare as lc
 
     if len(files) < 2:
         sys.stderr.write("Error: At least 2 list/index files are needed\n")

@@ -752,6 +752,8 @@ def make_subset(list_path: str, method: str, size: int, outputname: str,
                                                            pack_records,
                                                            raw_record_view)
         from genometester4_tpu.models.fastgt_native import get_lib
+        from genometester4_tpu.utils.backend import disable_numpy_thp
+        disable_numpy_thp()   # multi-MB buffers below (CLAUDE.md)
         if method != "rand" and size > h.n_words:
             raise ValueError("subset size bigger than number of unique kmers")
         lib = get_lib()
@@ -762,8 +764,9 @@ def make_subset(list_path: str, method: str, size: int, outputname: str,
             raw = np.ascontiguousarray(raw.view(np.uint8).reshape(-1))
         out_buf = np.empty(max(12, 12 * h.n_words), np.uint8)
         tot = ctypes.c_ulonglong(0)
-        m = lib.fgx_subset(raw, h.n_words,
-                           int(np.asarray(counts, np.uint64).sum()),
+        # in = the header's total (inst->sum_counts IS header->total for
+        # a list source, src/glistcompare.c:735) — no counts-column scan
+        m = lib.fgx_subset(raw, h.n_words, int(h.total_count),
                            METHODS[method], size, seed, out_buf,
                            ctypes.byref(tot))
         with ListWriter(out_path, h.word_length) as w:

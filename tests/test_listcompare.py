@@ -309,3 +309,41 @@ def test_multi_union_progress_ticks(tmp_path, rng, impl, monkeypatch,
     assert buf.getvalue() == ("Words written: 10M\n"
                               "Words written: 20M\n"
                               "Words written: 30M\n")
+
+
+def test_subset_fast_path_differential(tmp_path, rng):
+    """The numpy-free -ss fast path (pipelines/subset_fast.py) is
+    byte-identical to the reference for every method, including the
+    boundary size == n_words, and declines non-list inputs."""
+    import numpy as np
+    from genometester4_tpu.formats.list_format import write_list
+    from genometester4_tpu.pipelines.subset_fast import try_fast_subset
+
+    w = np.unique(rng.integers(0, 1 << 20, size=30000).astype(np.uint64))
+    c = rng.integers(1, 9, size=len(w)).astype(np.uint32)
+    p = str(tmp_path / "l_12.list")
+    write_list(p, 12, w, c)
+    # size == n_words only for rand_unique (p = out/in = 1 always, so
+    # one pass suffices); for the other methods the reference's subset
+    # loop has no end-of-list check and walks past the mmap (catalogued
+    # UB, src/glistcompare.c:735-780) — not an oracle there
+    sizes_of = {"rand": (1, 1000), "rand_unique": (1, 1000, len(w)),
+                "rand_weighted_unique": (1, 1000)}
+    for m in ("rand", "rand_unique", "rand_weighted_unique"):
+        for size in sizes_of[m]:
+            ref = run_reference(["glistcompare", p, "-ss", m, str(size),
+                                 "--seed", "3", "-o",
+                                 str(tmp_path / f"ref{m}{size}")])
+            assert ref.returncode == 0, ref.stderr
+            out = try_fast_subset(p, m, size,
+                                  str(tmp_path / f"got{m}{size}"), 3)
+            assert out is not None
+            assert (tmp_path / f"got{m}{size}_subset_12.list"
+                    ).read_bytes() == \
+                (tmp_path / f"ref{m}{size}_subset_12.list").read_bytes(), \
+                (m, size)
+    # non-list input declines to the generic pipeline
+    bogus = tmp_path / "x.bin"
+    bogus.write_bytes(b"\x00" * 64)
+    assert try_fast_subset(str(bogus), "rand", 5, str(tmp_path / "nope"),
+                           1) is None
