@@ -40,6 +40,11 @@ import struct
 import numpy as np
 
 from genometester4_tpu.formats.gmerdb import GmerDB
+# GMDB blobs run to gigabytes; numpy-THP first-touch is a measured 7x
+# loss on this VM class (CLAUDE.md) — toggle at import like list_format
+from genometester4_tpu.utils.backend import disable_numpy_thp as _thp
+
+_thp()
 
 _ALLOC_BLOCK = 65536  # src/trie.c:18
 _TRIE_BLOCK_BITS = 30

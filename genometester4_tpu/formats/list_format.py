@@ -30,6 +30,15 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+# every heavy list path flows through this module, and numpy is already
+# imported one line up — make the measured MADV_HUGEPAGE first-touch
+# penalty fix (CLAUDE.md) unconditional here so no downstream allocator
+# depends on its caller remembering the call (round-3 find: deferring
+# the CLI-level toggle exposed pipelines that never called it)
+from genometester4_tpu.utils.backend import disable_numpy_thp as _thp
+
+_thp()
+
 GT4_LIST_CODE = (ord("G") << 24) | (ord("T") << 16) | (ord("4") << 8) | ord("C")
 
 
