@@ -169,14 +169,15 @@ def device_kernel_bench():
                       "checksum": checksum}))
 
 
-def run_device_bench(timeout: int = 420, attempts: int = 2):
+def run_device_bench(timeouts=(420, 240)):
     """Run the device section in a timeout-guarded subprocess (a flaky
-    tunnel hangs inside XLA beyond in-process timeouts).  Retry once:
-    the tunnel flaps, and a transient flap mid-measurement should not
-    degrade the recorded artifact to host-only numbers."""
+    tunnel hangs inside XLA beyond in-process timeouts).  Retry once
+    with a tighter budget: a transient flap mid-measurement should not
+    degrade the recorded artifact to host-only numbers, but the total
+    wall stays bounded for the driver."""
     import subprocess
-    for i in range(attempts):
-        if i and not tunnel_alive():
+    for i, timeout in enumerate(timeouts):
+        if i and not tunnel_alive(attempts=1):
             return None
         try:
             r = subprocess.run([sys.executable, os.path.abspath(__file__),
