@@ -167,6 +167,9 @@ def get_lib() -> ctypes.CDLL:
         lib.fgx_extract_canonical_posdir.restype = ctypes.c_long
         lib.fgx_extract_canonical_posdir.argtypes = [
             u8p, ctypes.c_long, ctypes.c_int, u64p, i64p_, u8p]
+        lib.fgx_sorted_occurrences.restype = None
+        lib.fgx_sorted_occurrences.argtypes = [
+            u64p, ctypes.c_long, u64p, ctypes.c_long, u64p]
         lib.fgx_sort_pair_u64.restype = ctypes.c_int
         lib.fgx_sort_pair_u64.argtypes = [
             u64p, u64p, ctypes.c_long, ctypes.c_int]

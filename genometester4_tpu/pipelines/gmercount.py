@@ -577,10 +577,12 @@ class DBCounter:
             words = np.ascontiguousarray(buf[:m])
             if lib.fgx_sort_u64(words, m, 2 * k) != 0:
                 raise MemoryError("sort scratch allocation failed")
-            dbw = self.db.sorted_words
-            lo = np.searchsorted(words, dbw, side="left")
-            hi = np.searchsorted(words, dbw, side="right")
-            self._host_acc += (hi - lo).astype(np.uint64)
+            # both sides sorted: one streaming dual-pointer merge pass
+            # (fgx_sorted_occurrences) replaces 2x ndb independent
+            # bisections — 4.2 s -> ~0.2 s at 30M DB words (round 3)
+            lib.fgx_sorted_occurrences(
+                words, m, np.ascontiguousarray(self.db.sorted_words),
+                len(self.db.sorted_words), self._host_acc)
             return
         step = self.chunk_bases - (k - 1)
         starts = list(range(0, max(n - (k - 1), 1), step))

@@ -2367,6 +2367,30 @@ long fgx_index_hits_batched (const unsigned char *codes, long n, int k,
   return m;
 }
 
+/* Occurrence counts of every (sorted, unique) DB word in a SORTED
+ * window stream: one dual-pointer merge pass, O(n + ndb) streaming —
+ * numpy's searchsorted costs 4.2 s for the same answer at 30 M DB
+ * words / 22 M windows because it runs 2x30M independent bisections
+ * that cannot exploit the queries being sorted too (round-3
+ * measurement; this pass is ~0.2 s). acc[i] += count, so per-slab
+ * calls accumulate. */
+void fgx_sorted_occurrences (const unsigned long long *words, long n,
+                             const unsigned long long *db, long ndb,
+                             unsigned long long *acc)
+{
+  long i = 0, d;
+  for (d = 0; d < ndb; d++) {
+    unsigned long long w = db[d];
+    while (i < n && words[i] < w) i++;
+    if (i < n && words[i] == w) {
+      long j = i;
+      while (j < n && words[j] == w) j++;
+      acc[d] += (unsigned long long) (j - i);
+      i = j;
+    }
+  }
+}
+
 /* Rolling canonical extraction with window positions + directions —
  * the glistmaker --index host path needs (word, start, is_rc) per
  * valid window (reference record loop src/glistmaker.c:1052-1068).
