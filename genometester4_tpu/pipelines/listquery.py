@@ -105,6 +105,25 @@ class ListQuery:
         if n == 0:
             return np.zeros(len(queries), np.uint32)
         if len(queries) >= 4096:
+            from genometester4_tpu.formats.list_format import \
+                raw_record_view
+            raw = raw_record_view(self.words)
+            if raw is not None:
+                # native pipelined search over the raw record stream:
+                # 64 interleaved misses in flight, no 600 MB contiguous
+                # copy of the word column (the former amortized-copy
+                # formulation spent 2.5 s on the copy alone at 50M
+                # records; round-3 find). Sorted probes add locality.
+                from genometester4_tpu.models.fastgt_native import \
+                    get_lib
+                order = np.argsort(queries, kind="stable")
+                qs = np.ascontiguousarray(queries[order], np.uint64)
+                out_sorted = np.empty(len(qs), np.uint32)
+                get_lib().fgx_lookup_records_batched(
+                    raw, n, qs, len(qs), out_sorted)
+                out = np.empty_like(out_sorted)
+                out[order] = out_sorted
+                return out
             words, counts = self._host_table()
             # random-order probes cache-miss ~log2(n) lines each; sorted
             # probes walk the table with locality (measured 2.3 s ->
