@@ -173,6 +173,9 @@ def get_lib() -> ctypes.CDLL:
         lib.fgx_lookup_records_batched.restype = None
         lib.fgx_lookup_records_batched.argtypes = [
             u8p, ctypes.c_long, u64p, ctypes.c_long, u32p]
+        lib.fgx_lookup_records_zipper.restype = None
+        lib.fgx_lookup_records_zipper.argtypes = \
+            lib.fgx_lookup_records_batched.argtypes
         lib.fgx_sort_pair_u64.restype = ctypes.c_int
         lib.fgx_sort_pair_u64.argtypes = [
             u64p, u64p, ctypes.c_long, ctypes.c_int]

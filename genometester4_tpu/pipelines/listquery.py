@@ -109,13 +109,24 @@ class ListQuery:
                 raw_record_view
             raw = raw_record_view(self.words)
             if raw is not None:
+                from genometester4_tpu.models.fastgt_native import \
+                    get_lib
+                q64 = np.asarray(queries, np.uint64)
+                if len(q64) and bool((q64[1:] >= q64[:-1]).all()):
+                    # already-sorted queries (-l: the query side IS a
+                    # sorted .list): one linear zipper over both sorted
+                    # streams, the reference's own shape
+                    # (src/glistquery.c:702-717)
+                    qs = np.ascontiguousarray(q64)
+                    out = np.empty(len(qs), np.uint32)
+                    get_lib().fgx_lookup_records_zipper(
+                        raw, n, qs, len(qs), out)
+                    return out
                 # native pipelined search over the raw record stream:
                 # 64 interleaved misses in flight, no 600 MB contiguous
                 # copy of the word column (the former amortized-copy
                 # formulation spent 2.5 s on the copy alone at 50M
                 # records; round-3 find). Sorted probes add locality.
-                from genometester4_tpu.models.fastgt_native import \
-                    get_lib
                 order = np.argsort(queries, kind="stable")
                 qs = np.ascontiguousarray(queries[order], np.uint64)
                 out_sorted = np.empty(len(qs), np.uint32)

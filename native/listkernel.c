@@ -2418,6 +2418,32 @@ void fgx_lookup_records_batched (const unsigned char *recs, long n,
   }
 }
 
+/* Counts of SORTED queries against the raw record stream: one linear
+ * dual-pointer zipper, O(n + nq) streaming — for glistquery -l both
+ * sides are sorted .lists, so the reference's zipper
+ * (src/glistquery.c:702-717) is the right shape, not nq binary
+ * searches (round 3: 2.9 s of pipelined searches -> ~0.4 s).
+ * Duplicate queries are fine (the table cursor holds). */
+void fgx_lookup_records_zipper (const unsigned char *recs, long n,
+                                const unsigned long long *q, long nq,
+                                unsigned int *out)
+{
+  long i = 0, j;
+  unsigned long long w = 0;
+  if (n > 0) __builtin_memcpy (&w, recs, 8);
+  for (j = 0; j < nq; j++) {
+    unsigned long long qq = q[j];
+    unsigned int c = 0;
+    while (i < n && w < qq) {
+      i++;
+      if (i < n) __builtin_memcpy (&w, recs + 12 * i, 8);
+    }
+    if (i < n && w == qq)
+      __builtin_memcpy (&c, recs + 12 * i + 8, 4);
+    out[j] = c;
+  }
+}
+
 /* Occurrence counts of every (sorted, unique) DB word in a SORTED
  * window stream: one dual-pointer merge pass, O(n + ndb) streaming —
  * numpy's searchsorted costs 4.2 s for the same answer at 30 M DB
