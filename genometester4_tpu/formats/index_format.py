@@ -170,14 +170,21 @@ def write_index_file(path: str | os.PathLike, word_length: int,
                      files: list, words: np.ndarray, loc_start: np.ndarray,
                      num_locations: int, locations: np.ndarray,
                      n_file_bits: int, n_subseq_bits: int, n_pos_bits: int,
-                     atomic: bool = True):
-    """Write byte-identically to write_index (src/glistmaker.c:631-782)."""
+                     atomic: bool = True, kmer_recs: np.ndarray = None):
+    """Write byte-identically to write_index (src/glistmaker.c:631-782).
+
+    The k-mer block is (word, loc_start) u64 pairs; pass either the two
+    columns (words, loc_start) or the pre-interleaved pair array
+    ``kmer_recs`` (native producers emit it directly, skipping the
+    interleave copies)."""
+    n_kmers = (len(kmer_recs) // 2 if kmer_recs is not None
+               else len(words))
     tmp = f"{os.fspath(path)}.tmp" if atomic else os.fspath(path)
     with open(tmp, "wb") as f:
         f.write(b"I4TG")
         f.write(struct.pack("<II", 4, 2))
         f.write(struct.pack("<I", word_length))
-        f.write(struct.pack("<QQ", len(words), num_locations))
+        f.write(struct.pack("<QQ", n_kmers, num_locations))
         f.write(struct.pack("<IIII", n_file_bits, n_subseq_bits,
                             n_pos_bits, 0))
         starts_at = f.tell()
@@ -210,10 +217,12 @@ def write_index_file(path: str | os.PathLike, word_length: int,
         if blen & 7:
             f.write(b"\0" * (8 - (blen & 7)))
         kmers_start = f.tell()
-        recs = np.empty(len(words) * 2, np.uint64)
-        recs[0::2] = words
-        recs[1::2] = loc_start
-        _write_chunked(f, memoryview(recs).cast("B"))
+        if kmer_recs is None:
+            kmer_recs = np.empty(len(words) * 2, np.uint64)
+            kmer_recs[0::2] = words
+            kmer_recs[1::2] = loc_start
+        _write_chunked(f, memoryview(
+            np.ascontiguousarray(kmer_recs)).cast("B"))
         locations_start = f.tell()
         _write_chunked(f, memoryview(
             np.ascontiguousarray(locations, np.uint64)).cast("B"))

@@ -176,6 +176,10 @@ def get_lib() -> ctypes.CDLL:
         lib.fgx_lookup_records_zipper.restype = None
         lib.fgx_lookup_records_zipper.argtypes = \
             lib.fgx_lookup_records_batched.argtypes
+        lib.fgx_index_kmer_records.restype = ctypes.c_long
+        lib.fgx_index_kmer_records.argtypes = [
+            u64p, ctypes.c_long, ctypes.c_uint, ctypes.c_uint, u64p,
+            ctypes.POINTER(ctypes.c_ulonglong)]
         lib.fgx_sort_pair_u64.restype = ctypes.c_int
         lib.fgx_sort_pair_u64.argtypes = [
             u64p, u64p, ctypes.c_long, ctypes.c_int]

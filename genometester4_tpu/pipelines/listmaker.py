@@ -275,14 +275,16 @@ def make_index(input_files, word_length: int, output_path: str,
                     wbuf, pbuf, dbuf)
                 if not m:
                     continue
-                w_l.append(wbuf[:m].copy())
+                # buffers are per-slab allocations: slice views suffice
+                # (the later concatenate is the one copy)
+                w_l.append(wbuf[:m])
                 spos = pbuf[:m]
                 seg = np.searchsorted(meta.seg_starts, spos,
                                       side="right") - 1
                 r_l.append(meta.seg_rec[seg])
                 p_l.append(spos - meta.seg_starts[seg]
                            + meta.seg_lpos0[seg])
-                d_l.append(dbuf[:m].copy())
+                d_l.append(dbuf[:m])
                 continue
             step = chunk_bases - (k - 1)
             for start in range(0, max(n - (k - 1), 1), step):
@@ -370,36 +372,37 @@ def make_index(input_files, word_length: int, output_path: str,
     if words_parts:
         aw = np.ascontiguousarray(np.concatenate(words_parts))
         ac = np.ascontiguousarray(np.concatenate(code_parts))
-        # lexicographic (word, code) via two stable LSD pair sorts
-        # (secondary key first) — ~6x numpy.lexsort at 10M windows
+        # lexicographic (word, code) needs only ONE stable sort by
+        # word: location codes pack (file, record, position, dir) in
+        # stream-enumeration order, so they are strictly ascending in
+        # the concatenated input already — a stable LSD pair sort by
+        # word keeps them ascending within each word run (the former
+        # two-sort formulation paid a second full pass set; both are
+        # ~6x numpy.lexsort at 10M windows)
         from genometester4_tpu.models.fastgt_native import get_lib
-        _slib = get_lib()
-        code_bits = n_file_bits + n_subseq_bits + n_pos_bits + 1
-        if (_slib.fgx_sort_pair_u64(ac, aw, len(ac), min(code_bits, 64))
-                or _slib.fgx_sort_pair_u64(aw, ac, len(aw), 2 * k)):
+        if get_lib().fgx_sort_pair_u64(aw, ac, len(aw), 2 * k):
             raise MemoryError("pair sort scratch allocation failed")
-        head = np.concatenate([[True], aw[1:] != aw[:-1]])
-        uw = aw[head]
-        starts = np.flatnonzero(head)
-        cnt = np.diff(np.concatenate([starts, [len(aw)]]))
-        keep = (cnt >= min_count) & (cnt <= max_count)
-        # offsets accumulate over KEPT words only, but every word's
-        # locations are written (reference cutoff bug, see format doc)
-        kept_cnt = np.where(keep, cnt, 0)
-        loc_start = (np.cumsum(kept_cnt) - kept_cnt).astype(np.uint64)
-        num_locations = int(kept_cnt.sum())
-        words_out = uw[keep]
-        loc_start_out = loc_start[keep]
+        # one C pass over the runs emits the interleaved k-mer block
+        # directly (cutoff-bug semantics preserved: offsets accumulate
+        # over kept words only, every location written — format doc)
+        import ctypes
+
+        from genometester4_tpu.models.fastgt_native import get_lib
+        recs = np.empty(2 * len(aw), np.uint64)
+        nloc = ctypes.c_ulonglong(0)
+        m = get_lib().fgx_index_kmer_records(
+            aw, len(aw), min_count, max_count, recs, ctypes.byref(nloc))
+        kmer_recs = recs[: 2 * m]
+        num_locations = int(nloc.value)
         locations = ac
     else:
-        words_out = np.empty(0, np.uint64)
-        loc_start_out = np.empty(0, np.uint64)
+        kmer_recs = np.empty(0, np.uint64)
         num_locations = 0
         locations = np.empty(0, np.uint64)
 
-    write_index_file(output_path, k, files_meta, words_out, loc_start_out,
+    write_index_file(output_path, k, files_meta, None, None,
                      num_locations, locations, n_file_bits, n_subseq_bits,
-                     n_pos_bits)
+                     n_pos_bits, kmer_recs=kmer_recs)
 
 
 def _count_impl() -> str:

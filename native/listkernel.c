@@ -2418,6 +2418,39 @@ void fgx_lookup_records_batched (const unsigned char *recs, long n,
   }
 }
 
+/* The .index k-mer block from the sorted word column: one pass over
+ * runs of equal words emitting interleaved (word, loc_start) u64
+ * pairs. Offsets accumulate over KEPT words only while every word's
+ * locations are still written — the reference's cutoff bug, see
+ * formats/index_format.py (src/glistmaker.c:628-782). Returns the
+ * record count; *num_locations_out gets the kept-count sum. Replaces
+ * a ~6-pass numpy mask/cumsum/gather/interleave chain (round 3). */
+long fgx_index_kmer_records (const unsigned long long *aw, long n,
+                             unsigned int min_count,
+                             unsigned int max_count,
+                             unsigned long long *recs,
+                             unsigned long long *num_locations_out)
+{
+  long i = 0, m = 0;
+  unsigned long long loc = 0;
+  while (i < n) {
+    unsigned long long w = aw[i];
+    long j = i + 1;
+    unsigned int c;
+    while (j < n && aw[j] == w) j++;
+    c = (unsigned int) (j - i);
+    if (c >= min_count && c <= max_count) {
+      recs[2 * m] = w;
+      recs[2 * m + 1] = loc;
+      loc += c;
+      m++;
+    }
+    i = j;
+  }
+  *num_locations_out = loc;
+  return m;
+}
+
 /* Counts of SORTED queries against the raw record stream: one linear
  * dual-pointer zipper, O(n + nq) streaming — for glistquery -l both
  * sides are sorted .lists, so the reference's zipper
@@ -2499,31 +2532,37 @@ long fgx_extract_canonical_posdir (const unsigned char *codes, long n,
 }
 
 /* STABLE LSD radix pair sort: orders (keys[i], vals[i]) by keys,
- * preserving the relative order of equal keys — two passes of this
- * (first by the secondary key, then by the primary) give the
- * lexicographic (primary, secondary) order numpy.lexsort produces.
- * 8-bit digits over key_bits; digit passes where all keys agree are
- * skipped. Returns 0, or -1 on allocation failure. */
+ * preserving the relative order of equal keys (the --index path relies
+ * on this: location codes arrive ascending, so one stable sort by word
+ * yields the full lexicographic order). 13-bit digits measured best on
+ * this VM class (0.79 s vs 1.08 s with 8-bit at 10M pairs / 50 key
+ * bits: 4 passes instead of 7, 64 KB histogram stays L2-resident);
+ * digit passes where all keys agree are skipped. Returns 0, or -1 on
+ * allocation failure. */
+#define FGX_PAIR_DBITS 13
+#define FGX_PAIR_DSIZE (1L << FGX_PAIR_DBITS)
+
 int fgx_sort_pair_u64 (unsigned long long *keys, unsigned long long *vals,
                        long n, int key_bits)
 {
-  int n_digits = (key_bits + 7) / 8, d;
+  int n_digits = (key_bits + FGX_PAIR_DBITS - 1) / FGX_PAIR_DBITS, d;
   unsigned long long *kt = (unsigned long long *)
     malloc ((size_t) (n > 0 ? n : 1) * 8);
   unsigned long long *vt = (unsigned long long *)
     malloc ((size_t) (n > 0 ? n : 1) * 8);
+  long *h = (long *) malloc ((FGX_PAIR_DSIZE + 1) * sizeof (long));
   unsigned long long *ks = keys, *vs = vals, *kd = kt, *vd = vt;
+  unsigned long long mask = FGX_PAIR_DSIZE - 1;
   long i;
-  if (!kt || !vt) { free (kt); free (vt); return -1; }
+  if (!kt || !vt || !h) { free (kt); free (vt); free (h); return -1; }
   for (d = 0; d < n_digits; d++) {
-    long h[257];
-    int sh = d * 8;
-    memset (h, 0, sizeof (h));
-    for (i = 0; i < n; i++) h[((ks[i] >> sh) & 255) + 1] += 1;
-    if (n > 0 && h[(int) ((ks[0] >> sh) & 255) + 1] == n) continue;
-    for (i = 0; i < 256; i++) h[i + 1] += h[i];
+    int sh = d * FGX_PAIR_DBITS;
+    memset (h, 0, (FGX_PAIR_DSIZE + 1) * sizeof (long));
+    for (i = 0; i < n; i++) h[((ks[i] >> sh) & mask) + 1] += 1;
+    if (n > 0 && h[(long) ((ks[0] >> sh) & mask) + 1] == n) continue;
+    for (i = 0; i < FGX_PAIR_DSIZE; i++) h[i + 1] += h[i];
     for (i = 0; i < n; i++) {
-      long t = h[(ks[i] >> sh) & 255]++;
+      long t = h[(ks[i] >> sh) & mask]++;
       kd[t] = ks[i];
       vd[t] = vs[i];
     }
@@ -2536,6 +2575,7 @@ int fgx_sort_pair_u64 (unsigned long long *keys, unsigned long long *vals,
   }
   free (kt);
   free (vt);
+  free (h);
   return 0;
 }
 
