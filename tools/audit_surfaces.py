@@ -45,8 +45,15 @@ def timed(cmd, n=2):
 
 
 def row(name, ref_cmd, our_cmd, outputs):
-    tr, _ = timed(ref_cmd)
-    to, _ = timed(our_cmd)
+    # ALTERNATE single runs: consecutive same-tool runs bias the
+    # successor with the predecessor's dirty-page writeback (a round-3
+    # --index measurement flipped sign from this)
+    tr = to = 1e18
+    for _ in range(2):
+        t, _r = timed(ref_cmd, n=1)
+        tr = min(tr, t)
+        t, _r = timed(our_cmd, n=1)
+        to = min(to, t)
     same = True
     for a, b in outputs:
         if open(a, "rb").read() != open(b, "rb").read():
