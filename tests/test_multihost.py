@@ -52,7 +52,7 @@ def _run_group(nprocs, local_devices, wordlen, outname, inputs, cwd):
         assert rc == 0, f"driver failed rc={rc}\n{err.decode()[-2000:]}"
 
 
-@pytest.mark.parametrize("nprocs,local", [(2, 2), (2, 1)])
+@pytest.mark.parametrize("nprocs,local", [(2, 2), (2, 1), (4, 2)])
 def test_multihost_glistmaker_byte_identical(tmp_path, rng, nprocs, local):
     """2-process mesh output == reference bytes, multi-file input
     (exercises the cross-slab shard merge)."""
