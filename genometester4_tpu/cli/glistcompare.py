@@ -350,7 +350,14 @@ def _main_impl(argv=None) -> int:
                        seed)
         return 0
 
-    from genometester4_tpu.pipelines import listcompare as lc
+    # numpy (~0.25 s under the bin/ -S launchers) stays unimported until
+    # a path that needs it runs: the multi-op fast path and all error/
+    # chrome exits below are numpy-free
+    class _LazyLC:
+        def __getattr__(self, name):
+            from genometester4_tpu.pipelines import listcompare
+            return getattr(listcompare, name)
+    lc = _LazyLC()
 
     if len(files) < 2:
         sys.stderr.write("Error: At least 2 list/index files are needed\n")
@@ -458,9 +465,17 @@ def _main_impl(argv=None) -> int:
         else:
             import time as _time
             _t0 = _time.time()
-            res = lc.compare_multi(files, "union", outputname, cutoff,
-                                   rule_name, count_override, countonly,
-                                   debug=debug)
+            # numpy-free fast path for plain .list inputs (the merge is
+            # the same native kernel; pipelines/setops_stream.py)
+            from genometester4_tpu.pipelines.setops_stream import \
+                try_fast_multi
+            res = try_fast_multi(files, "union", outputname, cutoff,
+                                 rule_name, count_override, countonly,
+                                 debug)
+            if res is None:
+                res = lc.compare_multi(files, "union", outputname, cutoff,
+                                       rule_name, count_override,
+                                       countonly, debug=debug)
             v = 0
             nu, t = res["union"]
             if debug:
@@ -486,9 +501,15 @@ def _main_impl(argv=None) -> int:
         else:
             import time as _time
             _t0 = _time.time()
-            res = lc.compare_multi(files, "intrsec", outputname, cutoff,
-                                   rule_name, count_override, countonly,
-                                   debug=debug)
+            from genometester4_tpu.pipelines.setops_stream import \
+                try_fast_multi
+            res = try_fast_multi(files, "intrsec", outputname, cutoff,
+                                 rule_name, count_override, countonly,
+                                 debug)
+            if res is None:
+                res = lc.compare_multi(files, "intrsec", outputname,
+                                       cutoff, rule_name, count_override,
+                                       countonly, debug=debug)
             v = 0
             nu, t = res["intrsec"]
             if debug:

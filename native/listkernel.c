@@ -1085,6 +1085,58 @@ int fgx_multi_stream_next (void *handle, unsigned char *buf, long cap,
   long m = 0;
   unsigned long long tot = 0;
   int s;
+  if (st->intersect) {
+    /* reference-shaped max-chase (src/glistcompare.c:628-704): no
+     * intersection word can lie beyond ANY exhausted list, so finish
+     * on first exhaustion instead of draining every stream, and
+     * advance laggards with a tight pointer-bump loop instead of a
+     * min-scan per unique word (9x on disjoint-ish inputs; the result
+     * SET is loop-shape independent, locked by the differential
+     * tests). */
+    int done = 0;
+    while (m < cap && !done) {
+      unsigned long long word = 0;
+      int equal = 1;
+      for (s = 0; s < st->n; s++) {
+        if (st->pos[s] >= st->lens[s]) { done = 1; break; }
+        if (st->head_w[s] > word) word = st->head_w[s];
+      }
+      if (done) break;
+      for (s = 0; s < st->n && !done; s++) {
+        while (st->head_w[s] < word) {
+          st->pos[s]++;
+          if (st->pos[s] >= st->lens[s]) { done = 1; break; }
+          multi_load_head (st, s);
+        }
+        if (!done && st->head_w[s] > word) { equal = 0; break; }
+      }
+      if (done || !equal) continue;
+      {
+        unsigned int f_add = 0, f_min = 0xFFFFFFFFu, f_max = 0, fr;
+        for (s = 0; s < st->n; s++) {
+          unsigned int c = st->head_c[s];
+          f_add += c;                    /* u32 wrap */
+          if (c < f_min) f_min = c;
+          if (c > f_max) f_max = c;
+        }
+        fr = (st->rule == 1) ? f_add :
+             (st->rule == 3) ? f_min :
+             (st->rule == 4) ? f_max : st->override_;
+        if (fr >= st->cutoff) {
+          put_rec (buf, m, word, fr);
+          tot += fr;
+          m++;
+        }
+        for (s = 0; s < st->n; s++) {
+          st->pos[s]++;
+          if (st->pos[s] < st->lens[s]) multi_load_head (st, s);
+        }
+      }
+    }
+    *n_out = m;
+    *sum_out = tot;
+    return !done;
+  }
   while (m < cap) {
     int best = -1, n_src = 0;
     unsigned long long bw = 0;
