@@ -198,15 +198,19 @@ def _main_impl(argv=None) -> int:
 
 
 def main(argv=None) -> int:
+    import os
+
     from genometester4_tpu.utils.backend import output_heavy_compute
 
     # GT4_DIST_*: join the process group BEFORE anything can initialize
     # the XLA backend (jax.distributed.initialize requires it); the
     # group's mesh then overrides the local placement cost model
-    # (parallel/multihost.py)
-    from genometester4_tpu.parallel.multihost import (distributed_env,
-                                                      init_from_env)
-    if distributed_env() is not None:
+    # (parallel/multihost.py). Env-gated inline: importing multihost
+    # just to check the variables costs the numpy import (~0.3 s) on
+    # every single-host run.
+    if os.environ.get("GT4_DIST_COORD") \
+            and int(os.environ.get("GT4_DIST_NPROCS", "1")) > 1:
+        from genometester4_tpu.parallel.multihost import init_from_env
         init_from_env()
 
     with output_heavy_compute():
