@@ -1138,13 +1138,52 @@ int fgx_multi_stream_next (void *handle, unsigned char *buf, long cap,
     return !done;
   }
   while (m < cap) {
-    int best = -1, n_src = 0;
-    unsigned long long bw = 0;
+    int best = -1, n_src = 0, shared = 0, have2 = 0;
+    unsigned long long bw = 0, w2 = 0;
     for (s = 0; s < st->n; s++) {
+      unsigned long long hw;
       if (st->pos[s] >= st->lens[s]) continue;
-      if (best < 0 || st->head_w[s] < bw) { best = s; bw = st->head_w[s]; }
+      hw = st->head_w[s];
+      if (best < 0) { best = s; bw = hw; }
+      else if (hw < bw) {
+        w2 = bw; have2 = 1; shared = 0;
+        best = s; bw = hw;
+      } else if (hw == bw) {
+        shared = 1;
+      } else if (!have2 || hw < w2) {
+        w2 = hw; have2 = 1;
+      }
     }
     if (best < 0) break;
+    if (!shared) {
+      /* galloping fast path: the lowest head word is unique to one
+       * stream, so every record there below the second-lowest head is
+       * single-source — its combined frequency is its own count (ADD =
+       * MIN = MAX = c; NUMBER = override), no per-word rescan of the
+       * other heads needed.  Run-copies long disjoint stretches at
+       * sequential-read speed (the reference rescans all cursors per
+       * word, src/glistcompare.c:628-704; the emitted record SET is
+       * loop-shape independent, locked by the differential tests). */
+      const unsigned char *sp = st->streams[best];
+      long p = st->pos[best], e = st->lens[best];
+      while (m < cap && p < e) {
+        unsigned long long w;
+        unsigned int c, fr;
+        __builtin_memcpy (&w, sp + 12 * p, 8);
+        if (have2 && w >= w2) break;
+        __builtin_memcpy (&c, sp + 12 * p + 8, 4);
+        fr = (st->rule == 7) ? st->override_ : c;
+        if (fr >= st->cutoff) {
+          put_rec (buf, m, w, fr);
+          tot += fr;
+          m++;
+        }
+        p++;
+      }
+      st->pos[best] = p;
+      multi_load_head (st, best);
+      continue;
+    }
     {
       unsigned int f_add = 0, f_min = 0xFFFFFFFFu, f_max = 0;
       for (s = 0; s < st->n; s++) {
