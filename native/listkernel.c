@@ -1255,15 +1255,40 @@ long fgx_merge_rec_shards (const unsigned char **shards, const long *lens,
   unsigned long long tot = 0;
   if (!pos) return -1;
   for (;;) {
-    int s, best = -1;
-    unsigned long long bw = 0;
+    int s, best = -1, shared = 0, have2 = 0;
+    unsigned long long bw = 0, w2 = 0;
     for (s = 0; s < n_shards; s++) {
       if (pos[s] >= lens[s]) continue;
       unsigned long long w;
       __builtin_memcpy (&w, shards[s] + 12 * pos[s], 8);
-      if (best < 0 || w < bw) { best = s; bw = w; }
+      if (best < 0) { best = s; bw = w; }
+      else if (w < bw) { w2 = bw; have2 = 1; shared = 0; best = s; bw = w; }
+      else if (w == bw) shared = 1;
+      else if (!have2 || w < w2) { w2 = w; have2 = 1; }
     }
     if (best < 0) break;
+    if (!shared) {
+      /* galloping single-source run (same shape as the N-list union
+       * fast path above): records below the second-lowest head need
+       * no cross-shard summing */
+      const unsigned char *sp = shards[best];
+      long p = pos[best], e = lens[best];
+      while (p < e) {
+        unsigned long long w;
+        unsigned int c;
+        __builtin_memcpy (&w, sp + 12 * p, 8);
+        if (have2 && w >= w2) break;
+        __builtin_memcpy (&c, sp + 12 * p + 8, 4);
+        if (c >= min_count && c <= max_count) {
+          put_rec (records, m, w, c);
+          tot += c;
+          m++;
+        }
+        p++;
+      }
+      pos[best] = p;
+      continue;
+    }
     unsigned int csum = 0;
     for (s = 0; s < n_shards; s++) {
       if (pos[s] >= lens[s]) continue;
