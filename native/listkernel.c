@@ -27,6 +27,10 @@
 #include <omp.h>
 #endif
 
+#ifdef __AVX2__
+#include <immintrin.h>
+#endif
+
 #define RADIX_BITS 11
 #define RADIX_SIZE (1 << RADIX_BITS)
 #define RADIX_MASK (RADIX_SIZE - 1)
@@ -1029,6 +1033,9 @@ typedef struct {
   unsigned long long *head_w;   /* cached head word per stream */
   unsigned int *head_c;         /* cached head count */
   int n;
+  int n_active;                 /* union path: live (non-exhausted)
+                                 * stream count; exhausted streams are
+                                 * compacted past this index */
   int intersect;
   int rule;                     /* 1 ADD, 3 MIN, 4 MAX, 7 NUMBER */
   unsigned int cutoff, override_;
@@ -1046,6 +1053,23 @@ static void multi_load_head (FgxMulti *st, int s)
   }
 }
 
+/* swap exhausted stream s out of the union-path active prefix (a true
+ * swap: the intersect path iterates all n streams and must still see
+ * every entry) */
+static void multi_swap_out (FgxMulti *st, int s)
+{
+  int a = --st->n_active;
+  const unsigned char *tsp = st->streams[s];
+  long tl = st->lens[s], tp = st->pos[s];
+  unsigned long long tw = st->head_w[s];
+  unsigned int tc = st->head_c[s];
+  st->streams[s] = st->streams[a]; st->streams[a] = tsp;
+  st->lens[s] = st->lens[a]; st->lens[a] = tl;
+  st->pos[s] = st->pos[a]; st->pos[a] = tp;
+  st->head_w[s] = st->head_w[a]; st->head_w[a] = tw;
+  st->head_c[s] = st->head_c[a]; st->head_c[a] = tc;
+}
+
 void *fgx_multi_stream_start (const unsigned char **streams,
                               const long *lens, int n, int intersect,
                               int rule, unsigned int cutoff,
@@ -1053,10 +1077,13 @@ void *fgx_multi_stream_start (const unsigned char **streams,
 {
   FgxMulti *st = (FgxMulti *) calloc (1, sizeof (*st));
   if (!st) return NULL;
+  int n_pad = (n + 3) & ~3;     /* head_w padded to a 4-lane multiple
+                                 * (AVX2 union scan); pad lanes hold the
+                                 * exhausted sentinel forever */
   st->streams = (const unsigned char **) malloc (n * sizeof (void *));
   st->lens = (long *) malloc (n * sizeof (long));
   st->pos = (long *) calloc (n, sizeof (long));
-  st->head_w = (unsigned long long *) malloc (n * sizeof (long long));
+  st->head_w = (unsigned long long *) malloc (n_pad * sizeof (long long));
   st->head_c = (unsigned int *) malloc (n * sizeof (int));
   if (!st->streams || !st->lens || !st->pos || !st->head_w
       || !st->head_c) {
@@ -1074,12 +1101,23 @@ void *fgx_multi_stream_start (const unsigned char **streams,
   {
     int s;
     for (s = 0; s < n; s++) multi_load_head (st, s);
+    for (s = n; s < n_pad; s++) st->head_w[s] = 0xFFFFFFFFFFFFFFFFULL;
+    /* compact empty streams out of the union-path active prefix
+     * (reference union_multi skips num_words==0 sources at setup,
+     * src/glistcompare.c:525-531) */
+    st->n_active = n;
+    s = 0;
+    while (s < st->n_active) {
+      if (st->lens[s] == 0) multi_swap_out (st, s);
+      else s++;
+    }
   }
   return st;
 }
 
-int fgx_multi_stream_next (void *handle, unsigned char *buf, long cap,
-                           long *n_out, unsigned long long *sum_out)
+int fgx_multi_stream_next (void *handle, unsigned char * restrict buf,
+                           long cap, long *n_out,
+                           unsigned long long *sum_out)
 {
   FgxMulti *st = (FgxMulti *) handle;
   long m = 0;
@@ -1137,86 +1175,256 @@ int fgx_multi_stream_next (void *handle, unsigned char *buf, long cap,
     *sum_out = tot;
     return !done;
   }
-  while (m < cap) {
-    int best = -1, n_src = 0, shared = 0, have2 = 0;
-    unsigned long long bw = 0, w2 = 0;
-    for (s = 0; s < st->n; s++) {
-      unsigned long long hw;
-      if (st->pos[s] >= st->lens[s]) continue;
-      hw = st->head_w[s];
-      if (best < 0) { best = s; bw = hw; }
-      else if (hw < bw) {
-        w2 = bw; have2 = 1; shared = 0;
-        best = s; bw = hw;
-      } else if (hw == bw) {
-        shared = 1;
-      } else if (!have2 || hw < w2) {
-        w2 = hw; have2 = 1;
-      }
-    }
-    if (best < 0) break;
-    if (!shared) {
-      /* galloping fast path: the lowest head word is unique to one
-       * stream, so every record there below the second-lowest head is
-       * single-source — its combined frequency is its own count (ADD =
-       * MIN = MAX = c; NUMBER = override), no per-word rescan of the
-       * other heads needed.  Run-copies long disjoint stretches at
-       * sequential-read speed (the reference rescans all cursors per
-       * word, src/glistcompare.c:628-704; the emitted record SET is
-       * loop-shape independent, locked by the differential tests). */
-      const unsigned char *sp = st->streams[best];
-      long p = st->pos[best], e = st->lens[best];
-      while (m < cap && p < e) {
-        unsigned long long w;
-        unsigned int c, fr;
-        __builtin_memcpy (&w, sp + 12 * p, 8);
-        if (have2 && w >= w2) break;
-        __builtin_memcpy (&c, sp + 12 * p + 8, 4);
-        fr = (st->rule == 7) ? st->override_ : c;
-        if (fr >= st->cutoff) {
-          put_rec (buf, m, w, fr);
-          tot += fr;
-          m++;
+#ifdef __AVX2__
+  /* union, AVX2: per unique word, the min over all stream heads and
+   * the set of streams holding it come from vectorized u64 min/compare
+   * over the padded head array (pad + exhausted lanes hold ~0ULL and
+   * are skipped by the pos<lens guard in the combine step, so a
+   * genuine 0xFF..F word still combines correctly).  The reference
+   * makes the same one pass per word through scalar cursors
+   * (src/glistcompare.c:544-592).  When the same single stream supplies
+   * two consecutive words, a galloping inner loop emits its records up
+   * to the min of the other heads with no scans at all (disjoint-ish
+   * inputs go at sequential-read speed; the emitted record SET is
+   * loop-shape independent, locked by the differential tests). */
+  {
+    const __m256i bias =
+      _mm256_set1_epi64x ((long long) 0x8000000000000000ULL);
+    const __m128i bias128 = _mm256_castsi256_si128 (bias);
+    int nblk = (st->n + 3) >> 2;
+    int prev_s = -1;
+    while (m < cap && st->n_active) {
+      unsigned long long word;
+      unsigned int mask = 0, f_add = 0, f_minr = 0xFFFFFFFFu, f_maxr = 0;
+      unsigned int fr, mbits;
+      int b, n_match = 0, s_last = -1;
+      {
+        __m256i vmin = _mm256_loadu_si256 ((const __m256i *) st->head_w);
+        for (b = 1; b < nblk; b++) {
+          __m256i v = _mm256_loadu_si256
+            ((const __m256i *) (st->head_w + 4 * b));
+          __m256i gt = _mm256_cmpgt_epi64 (_mm256_xor_si256 (vmin, bias),
+                                           _mm256_xor_si256 (v, bias));
+          vmin = _mm256_blendv_epi8 (vmin, v, gt);
         }
-        p++;
-      }
-      st->pos[best] = p;
-      multi_load_head (st, best);
-      continue;
-    }
-    {
-      unsigned int f_add = 0, f_min = 0xFFFFFFFFu, f_max = 0;
-      for (s = 0; s < st->n; s++) {
-        if (st->pos[s] >= st->lens[s] || st->head_w[s] != bw) continue;
-        unsigned int c = st->head_c[s];
-        f_add += c;                      /* u32 wrap */
-        if (c < f_min) f_min = c;
-        if (c > f_max) f_max = c;
-        n_src++;
-        st->pos[s]++;
-        multi_load_head (st, s);
+        __m128i lo = _mm256_castsi256_si128 (vmin);
+        __m128i hi = _mm256_extracti128_si256 (vmin, 1);
+        __m128i g2 = _mm_cmpgt_epi64 (_mm_xor_si128 (lo, bias128),
+                                      _mm_xor_si128 (hi, bias128));
+        __m128i m2 = _mm_blendv_epi8 (lo, hi, g2);
+        __m128i sh = _mm_unpackhi_epi64 (m2, m2);
+        __m128i g3 = _mm_cmpgt_epi64 (_mm_xor_si128 (m2, bias128),
+                                      _mm_xor_si128 (sh, bias128));
+        word = (unsigned long long)
+          _mm_cvtsi128_si64 (_mm_blendv_epi8 (m2, sh, g3));
       }
       {
-        unsigned int fr =
-          (st->rule == 1) ? f_add :
-          (st->rule == 3) ? f_min :
-          (st->rule == 4) ? f_max : st->override_;
-        int inc = fr >= st->cutoff;
-        if (st->intersect && n_src != st->n) inc = 0;
-        if (inc) {
-          put_rec (buf, m, bw, fr);
-          tot += fr;
-          m++;
+        __m256i vw = _mm256_set1_epi64x ((long long) word);
+        for (b = 0; b < nblk; b++) {
+          __m256i v = _mm256_loadu_si256
+            ((const __m256i *) (st->head_w + 4 * b));
+          __m256i eq = _mm256_cmpeq_epi64 (v, vw);
+          mask |= ((unsigned int)
+                   _mm256_movemask_pd (_mm256_castsi256_pd (eq)))
+                  << (4 * b);
         }
       }
+      mbits = mask;
+      while (mbits) {
+        int s2 = __builtin_ctz (mbits);
+        mbits &= mbits - 1;
+        if (s2 >= st->n || st->pos[s2] >= st->lens[s2])
+          continue;                      /* pad / exhausted lane (only
+                                          * reachable when word is the
+                                          * sentinel value itself) */
+        {
+          unsigned int c = st->head_c[s2];
+          f_add += c;                    /* u32 wrap */
+          if (c < f_minr) f_minr = c;
+          if (c > f_maxr) f_maxr = c;
+        }
+        n_match++;
+        s_last = s2;
+        st->pos[s2]++;
+        if (st->pos[s2] >= st->lens[s2]) {
+          st->head_w[s2] = 0xFFFFFFFFFFFFFFFFULL;
+          st->head_c[s2] = 0;
+          st->n_active--;
+        } else {
+          multi_load_head (st, s2);
+        }
+      }
+      if (!n_match) break;               /* defensive: cannot happen
+                                          * while n_active > 0 */
+      fr = (st->rule == 1) ? f_add :
+           (st->rule == 3) ? f_minr :
+           (st->rule == 4) ? f_maxr : st->override_;
+      if (fr >= st->cutoff) {
+        put_rec (buf, m, word, fr);
+        tot += fr;
+        m++;
+      }
+      if (n_match == 1 && s_last == prev_s
+          && st->pos[s_last] < st->lens[s_last]) {
+        /* the same stream supplied two consecutive words: likely a
+         * disjoint run, so pay one masked min over the OTHER heads and
+         * gallop this stream up to it */
+        unsigned long long save = st->head_w[s_last], limit;
+        st->head_w[s_last] = 0xFFFFFFFFFFFFFFFFULL;
+        {
+          __m256i vmin = _mm256_loadu_si256 ((const __m256i *) st->head_w);
+          for (b = 1; b < nblk; b++) {
+            __m256i v = _mm256_loadu_si256
+              ((const __m256i *) (st->head_w + 4 * b));
+            __m256i gt = _mm256_cmpgt_epi64 (_mm256_xor_si256 (vmin, bias),
+                                             _mm256_xor_si256 (v, bias));
+            vmin = _mm256_blendv_epi8 (vmin, v, gt);
+          }
+          __m128i lo = _mm256_castsi256_si128 (vmin);
+          __m128i hi = _mm256_extracti128_si256 (vmin, 1);
+          __m128i g2 = _mm_cmpgt_epi64 (_mm_xor_si128 (lo, bias128),
+                                        _mm_xor_si128 (hi, bias128));
+          __m128i m2 = _mm_blendv_epi8 (lo, hi, g2);
+          __m128i sh = _mm_unpackhi_epi64 (m2, m2);
+          __m128i g3 = _mm_cmpgt_epi64 (_mm_xor_si128 (m2, bias128),
+                                        _mm_xor_si128 (sh, bias128));
+          limit = (unsigned long long)
+            _mm_cvtsi128_si64 (_mm_blendv_epi8 (m2, sh, g3));
+        }
+        st->head_w[s_last] = save;
+        if (save < limit) {
+          const unsigned char *sp = st->streams[s_last];
+          long p = st->pos[s_last], e = st->lens[s_last];
+          while (m < cap && p < e) {
+            unsigned long long w;
+            unsigned int c;
+            __builtin_memcpy (&w, sp + 12 * p, 8);
+            if (w >= limit) break;
+            __builtin_memcpy (&c, sp + 12 * p + 8, 4);
+            fr = (st->rule == 7) ? st->override_ : c;
+            if (fr >= st->cutoff) {
+              put_rec (buf, m, w, fr);
+              tot += fr;
+              m++;
+            }
+            p++;
+          }
+          st->pos[s_last] = p;
+          if (p >= e) {
+            st->head_w[s_last] = 0xFFFFFFFFFFFFFFFFULL;
+            st->head_c[s_last] = 0;
+            st->n_active--;
+          } else {
+            multi_load_head (st, s_last);
+          }
+        }
+      }
+      prev_s = (n_match == 1) ? s_last : -1;
     }
+    *n_out = m;
+    *sum_out = tot;
+    return st->n_active > 0;
   }
-  *n_out = m;
-  *sum_out = tot;
-  /* more input remains? */
-  for (s = 0; s < st->n; s++)
-    if (st->pos[s] < st->lens[s]) return 1;
-  return 0;
+#else
+  /* union: ONE scan per unique word — consuming the current word and
+   * finding the next candidate are fused into the same pass over the
+   * live streams (the reference's union_multi loop shape,
+   * src/glistcompare.c:544-592), with exhausted streams compacted out
+   * of the active prefix.  When the next word lives in exactly one
+   * stream, a galloping inner loop emits that stream's records up to
+   * the second-lowest head with no cross-stream scans at all (the
+   * emitted record SET is loop-shape independent, locked by the
+   * differential tests). */
+  {
+    unsigned long long word;
+    int na = st->n_active;
+    if (na == 0 || m >= cap) { *n_out = m; *sum_out = tot; return na > 0; }
+    word = st->head_w[0];
+    for (s = 1; s < na; s++)
+      if (st->head_w[s] < word) word = st->head_w[s];
+    while (m < cap && na) {
+      unsigned long long next = 0xFFFFFFFFFFFFFFFFULL;
+      unsigned long long next2 = 0xFFFFFFFFFFFFFFFFULL;
+      int src_next = -1, n_next = 0;
+      unsigned int f_add = 0, f_min = 0xFFFFFFFFu, f_max = 0, fr;
+      s = 0;
+      while (s < na) {
+        unsigned long long hw = st->head_w[s];
+        if (hw == word) {
+          unsigned int c = st->head_c[s];
+          f_add += c;                    /* u32 wrap */
+          if (c < f_min) f_min = c;
+          if (c > f_max) f_max = c;
+          st->pos[s]++;
+          if (st->pos[s] >= st->lens[s]) {
+            multi_swap_out (st, s);
+            na = st->n_active;
+            continue;                    /* swapped-in entry re-checks */
+          }
+          multi_load_head (st, s);
+          hw = st->head_w[s];
+        }
+        if (hw < next) {
+          next2 = next;
+          next = hw; src_next = s; n_next = 1;
+        } else if (hw == next) {
+          n_next++;
+        } else if (hw < next2) {
+          next2 = hw;
+        }
+        s++;
+      }
+      fr = (st->rule == 1) ? f_add :
+           (st->rule == 3) ? f_min :
+           (st->rule == 4) ? f_max : st->override_;
+      if (fr >= st->cutoff) {
+        put_rec (buf, m, word, fr);
+        tot += fr;
+        m++;
+      }
+      if (n_next == 1) {
+        /* gallop: every record of stream src_next below next2 is
+         * single-source (each stream's head is its minimum remaining
+         * word, so no other stream can contain a word < next2 beyond
+         * its head); combined frequency = own count (ADD=MIN=MAX) or
+         * the override (NUMBER) */
+        const unsigned char *sp = st->streams[src_next];
+        long p = st->pos[src_next], e = st->lens[src_next];
+        while (m < cap && p < e) {
+          unsigned long long w;
+          unsigned int c;
+          __builtin_memcpy (&w, sp + 12 * p, 8);
+          if (w >= next2) break;
+          __builtin_memcpy (&c, sp + 12 * p + 8, 4);
+          fr = (st->rule == 7) ? st->override_ : c;
+          if (fr >= st->cutoff) {
+            put_rec (buf, m, w, fr);
+            tot += fr;
+            m++;
+          }
+          p++;
+        }
+        st->pos[src_next] = p;
+        if (p >= e) {
+          multi_swap_out (st, src_next);
+          na = st->n_active;
+        } else {
+          multi_load_head (st, src_next);
+        }
+        word = next2;                    /* heads are all >= next2 now;
+                                          * if the gallop stopped on a
+                                          * full buffer instead, the
+                                          * loop exits and the next
+                                          * call re-derives the min */
+        continue;
+      }
+      word = next;
+    }
+    *n_out = m;
+    *sum_out = tot;
+    return st->n_active > 0;
+  }
+#endif
 }
 
 void fgx_multi_stream_free (void *handle)
