@@ -534,7 +534,22 @@ def _print_mm_debug(files, n_words_of):
 
 
 def main(argv=None) -> int:
+    import os
+
     from genometester4_tpu.utils.backend import output_heavy_compute
+
+    # GT4_DIST_*: join the process group BEFORE anything initializes the
+    # XLA backend; set ops then run SPMD over the global mesh and only
+    # process 0 writes files / prints counts (pipelines/listcompare.py).
+    # Env-gated inline like glistmaker's: importing multihost just to
+    # check the variables costs the numpy import on single-host runs.
+    if os.environ.get("GT4_DIST_COORD") \
+            and int(os.environ.get("GT4_DIST_NPROCS", "1")) > 1:
+        from genometester4_tpu.parallel.multihost import init_from_env
+        if init_from_env():
+            from genometester4_tpu.utils.lazyjax import ensure_jax
+            if ensure_jax().process_index() != 0:
+                sys.stdout = open(os.devnull, "w")
 
     try:
         with output_heavy_compute():

@@ -354,10 +354,22 @@ def _main_impl(argv=None) -> int:
 
 
 def main(argv=None) -> int:
+    import os
     import sys as _sys
     from genometester4_tpu.utils.backend import output_heavy_compute
     import contextlib
     args = list(_sys.argv[1:] if argv is None else argv)
+    # GT4_DIST_*: join the process group BEFORE anything initializes the
+    # XLA backend; counting then shards chunks over the global mesh
+    # (pipelines/gmercount.DBCounter) and only process 0 prints counts.
+    # Env-gated inline like glistmaker's (multihost import costs numpy).
+    if os.environ.get("GT4_DIST_COORD") \
+            and int(os.environ.get("GT4_DIST_NPROCS", "1")) > 1:
+        from genometester4_tpu.parallel.multihost import init_from_env
+        if init_from_env():
+            from genometester4_tpu.utils.lazyjax import ensure_jax
+            if ensure_jax().process_index() != 0:
+                _sys.stdout = open(os.devnull, "w")
     # count mode reads back a DB-sized table (device-friendly); index
     # mode pulls per-hit arrays (output-heavy)
     ctx = (output_heavy_compute() if "--compile_index" in args

@@ -112,6 +112,53 @@ def make_global_mesh():
     return Mesh(arr, ("dp", "kp"))
 
 
+def make_flat_global_mesh(axis: str = "sp"):
+    """A flat 1-axis mesh over every device in the process group,
+    process-major (host i's chips are contiguous), for SPMD programs
+    whose only cross-device traffic is an all_gather/psum of small
+    per-bucket results (set ops, DB counting)."""
+    from genometester4_tpu.parallel.sharding import Mesh
+
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    return Mesh(np.array(devs), (axis,))
+
+
+def put_axis0_sharded(arr: np.ndarray, mesh, axis: str = "sp"):
+    """Place a [n_dev, ...] host array sharded over a flat mesh's axis 0.
+
+    Each process uploads ONLY the rows that live on its own devices;
+    every process holds the identical full host array (they all parsed
+    the same shared inputs), so no host bytes cross processes."""
+    P = jax_sharding.PartitionSpec
+    spec = P(axis, *([None] * (arr.ndim - 1)))
+    sharding = jax_sharding.NamedSharding(mesh, spec)
+    pid = jax.process_index()
+    arrs = []
+    for i, dev in enumerate(mesh.devices.reshape(-1)):
+        if dev.process_index == pid:
+            arrs.append(jax.device_put(arr[i:i + 1], dev))
+    return jax.make_array_from_single_device_arrays(arr.shape, sharding,
+                                                    arrs)
+
+
+def put_replicated(arr: np.ndarray, mesh):
+    """Place a host array replicated on every device of the mesh; each
+    process uploads to its own devices only."""
+    P = jax_sharding.PartitionSpec
+    sharding = jax_sharding.NamedSharding(mesh, P())
+    pid = jax.process_index()
+    arrs = [jax.device_put(arr, d) for d in mesh.devices.reshape(-1)
+            if d.process_index == pid]
+    return jax.make_array_from_single_device_arrays(arr.shape, sharding,
+                                                    arrs)
+
+
+def barrier(tag: str) -> None:
+    """Cross-process barrier (writer publishes before anyone returns)."""
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(tag)
+
+
 def _put_global_blocks(blocks: np.ndarray, mesh):
     """Place a [dp, kp, chunk] host array as a global jax.Array.
 

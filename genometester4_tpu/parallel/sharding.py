@@ -328,6 +328,11 @@ def sharded_pair_ops(words1, counts1, words2, counts2, mesh: Mesh, ops,
     devs = mesh.devices.reshape(-1)
     n_dev = len(devs)
     flat = Mesh(devs, ("sp",))
+    # mesh spans processes (multi-host): inputs are placed shard-by-
+    # shard (each process uploads only its own devices' buckets) and
+    # the per-device results come back through one all_gather — the
+    # only cross-host collective, moving already-reduced buckets
+    multiproc = len({d.process_index for d in devs}) > 1
 
     ops = list(ops)
     if len(words1) + len(words2) == 0:
@@ -366,14 +371,28 @@ def sharded_pair_ops(words1, counts1, words2, counts2, mesh: Mesh, ops,
             n_out, ohi, olo, oc = setops.apply_pair_op(
                 *aligned, op=op, rule=rule, cutoff=cutoff,
                 count_override=count_override, subtract=subtract)
-            outs.append((ohi[None], olo[None], oc[None], n_out[None]))
+            if multiproc:
+                outs.append(tuple(jax.lax.all_gather(x, "sp")
+                                  for x in (ohi, olo, oc, n_out)))
+            else:
+                outs.append((ohi[None], olo[None], oc[None], n_out[None]))
         return tuple(outs)
 
+    out_one = (P(),) * 4 if multiproc else (P("sp"),) * 4
     fn = jax.jit(jax.shard_map(
         per_device, mesh=flat,
         in_specs=P("sp"),
-        out_specs=tuple((P("sp"),) * 4 for _ in ops)))
-    results = fn(*(jnp.asarray(x) for x in a1 + a2))
+        out_specs=tuple(out_one for _ in ops),
+        # the all_gather makes multiproc outputs replicated; the VMA
+        # checker cannot always see that through the op mix (same
+        # check_vma situation as gmercount._make_count_fn_mesh)
+        check_vma=not multiproc))
+    if multiproc:
+        from genometester4_tpu.parallel.multihost import put_axis0_sharded
+        results = fn(*(put_axis0_sharded(np.asarray(x), flat)
+                       for x in a1 + a2))
+    else:
+        results = fn(*(jnp.asarray(x) for x in a1 + a2))
     out = {}
     for op, (ohi, olo, oc, n_out) in zip(ops, results):
         ohi, olo = np.asarray(ohi), np.asarray(olo)
@@ -409,6 +428,7 @@ def sharded_multi_op(word_lists, count_lists, mesh: Mesh, op: str,
     devs = mesh.devices.reshape(-1)
     n_dev = len(devs)
     flat = Mesh(devs, ("sp",))
+    multiproc = len({d.process_index for d in devs}) > 1
 
     if not any(len(w) for w in word_lists):
         return np.empty(0, np.uint64), np.empty(0, np.uint32)
@@ -442,12 +462,21 @@ def sharded_multi_op(word_lists, count_lists, mesh: Mesh, op: str,
         n_out, ohi, olo, oc = setops.apply_multi_op(
             h[0], l[0], c[0], s[0], v[0], n_lists=n_lists, op=op,
             rule=rule, cutoff=cutoff, count_override=count_override)
+        if multiproc:
+            return tuple(jax.lax.all_gather(x, "sp")
+                         for x in (ohi, olo, oc, n_out))
         return ohi[None], olo[None], oc[None], n_out[None]
 
-    fn = jax.jit(jax.shard_map(per_device, mesh=flat,
-                               in_specs=P("sp"), out_specs=P("sp")))
-    ohi, olo, oc, n_out = fn(*(jnp.asarray(x) for x in
-                               (hi, lo, cc, src, valid)))
+    fn = jax.jit(jax.shard_map(per_device, mesh=flat, in_specs=P("sp"),
+                               out_specs=P() if multiproc else P("sp"),
+                               check_vma=not multiproc))
+    if multiproc:
+        from genometester4_tpu.parallel.multihost import put_axis0_sharded
+        ohi, olo, oc, n_out = fn(*(put_axis0_sharded(np.asarray(x), flat)
+                                   for x in (hi, lo, cc, src, valid)))
+    else:
+        ohi, olo, oc, n_out = fn(*(jnp.asarray(x) for x in
+                                   (hi, lo, cc, src, valid)))
     ohi, olo = np.asarray(ohi), np.asarray(olo)
     oc, n_out = np.asarray(oc), np.asarray(n_out)
     parts_w, parts_c = [], []

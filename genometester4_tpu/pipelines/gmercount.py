@@ -232,6 +232,21 @@ class DBCounter:
         from genometester4_tpu.utils.backend import accelerator_link_is_slow
 
         impl = os.environ.get("GT4_TPU_COUNT_IMPL", "auto")
+        # GT4_DIST_*: one host of a multi-process group — count mode
+        # runs the same SPMD program over the GLOBAL flat mesh (chunks
+        # shard over every host's devices, one psum of the tiny per-DB-
+        # word count vector is the only cross-host collective). An
+        # explicit distributed launch overrides the local cost model,
+        # same as make_list. Index mode stays per-process (its per-hit
+        # position stream is inherently chunk-ordered; writers publish
+        # atomically, so concurrent identical runs are benign).
+        self._multiproc = False
+        if not build_index:
+            from genometester4_tpu.parallel.multihost import \
+                is_multiprocess
+            if is_multiprocess():
+                self._multiproc = True
+                impl = "device"
         if impl == "auto":
             if accelerator_link_is_slow():
                 impl = "host"
@@ -241,6 +256,19 @@ class DBCounter:
         self._mesh = None
         if impl == "host":
             self._host_acc = np.zeros(n, np.uint64)
+        elif self._multiproc:
+            from genometester4_tpu.parallel.multihost import (
+                make_flat_global_mesh, put_replicated)
+            self._mesh = make_flat_global_mesh("dp")
+            dbhi, dblo = split_u64(db.sorted_words)
+            self._dbhi = put_replicated(np.ascontiguousarray(dbhi),
+                                        self._mesh)
+            self._dblo = put_replicated(np.ascontiguousarray(dblo),
+                                        self._mesh)
+            self._acc_lo = put_replicated(np.zeros(n, np.uint32),
+                                          self._mesh)
+            self._acc_hi = put_replicated(np.zeros(n, np.uint32),
+                                          self._mesh)
         else:
             # device-resident DB tables + u64-as-two-u32 accumulators,
             # uploaded only on the device path (the upload itself
@@ -604,6 +632,10 @@ class DBCounter:
                 if run is None:
                     run = _make_count_fn_mesh(k, cap, self._mesh)
                     self._run_cache[("mesh", cap)] = run
+                if self._multiproc:
+                    from genometester4_tpu.parallel.multihost import \
+                        put_axis0_sharded
+                    blocks = put_axis0_sharded(blocks, self._mesh, "dp")
                 self._acc_lo, self._acc_hi, n_valid, _ = run(
                     self._acc_lo, self._acc_hi, blocks,
                     self._dbhi, self._dblo)

@@ -260,8 +260,37 @@ def compare_pair(list1: str, list2: str, ops: list[str], outputname: str = "out"
     h1, w1, c1 = read_word_source(list1)
     h2, w2, c2 = read_word_source(list2)
     wlen = h1.word_length
+    # GT4_DIST_*: one host of a multi-process group — run the pair ops
+    # SPMD over the global flat mesh; only process 0 writes files (a
+    # distributed launch is an explicit placement choice, overriding
+    # the local cost model, same as make_list)
+    from genometester4_tpu.parallel.multihost import is_multiprocess
+    multihost = is_multiprocess()
+    is_writer = True
+    if multihost:
+        from genometester4_tpu.utils.lazyjax import ensure_jax
+        is_writer = ensure_jax().process_index() == 0
     sinks = {op: _OpSink(op, _op_filename(outputname, wlen, op), wlen,
-                         count_only) for op in ops}
+                         count_only or not is_writer) for op in ops}
+    if multihost:
+        from genometester4_tpu.parallel.multihost import (
+            barrier, make_flat_global_mesh)
+        from genometester4_tpu.parallel.sharding import sharded_pair_ops
+        res = sharded_pair_ops(
+            np.ascontiguousarray(w1, np.uint64),
+            np.ascontiguousarray(c1, np.uint32),
+            np.ascontiguousarray(w2, np.uint64),
+            np.ascontiguousarray(c2, np.uint32),
+            make_flat_global_mesh(), list(sinks), rule=RULES[rule],
+            cutoff=cutoff, count_override=count_override,
+            subtract=subtract)
+        results = {}
+        for op, sink in sinks.items():
+            sink.append(*res[op])
+            sink.close()
+            results[op] = (sink.n_words, sink.total_count)
+        barrier("gt4_compare_pair_multihost")
+        return results
 
     if _setops_impl() == "host":
         import queue
@@ -498,8 +527,30 @@ def compare_multi(paths: list[str], op: str, outputname: str = "out",
             "NUMBER allowed)\n" % _REF_RULE_NUM[eff])
         raise SystemExit(1)
 
-    sink = _OpSink(op, _op_filename(outputname, wlen, op), wlen, count_only,
-                   debug=debug)
+    # multi-process group: SPMD N-list op over the global flat mesh,
+    # process 0 writes (see compare_pair)
+    from genometester4_tpu.parallel.multihost import is_multiprocess
+    multihost = is_multiprocess()
+    is_writer = True
+    if multihost:
+        from genometester4_tpu.utils.lazyjax import ensure_jax
+        is_writer = ensure_jax().process_index() == 0
+    sink = _OpSink(op, _op_filename(outputname, wlen, op), wlen,
+                   count_only or not is_writer, debug=debug)
+    if multihost:
+        from genometester4_tpu.parallel.multihost import (
+            barrier, make_flat_global_mesh)
+        from genometester4_tpu.parallel.sharding import sharded_multi_op
+        w, c = sharded_multi_op(
+            [np.ascontiguousarray(d[1], np.uint64) for d in data],
+            [np.ascontiguousarray(d[2], np.uint32) for d in data],
+            make_flat_global_mesh(), op,
+            rule=RULES.get(rule, setops.RULE_NUMBER), cutoff=cutoff,
+            count_override=count_override)
+        sink.append(w, c)
+        sink.close()
+        barrier("gt4_compare_multi_multihost")
+        return {op: (sink.n_words, sink.total_count)}
 
     if _setops_impl() == "host":
         # streaming k-way merge over the raw record streams (native
