@@ -102,7 +102,11 @@ def try_fast_multi(paths, op: str, outputname: str, cutoff: int,
         s_out = ctypes.c_ulonglong(0)
         n_words = 0
         total = 0
-        f = open(tmp, "wb") if not count_only else None
+        # buffering=0: BufferedWriter's extra copy interacts badly with
+        # this VM's dirty-page throttling (measured 0.75-11 s for the
+        # same 384 MB the raw fd writes in ~0.4 s); raw FileIO issues
+        # one write(2) per 1 MB chunk, the size ListWriter also uses
+        f = open(tmp, "wb", buffering=0) if not count_only else None
         try:
             if f is not None:
                 f.write(_HEADER.pack(GT4_LIST_CODE, 4, 2, wlen, 0, 0,

@@ -1026,6 +1026,39 @@ void fgx_pair_ops_buckets (const unsigned char *r1, const unsigned char *r2,
  * applies to the combined frequency, and intersection additionally
  * requires presence in every list. */
 
+/* Union path: cascaded binary merge tree.  The flat one-pass loop
+ * (kept below for intersection and the n==1 degenerate) pays a
+ * min-scan over all N stream heads per unique output word — a long
+ * serial dependency chain (load head -> SIMD min reduce -> compare)
+ * that measured 0.6x the reference's scalar cursor loop at 8x4M
+ * lists.  The tree instead runs log2(N) levels of branch-light 2-way
+ * merges (~6 cycles/record/level, cmov-selected), with each internal
+ * node refilling a 32K-record buffer on demand so every intermediate
+ * level stays cache-resident: only the leaf reads and the final
+ * output touch DRAM.  ADD (u32 wrap), MIN and MAX are associative, so
+ * pairwise combining is exact; NUMBER ignores intermediate counts and
+ * overrides at the root, where the cutoff is also applied — identical
+ * combination semantics to the reference's per-word head scan
+ * (src/glistcompare.c:544-592) on strictly-sorted unique lists, which
+ * is what valid .list files are. */
+
+#define MNODE_CAP 32768        /* records per node buffer (384 KB) */
+
+struct FgxMNode;
+
+typedef struct FgxMSrc {
+  const unsigned char *base;   /* stream records base, or node buf */
+  long len;                    /* stream: total records; node: fill */
+  long pos;
+  struct FgxMNode *node;       /* NULL => raw input stream */
+  int done;                    /* node source: children exhausted */
+} FgxMSrc;
+
+typedef struct FgxMNode {
+  FgxMSrc a, b;
+  unsigned char *buf;          /* MNODE_CAP records */
+} FgxMNode;
+
 typedef struct {
   const unsigned char **streams;
   long *lens;
@@ -1039,7 +1072,112 @@ typedef struct {
   int intersect;
   int rule;                     /* 1 ADD, 3 MIN, 4 MAX, 7 NUMBER */
   unsigned int cutoff, override_;
+  int tree;                     /* union n>=2: merge tree active */
+  FgxMNode *nodes;
+  unsigned char *arena;         /* node buffers */
+  FgxMSrc root_a, root_b;       /* the root merge's two sources */
 } FgxMulti;
+
+static long mnode_fill (FgxMNode *nd, int rule);
+
+/* make sure the source has a readable head; refill node buffers on
+ * demand.  Returns 0 when the source is permanently exhausted. */
+static int msrc_ensure (FgxMSrc *s, int rule)
+{
+  if (s->pos < s->len) return 1;
+  if (!s->node || s->done) return 0;
+  s->len = mnode_fill (s->node, rule);
+  s->pos = 0;
+  if (s->len == 0) { s->done = 1; return 0; }
+  return 1;
+}
+
+/* branch-light 2-way merge of one buffer-bounded run; combines equal
+ * words with COMBINE (equality is rare on real k-mer lists, so the
+ * branch predicts; everything else is cmov-selected) */
+#define FGX_MERGE_RUN(COMBINE)                                          \
+  while (m < cap && i < ea && j < eb) {                                 \
+    unsigned long long wa, wb, w;                                      \
+    unsigned int ca, cb, c, eqm;                                       \
+    int le, ge;                                                        \
+    __builtin_memcpy (&wa, ap + 12 * i, 8);                            \
+    __builtin_memcpy (&ca, ap + 12 * i + 8, 4);                        \
+    __builtin_memcpy (&wb, bp + 12 * j, 8);                            \
+    __builtin_memcpy (&cb, bp + 12 * j + 8, 4);                        \
+    le = (wa <= wb); ge = (wa >= wb);                                  \
+    w = le ? wa : wb;                                                  \
+    c = le ? ca : cb;                                                  \
+    eqm = (unsigned int) -(le & ge);  /* arithmetic mask: a data-      \
+                                       * dependent equality branch     \
+                                       * mispredicts ~50% here */      \
+    c = (c & ~eqm) | ((unsigned int) (COMBINE) & eqm);                 \
+    __builtin_memcpy (out + 12 * m, &w, 8);                            \
+    __builtin_memcpy (out + 12 * m + 8, &c, 4);                        \
+    m++; i += le; j += ge;                                             \
+  }
+
+/* refill an internal node's buffer from its two children (no cutoff:
+ * that applies only at the root, on the fully combined frequency) */
+static long mnode_fill (FgxMNode *nd, int rule)
+{
+  unsigned char *out = nd->buf;
+  long m = 0;
+  const long cap = MNODE_CAP;
+  FgxMSrc *A = &nd->a, *B = &nd->b;
+  while (m < cap) {
+    int ha = msrc_ensure (A, rule), hb = msrc_ensure (B, rule);
+    if (ha && hb) {
+      const unsigned char *ap = A->base, *bp = B->base;
+      long i = A->pos, ea = A->len, j = B->pos, eb = B->len;
+      switch (rule) {
+      case 3:  FGX_MERGE_RUN (ca < cb ? ca : cb); break;
+      case 4:  FGX_MERGE_RUN (ca > cb ? ca : cb); break;
+      default: FGX_MERGE_RUN (ca + cb); break;  /* ADD u32 wrap; rule
+                                                 * NUMBER's intermediate
+                                                 * counts are dead */
+      }
+      A->pos = i; B->pos = j;
+    } else if (ha || hb) {
+      FgxMSrc *S = ha ? A : B;
+      long take = S->len - S->pos;
+      if (take > cap - m) take = cap - m;
+      memcpy (out + 12 * m, S->base + 12 * S->pos, 12 * take);
+      m += take; S->pos += take;
+    } else {
+      break;
+    }
+  }
+  return m;
+}
+
+/* build a balanced source tree over input streams [lo, hi) */
+static FgxMSrc mtree_build (FgxMulti *st, int lo, int hi,
+                            FgxMNode **next_node, unsigned char **arena)
+{
+  FgxMSrc s;
+  if (hi - lo == 1) {
+    s.base = st->streams[lo];
+    s.len = st->lens[lo];
+    s.pos = 0;
+    s.node = NULL;
+    s.done = 0;
+    return s;
+  }
+  {
+    FgxMNode *nd = (*next_node)++;
+    int mid = lo + (hi - lo) / 2;
+    nd->buf = *arena;
+    *arena += 12L * MNODE_CAP;
+    nd->a = mtree_build (st, lo, mid, next_node, arena);
+    nd->b = mtree_build (st, mid, hi, next_node, arena);
+    s.base = nd->buf;
+    s.len = 0;
+    s.pos = 0;
+    s.node = nd;
+    s.done = 0;
+    return s;
+  }
+}
 
 static void multi_load_head (FgxMulti *st, int s)
 {
@@ -1112,6 +1250,33 @@ void *fgx_multi_stream_start (const unsigned char **streams,
       else s++;
     }
   }
+  if (!intersect && n >= 2) {
+    /* union: cascaded binary merge tree (see above).  n-2 internal
+     * nodes (the root merge streams straight into the caller's
+     * buffer, so it owns no node). */
+    int n_nodes = n - 2;
+    FgxMNode *np;
+    unsigned char *ap;
+    st->nodes = (FgxMNode *) malloc ((n_nodes > 0 ? n_nodes : 1)
+                                     * sizeof (FgxMNode));
+    st->arena = (unsigned char *) (n_nodes > 0
+                                   ? malloc (12L * MNODE_CAP * n_nodes)
+                                   : NULL);
+    if (!st->nodes || (n_nodes > 0 && !st->arena)) {
+      free (st->nodes); free (st->arena);
+      free (st->streams); free (st->lens); free (st->pos);
+      free (st->head_w); free (st->head_c); free (st);
+      return NULL;
+    }
+    np = st->nodes;
+    ap = st->arena;
+    {
+      int mid = n / 2;
+      st->root_a = mtree_build (st, 0, mid, &np, &ap);
+      st->root_b = mtree_build (st, mid, n, &np, &ap);
+    }
+    st->tree = 1;
+  }
   return st;
 }
 
@@ -1123,6 +1288,76 @@ int fgx_multi_stream_next (void *handle, unsigned char * restrict buf,
   long m = 0;
   unsigned long long tot = 0;
   int s;
+  if (st->tree) {
+    /* root of the union merge tree: same 2-way merge as the internal
+     * nodes plus the cutoff/override applied to the final combined
+     * frequency (src/glistcompare.c:573-583 semantics) */
+    FgxMSrc *A = &st->root_a, *B = &st->root_b;
+    unsigned char * restrict out = buf;
+    const int rule = st->rule;
+    const unsigned int cutoff = st->cutoff, override_ = st->override_;
+    while (m < cap) {
+      int ha = msrc_ensure (A, rule), hb = msrc_ensure (B, rule);
+      if (ha && hb) {
+        const unsigned char *ap = A->base, *bp = B->base;
+        long i = A->pos, ea = A->len, j = B->pos, eb = B->len;
+        while (m < cap && i < ea && j < eb) {
+          unsigned long long wa, wb, w;
+          unsigned int ca, cb, c, fr;
+          int le, ge;
+          __builtin_memcpy (&wa, ap + 12 * i, 8);
+          __builtin_memcpy (&ca, ap + 12 * i + 8, 4);
+          __builtin_memcpy (&wb, bp + 12 * j, 8);
+          __builtin_memcpy (&cb, bp + 12 * j + 8, 4);
+          le = (wa <= wb); ge = (wa >= wb);
+          w = le ? wa : wb;
+          c = le ? ca : cb;
+          {
+            unsigned int comb = (rule == 3) ? (ca < cb ? ca : cb) :
+                                (rule == 4) ? (ca > cb ? ca : cb) :
+                                ca + cb;
+            unsigned int eqm = (unsigned int) -(le & ge);
+            c = (c & ~eqm) | (comb & eqm);
+          }
+          fr = (rule == 7) ? override_ : c;
+          if (fr >= cutoff) {
+            __builtin_memcpy (out + 12 * m, &w, 8);
+            __builtin_memcpy (out + 12 * m + 8, &fr, 4);
+            tot += fr;
+            m++;
+          }
+          i += le; j += ge;
+        }
+        A->pos = i; B->pos = j;
+      } else if (ha || hb) {
+        FgxMSrc *S = ha ? A : B;
+        const unsigned char *sp = S->base;
+        long i = S->pos, e = S->len;
+        while (m < cap && i < e) {
+          unsigned long long w;
+          unsigned int c, fr;
+          __builtin_memcpy (&w, sp + 12 * i, 8);
+          __builtin_memcpy (&c, sp + 12 * i + 8, 4);
+          fr = (rule == 7) ? override_ : c;
+          if (fr >= cutoff) {
+            __builtin_memcpy (out + 12 * m, &w, 8);
+            __builtin_memcpy (out + 12 * m + 8, &fr, 4);
+            tot += fr;
+            m++;
+          }
+          i++;
+        }
+        S->pos = i;
+      } else {
+        *n_out = m;
+        *sum_out = tot;
+        return 0;
+      }
+    }
+    *n_out = m;
+    *sum_out = tot;
+    return 1;
+  }
   if (st->intersect) {
     /* reference-shaped max-chase (src/glistcompare.c:628-704): no
      * intersection word can lie beyond ANY exhausted list, so finish
@@ -1175,166 +1410,13 @@ int fgx_multi_stream_next (void *handle, unsigned char * restrict buf,
     *sum_out = tot;
     return !done;
   }
-#ifdef __AVX2__
-  /* union, AVX2: per unique word, the min over all stream heads and
-   * the set of streams holding it come from vectorized u64 min/compare
-   * over the padded head array (pad + exhausted lanes hold ~0ULL and
-   * are skipped by the pos<lens guard in the combine step, so a
-   * genuine 0xFF..F word still combines correctly).  The reference
-   * makes the same one pass per word through scalar cursors
-   * (src/glistcompare.c:544-592).  When the same single stream supplies
-   * two consecutive words, a galloping inner loop emits its records up
-   * to the min of the other heads with no scans at all (disjoint-ish
-   * inputs go at sequential-read speed; the emitted record SET is
-   * loop-shape independent, locked by the differential tests). */
-  {
-    const __m256i bias =
-      _mm256_set1_epi64x ((long long) 0x8000000000000000ULL);
-    const __m128i bias128 = _mm256_castsi256_si128 (bias);
-    int nblk = (st->n + 3) >> 2;
-    int prev_s = -1;
-    while (m < cap && st->n_active) {
-      unsigned long long word;
-      unsigned int mask = 0, f_add = 0, f_minr = 0xFFFFFFFFu, f_maxr = 0;
-      unsigned int fr, mbits;
-      int b, n_match = 0, s_last = -1;
-      {
-        __m256i vmin = _mm256_loadu_si256 ((const __m256i *) st->head_w);
-        for (b = 1; b < nblk; b++) {
-          __m256i v = _mm256_loadu_si256
-            ((const __m256i *) (st->head_w + 4 * b));
-          __m256i gt = _mm256_cmpgt_epi64 (_mm256_xor_si256 (vmin, bias),
-                                           _mm256_xor_si256 (v, bias));
-          vmin = _mm256_blendv_epi8 (vmin, v, gt);
-        }
-        __m128i lo = _mm256_castsi256_si128 (vmin);
-        __m128i hi = _mm256_extracti128_si256 (vmin, 1);
-        __m128i g2 = _mm_cmpgt_epi64 (_mm_xor_si128 (lo, bias128),
-                                      _mm_xor_si128 (hi, bias128));
-        __m128i m2 = _mm_blendv_epi8 (lo, hi, g2);
-        __m128i sh = _mm_unpackhi_epi64 (m2, m2);
-        __m128i g3 = _mm_cmpgt_epi64 (_mm_xor_si128 (m2, bias128),
-                                      _mm_xor_si128 (sh, bias128));
-        word = (unsigned long long)
-          _mm_cvtsi128_si64 (_mm_blendv_epi8 (m2, sh, g3));
-      }
-      {
-        __m256i vw = _mm256_set1_epi64x ((long long) word);
-        for (b = 0; b < nblk; b++) {
-          __m256i v = _mm256_loadu_si256
-            ((const __m256i *) (st->head_w + 4 * b));
-          __m256i eq = _mm256_cmpeq_epi64 (v, vw);
-          mask |= ((unsigned int)
-                   _mm256_movemask_pd (_mm256_castsi256_pd (eq)))
-                  << (4 * b);
-        }
-      }
-      mbits = mask;
-      while (mbits) {
-        int s2 = __builtin_ctz (mbits);
-        mbits &= mbits - 1;
-        if (s2 >= st->n || st->pos[s2] >= st->lens[s2])
-          continue;                      /* pad / exhausted lane (only
-                                          * reachable when word is the
-                                          * sentinel value itself) */
-        {
-          unsigned int c = st->head_c[s2];
-          f_add += c;                    /* u32 wrap */
-          if (c < f_minr) f_minr = c;
-          if (c > f_maxr) f_maxr = c;
-        }
-        n_match++;
-        s_last = s2;
-        st->pos[s2]++;
-        if (st->pos[s2] >= st->lens[s2]) {
-          st->head_w[s2] = 0xFFFFFFFFFFFFFFFFULL;
-          st->head_c[s2] = 0;
-          st->n_active--;
-        } else {
-          multi_load_head (st, s2);
-        }
-      }
-      if (!n_match) break;               /* defensive: cannot happen
-                                          * while n_active > 0 */
-      fr = (st->rule == 1) ? f_add :
-           (st->rule == 3) ? f_minr :
-           (st->rule == 4) ? f_maxr : st->override_;
-      if (fr >= st->cutoff) {
-        put_rec (buf, m, word, fr);
-        tot += fr;
-        m++;
-      }
-      if (n_match == 1 && s_last == prev_s
-          && st->pos[s_last] < st->lens[s_last]) {
-        /* the same stream supplied two consecutive words: likely a
-         * disjoint run, so pay one masked min over the OTHER heads and
-         * gallop this stream up to it */
-        unsigned long long save = st->head_w[s_last], limit;
-        st->head_w[s_last] = 0xFFFFFFFFFFFFFFFFULL;
-        {
-          __m256i vmin = _mm256_loadu_si256 ((const __m256i *) st->head_w);
-          for (b = 1; b < nblk; b++) {
-            __m256i v = _mm256_loadu_si256
-              ((const __m256i *) (st->head_w + 4 * b));
-            __m256i gt = _mm256_cmpgt_epi64 (_mm256_xor_si256 (vmin, bias),
-                                             _mm256_xor_si256 (v, bias));
-            vmin = _mm256_blendv_epi8 (vmin, v, gt);
-          }
-          __m128i lo = _mm256_castsi256_si128 (vmin);
-          __m128i hi = _mm256_extracti128_si256 (vmin, 1);
-          __m128i g2 = _mm_cmpgt_epi64 (_mm_xor_si128 (lo, bias128),
-                                        _mm_xor_si128 (hi, bias128));
-          __m128i m2 = _mm_blendv_epi8 (lo, hi, g2);
-          __m128i sh = _mm_unpackhi_epi64 (m2, m2);
-          __m128i g3 = _mm_cmpgt_epi64 (_mm_xor_si128 (m2, bias128),
-                                        _mm_xor_si128 (sh, bias128));
-          limit = (unsigned long long)
-            _mm_cvtsi128_si64 (_mm_blendv_epi8 (m2, sh, g3));
-        }
-        st->head_w[s_last] = save;
-        if (save < limit) {
-          const unsigned char *sp = st->streams[s_last];
-          long p = st->pos[s_last], e = st->lens[s_last];
-          while (m < cap && p < e) {
-            unsigned long long w;
-            unsigned int c;
-            __builtin_memcpy (&w, sp + 12 * p, 8);
-            if (w >= limit) break;
-            __builtin_memcpy (&c, sp + 12 * p + 8, 4);
-            fr = (st->rule == 7) ? st->override_ : c;
-            if (fr >= st->cutoff) {
-              put_rec (buf, m, w, fr);
-              tot += fr;
-              m++;
-            }
-            p++;
-          }
-          st->pos[s_last] = p;
-          if (p >= e) {
-            st->head_w[s_last] = 0xFFFFFFFFFFFFFFFFULL;
-            st->head_c[s_last] = 0;
-            st->n_active--;
-          } else {
-            multi_load_head (st, s_last);
-          }
-        }
-      }
-      prev_s = (n_match == 1) ? s_last : -1;
-    }
-    *n_out = m;
-    *sum_out = tot;
-    return st->n_active > 0;
-  }
-#else
-  /* union: ONE scan per unique word — consuming the current word and
-   * finding the next candidate are fused into the same pass over the
-   * live streams (the reference's union_multi loop shape,
-   * src/glistcompare.c:544-592), with exhausted streams compacted out
-   * of the active prefix.  When the next word lives in exactly one
-   * stream, a galloping inner loop emits that stream's records up to
-   * the second-lowest head with no cross-stream scans at all (the
-   * emitted record SET is loop-shape independent, locked by the
-   * differential tests). */
+  /* union, n==1 degenerate only (n>=2 takes the merge tree above):
+   * ONE scan per unique word over the live streams (the reference's
+   * union_multi loop shape, src/glistcompare.c:544-592), with a
+   * galloping single-source fast path.  A wider AVX2 head-scan variant
+   * of this loop existed through round 3; it measured 0.6x the
+   * reference at 8x4M lists (serial load->min-reduce->compare chain
+   * per word) and was superseded by the cascaded 2-way merge tree. */
   {
     unsigned long long word;
     int na = st->n_active;
@@ -1424,13 +1506,14 @@ int fgx_multi_stream_next (void *handle, unsigned char * restrict buf,
     *sum_out = tot;
     return st->n_active > 0;
   }
-#endif
 }
 
 void fgx_multi_stream_free (void *handle)
 {
   FgxMulti *st = (FgxMulti *) handle;
   if (!st) return;
+  free (st->nodes);
+  free (st->arena);
   free (st->streams);
   free (st->lens);
   free (st->pos);
