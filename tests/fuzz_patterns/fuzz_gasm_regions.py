@@ -77,10 +77,19 @@ for trial in range(14):
                  "--fp", "/tmp/fz_fp.txt",
                  random.choice(["--output", "--output"]),
                  random.choice(["poly", "best", "all"])]
-    r = subprocess.run(["/root/repo/.ref_build/src/gassembler"] + args,
-                       capture_output=True, cwd=FIX, timeout=300)
-    o = subprocess.run(["/root/repo/bin/gassembler"] + args,
-                       capture_output=True, cwd=FIX, timeout=300)
+    try:
+        r = subprocess.run(["/root/repo/.ref_build/src/gassembler"] + args,
+                           capture_output=True, cwd=FIX, timeout=300)
+        o = subprocess.run(["/root/repo/bin/gassembler"] + args,
+                           capture_output=True, cwd=FIX, timeout=300)
+    except subprocess.TimeoutExpired as e:
+        # report and keep sweeping: this VM's IO stalls (identical
+        # 384 MB writes measure 0.26-11.5 s, see BASELINE.md) can park
+        # a whole process for minutes; a reproducible hang will show
+        # up again on the rerun
+        print("TIMEOUT (rerun to confirm)", mode, e.cmd)
+        fails += 1
+        continue
     oerr = b"\n".join(l for l in o.stderr.splitlines() if b"xla_bridge" not in l)
     rerr = b"\n".join(r.stderr.splitlines())
     if r.returncode < 0:
