@@ -194,6 +194,16 @@ def run_device_bench(timeouts=(420, 240)):
     return None
 
 
+def baseline_kmers_per_s(ref_e2e: float) -> float:
+    """Denominator for vs_baseline: the LIVE reference throughput when
+    the oracle binary was just re-timed on this container (wall times
+    shift 2-3x between containers, see BASELINE.md round-2 note), else
+    the recorded constant."""
+    if os.path.exists(REF_BIN):
+        return 49999976 / ref_e2e
+    return BASELINE_KMERS_PER_S
+
+
 def emit_fallback(note: str):
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -204,7 +214,7 @@ def emit_fallback(note: str):
         "metric": "kmer_count_throughput_per_chip",
         "value": round(value, 1),
         "unit": "kmers/s",
-        "vs_baseline": round(value / BASELINE_KMERS_PER_S, 3),
+        "vs_baseline": round(value / baseline_kmers_per_s(ref_e2e), 3),
         "e2e_s": round(e2e, 2),
         "ref_e2e_s": round(ref_e2e, 2),
         "e2e_vs_reference": round(ref_e2e / e2e, 2),
@@ -245,7 +255,7 @@ def main():
         "metric": "kmer_count_throughput_per_chip",
         "value": round(value, 1),
         "unit": "kmers/s",
-        "vs_baseline": round(value / BASELINE_KMERS_PER_S, 3),
+        "vs_baseline": round(value / baseline_kmers_per_s(ref_e2e), 3),
         "e2e_s": round(e2e, 2),
         "ref_e2e_s": round(ref_e2e, 2),
         "e2e_vs_reference": round(ref_e2e / e2e, 2),

@@ -1151,13 +1151,14 @@ static long mnode_fill (FgxMNode *nd, int rule)
 }
 
 /* build a balanced source tree over input streams [lo, hi) */
-static FgxMSrc mtree_build (FgxMulti *st, int lo, int hi,
+static FgxMSrc mtree_build (const unsigned char **streams,
+                            const long *lens, int lo, int hi,
                             FgxMNode **next_node, unsigned char **arena)
 {
   FgxMSrc s;
   if (hi - lo == 1) {
-    s.base = st->streams[lo];
-    s.len = st->lens[lo];
+    s.base = streams[lo];
+    s.len = lens[lo];
     s.pos = 0;
     s.node = NULL;
     s.done = 0;
@@ -1168,8 +1169,8 @@ static FgxMSrc mtree_build (FgxMulti *st, int lo, int hi,
     int mid = lo + (hi - lo) / 2;
     nd->buf = *arena;
     *arena += 12L * MNODE_CAP;
-    nd->a = mtree_build (st, lo, mid, next_node, arena);
-    nd->b = mtree_build (st, mid, hi, next_node, arena);
+    nd->a = mtree_build (streams, lens, lo, mid, next_node, arena);
+    nd->b = mtree_build (streams, lens, mid, hi, next_node, arena);
     s.base = nd->buf;
     s.len = 0;
     s.pos = 0;
@@ -1272,8 +1273,8 @@ void *fgx_multi_stream_start (const unsigned char **streams,
     ap = st->arena;
     {
       int mid = n / 2;
-      st->root_a = mtree_build (st, 0, mid, &np, &ap);
-      st->root_b = mtree_build (st, mid, n, &np, &ap);
+      st->root_a = mtree_build (st->streams, st->lens, 0, mid, &np, &ap);
+      st->root_b = mtree_build (st->streams, st->lens, mid, n, &np, &ap);
     }
     st->tree = 1;
   }
@@ -1538,66 +1539,98 @@ long fgx_merge_rec_shards (const unsigned char **shards, const long *lens,
                            unsigned char *records,
                            unsigned long long *total_count)
 {
-  /* simple loser-free heap over shard cursors; n_shards is small
-   * (spill shards), so a linear min scan is fine and branch-cheap */
-  long *pos = (long *) calloc ((size_t) (n_shards > 0 ? n_shards : 1),
-                               sizeof (long));
   long m = 0;
   unsigned long long tot = 0;
-  if (!pos) return -1;
-  for (;;) {
-    int s, best = -1, shared = 0, have2 = 0;
-    unsigned long long bw = 0, w2 = 0;
-    for (s = 0; s < n_shards; s++) {
-      if (pos[s] >= lens[s]) continue;
-      unsigned long long w;
-      __builtin_memcpy (&w, shards[s] + 12 * pos[s], 8);
-      if (best < 0) { best = s; bw = w; }
-      else if (w < bw) { w2 = bw; have2 = 1; shared = 0; best = s; bw = w; }
-      else if (w == bw) shared = 1;
-      else if (!have2 || w < w2) { w2 = w; have2 = 1; }
-    }
-    if (best < 0) break;
-    if (!shared) {
-      /* galloping single-source run (same shape as the N-list union
-       * fast path above): records below the second-lowest head need
-       * no cross-shard summing */
-      const unsigned char *sp = shards[best];
-      long p = pos[best], e = lens[best];
-      while (p < e) {
-        unsigned long long w;
-        unsigned int c;
-        __builtin_memcpy (&w, sp + 12 * p, 8);
-        if (have2 && w >= w2) break;
-        __builtin_memcpy (&c, sp + 12 * p + 8, 4);
-        if (c >= min_count && c <= max_count) {
-          put_rec (records, m, w, c);
-          tot += c;
-          m++;
-        }
-        p++;
-      }
-      pos[best] = p;
-      continue;
-    }
-    unsigned int csum = 0;
-    for (s = 0; s < n_shards; s++) {
-      if (pos[s] >= lens[s]) continue;
+  if (n_shards <= 0) { *total_count = 0; return 0; }
+  if (n_shards == 1) {
+    const unsigned char *sp = shards[0];
+    long p, e = lens[0];
+    for (p = 0; p < e; p++) {
       unsigned long long w;
       unsigned int c;
-      __builtin_memcpy (&w, shards[s] + 12 * pos[s], 8);
-      if (w != bw) continue;
-      __builtin_memcpy (&c, shards[s] + 12 * pos[s] + 8, 4);
-      csum += c;                      /* u32 wrap (union ADD parity) */
-      pos[s]++;
+      __builtin_memcpy (&w, sp + 12 * p, 8);
+      __builtin_memcpy (&c, sp + 12 * p + 8, 4);
+      if (c >= min_count && c <= max_count) {
+        put_rec (records, m, w, c);
+        tot += c;
+        m++;
+      }
     }
-    if (csum >= min_count && csum <= max_count) {
-      put_rec (records, m, bw, csum);
-      tot += csum;
-      m++;
-    }
+    *total_count = tot;
+    return m;
   }
-  free (pos);
+  /* cascaded binary merge tree, same machinery as the N-list union:
+   * spill shards each cover the full word range, so their heads
+   * interleave like random streams and the per-word head scan this
+   * replaces paid a serial min-reduce chain per output word */
+  {
+    int n_nodes = n_shards - 2;
+    FgxMNode *nodes = (FgxMNode *) malloc ((n_nodes > 0 ? n_nodes : 1)
+                                           * sizeof (FgxMNode));
+    unsigned char *arena = (unsigned char *)
+      (n_nodes > 0 ? malloc (12L * MNODE_CAP * n_nodes) : NULL);
+    FgxMNode *np = nodes;
+    unsigned char *ap = arena;
+    FgxMSrc ra, rb;
+    if (!nodes || (n_nodes > 0 && !arena)) {
+      free (nodes); free (arena);
+      return -1;
+    }
+    {
+      int mid = n_shards / 2;
+      ra = mtree_build (shards, lens, 0, mid, &np, &ap);
+      rb = mtree_build (shards, lens, mid, n_shards, &np, &ap);
+    }
+    for (;;) {
+      int ha = msrc_ensure (&ra, 1), hb = msrc_ensure (&rb, 1);
+      if (ha && hb) {
+        const unsigned char *a_ = ra.base, *b_ = rb.base;
+        long i = ra.pos, ea = ra.len, j = rb.pos, eb = rb.len;
+        while (i < ea && j < eb) {
+          unsigned long long wa, wb, w;
+          unsigned int ca, cb, c, eqm;
+          int le, ge;
+          __builtin_memcpy (&wa, a_ + 12 * i, 8);
+          __builtin_memcpy (&ca, a_ + 12 * i + 8, 4);
+          __builtin_memcpy (&wb, b_ + 12 * j, 8);
+          __builtin_memcpy (&cb, b_ + 12 * j + 8, 4);
+          le = (wa <= wb); ge = (wa >= wb);
+          w = le ? wa : wb;
+          c = le ? ca : cb;
+          eqm = (unsigned int) -(le & ge);
+          c = (c & ~eqm) | ((ca + cb) & eqm);   /* u32 wrap, union ADD */
+          if (c >= min_count && c <= max_count) {
+            put_rec (records, m, w, c);
+            tot += c;
+            m++;
+          }
+          i += le; j += ge;
+        }
+        ra.pos = i; rb.pos = j;
+      } else if (ha || hb) {
+        FgxMSrc *S = ha ? &ra : &rb;
+        const unsigned char *sp = S->base;
+        long i = S->pos, e = S->len;
+        while (i < e) {
+          unsigned long long w;
+          unsigned int c;
+          __builtin_memcpy (&w, sp + 12 * i, 8);
+          __builtin_memcpy (&c, sp + 12 * i + 8, 4);
+          if (c >= min_count && c <= max_count) {
+            put_rec (records, m, w, c);
+            tot += c;
+            m++;
+          }
+          i++;
+        }
+        S->pos = i;
+      } else {
+        break;
+      }
+    }
+    free (nodes);
+    free (arena);
+  }
   *total_count = tot;
   return m;
 }
