@@ -62,6 +62,11 @@ class ParsedSequences:
     rec_starts: np.ndarray
     rec_lengths: np.ndarray
     _name_spans: np.ndarray | None = None  # (n,2) byte offsets into _data
+    # FASTQ only: raw byte length of each sequence line INCLUDING a
+    # trailing '\r' — the reference's registry seq_len is cpos at the
+    # ending '\n' minus seq_pos (src/glistmaker.c:1042-1049), a byte
+    # span, not a nucleotide count (fuzz_ingest finding, round 3)
+    _seq_raw_lengths: np.ndarray | None = None
     _data: bytes | None = None
     # number of 'N'/'n' bytes among sequence characters (gmer_counter
     # --stats counts Ns separately from other invalid chars,
@@ -132,6 +137,10 @@ def _scatter_records(data: np.ndarray, seq_spans_start, seq_spans_end,
 def parse_fasta(raw: bytes) -> ParsedSequences:
     data = np.frombuffer(raw, dtype=np.uint8)
     starts, ends = _line_index(data)
+    raw_ends = ends  # name spans keep '\r': the reference's NAME state
+    # appends every byte until '\n' (src/fasta.c:145-174), so CRLF names
+    # include the '\r' and registry seq positions shift accordingly
+    # (fuzz_ingest finding, round 3)
     ends = _strip_cr(data, ends)
     is_header = data[starts] == _GT
     header_idx = np.flatnonzero(is_header)
@@ -143,15 +152,17 @@ def parse_fasta(raw: bytes) -> ParsedSequences:
     out, rec_starts, rec_lengths, count_n = _scatter_records(
         data, starts[seq_mask], ends[seq_mask], rec_of_line[seq_mask],
         len(header_idx))
-    name_spans = np.stack([starts[header_idx] + 1, ends[header_idx]], axis=1)
-    return ParsedSequences(out, rec_starts, rec_lengths, name_spans, raw,
-                           count_n)
+    name_spans = np.stack([starts[header_idx] + 1, raw_ends[header_idx]],
+                          axis=1)
+    return ParsedSequences(out, rec_starts, rec_lengths, name_spans,
+                           _data=raw, count_n=count_n)
 
 
 def parse_fastq(raw: bytes) -> ParsedSequences:
     """Standard 4-line-per-record FASTQ (name/seq/+/quality)."""
     data = np.frombuffer(raw, dtype=np.uint8)
     starts, ends = _line_index(data)
+    raw_ends = ends  # see parse_fasta: names keep '\r' (src/fasta.c:145-174)
     ends = _strip_cr(data, ends)
     n_lines = len(starts)
     n_records = n_lines // 4
@@ -166,9 +177,11 @@ def parse_fastq(raw: bytes) -> ParsedSequences:
         data, starts[seq_lines], ends[seq_lines],
         np.arange(n_records, dtype=np.int64), n_records)
     hdr_lines = seq_lines - 1
-    name_spans = np.stack([starts[hdr_lines] + 1, ends[hdr_lines]], axis=1)
-    return ParsedSequences(out, rec_starts, rec_lengths, name_spans, raw,
-                           count_n)
+    name_spans = np.stack([starts[hdr_lines] + 1, raw_ends[hdr_lines]],
+                          axis=1)
+    return ParsedSequences(out, rec_starts, rec_lengths, name_spans,
+                           (raw_ends[seq_lines] - starts[seq_lines])
+                           .astype(np.int64), raw, count_n)
 
 
 def parse_sequences(raw: bytes) -> ParsedSequences:
@@ -512,6 +525,7 @@ def _fasta_slab_meta(data: np.ndarray, continuing: bool):
     if len(starts) == 0:
         return (0, np.zeros((0, 2), np.int64),
                 np.zeros(1 if continuing else 0, np.int64))
+    raw_ends = ends  # see parse_fasta: names keep '\r' (src/fasta.c:145-174)
     ends = _strip_cr(data, ends)
     is_header = data[starts] == _GT
     n_headers = int(is_header.sum())
@@ -524,7 +538,7 @@ def _fasta_slab_meta(data: np.ndarray, continuing: bool):
     np.add.at(rec_lengths, rec_of_line[seq_mask],
               (ends - starts)[seq_mask])
     hs = starts[is_header]
-    he = ends[is_header]
+    he = raw_ends[is_header]
     name_spans = np.stack([hs + 1, he], axis=1).astype(np.int64)
     return n_headers, name_spans, rec_lengths
 
@@ -675,7 +689,7 @@ def iter_slabs_indexed(path: str, k: int, slab_bytes: int = 1 << 28):
                 name_spans=(parsed._name_spans.astype(np.int64) + abs_off),
                 rec_base=next_rec, n_started=parsed.n_records,
                 total_bases=parsed.total_bases, count_n=parsed.count_n,
-                prefix_len=0, rec_lengths=parsed.rec_lengths.copy())
+                prefix_len=0, rec_lengths=parsed._seq_raw_lengths.copy())
             next_rec += parsed.n_records
             abs_off += len(head)
             yield parsed.codes, meta
@@ -698,7 +712,7 @@ def iter_slabs_indexed(path: str, k: int, slab_bytes: int = 1 << 28):
                     rec_base=next_rec, n_started=parsed.n_records,
                     total_bases=parsed.total_bases,
                     count_n=parsed.count_n, prefix_len=0,
-                    rec_lengths=parsed.rec_lengths.copy())
+                    rec_lengths=parsed._seq_raw_lengths.copy())
                 next_rec += parsed.n_records
                 yield parsed.codes, meta
     yield None, IdxStreamEnd(stream_size=stream_bytes, n_records=next_rec)
