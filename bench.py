@@ -1,13 +1,20 @@
 """Benchmark: k-mer count+merge throughput per chip (glistmaker core).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Baseline (measured in this container, see BASELINE.md): the reference
-glistmaker on a 50 Mbp synthetic FASTA, k=25, --num_threads 8 (host has
-1 vCPU): best wall 24.7 s for 49,999,976 k-mer instances → 2.02e6
-k-mers/s, including its file I/O.
+Baseline: the reference glistmaker re-timed LIVE on this container
+(wall-times shift 2-3x between containers, BASELINE.md round-2 note);
+the recorded constant is only the fallback when `.ref_build` is absent.
 
-Measured here: the device-resident count pipeline — 2-bit codes →
+Two inputs are measured (BASELINE.md "Measured" table):
+  * uniform 50 Mbp synthetic FASTA — 49,999,976 k-mer instances,
+    essentially all unique (the worst case for a counting engine's
+    run detection, and the biggest-output case for the write path);
+  * duplicate-heavy 50 Mbp — 50k x 1000 bp segments sampled from a
+    5 Mbp source genome (~10x coverage, mean k-mer count ~9), the
+    distribution genomic counting actually sees.
+
+Device metric: the device-resident count pipeline — 2-bit codes →
 window extraction → canonicalization → sort → unique+count — i.e. the
 work between the reference's read phase and its final write
 (src/glistmaker.c:894-968 + the merge). Host FASTA parsing and the
@@ -18,12 +25,25 @@ device→host path moves ~0.4 MB/s (measured), ~25,000× slower than a
 production PCIe link; timing a 600 MB result pull would benchmark the
 tunnel, not the engine. File-format correctness (byte-identical .list
 output vs the reference) is covered by tests/test_listmaker.py.
+
+End-to-end metric: fresh-process tool-vs-tool wall (ours via the
+bin/ -S launcher, reference binary with its default 8 threads),
+measured as ALTERNATED SINGLE RUNS — ours/ref interleaved, outputs
+removed and `sync` between every run — because two consecutive
+same-tool runs bias the successor with the predecessor's dirty-page
+writeback (a round-3 --index measurement flipped sign from this;
+CLAUDE.md). Best-of per tool is reported; the full per-run spread is
+recorded in the JSON line so round-over-round drift reads as container
+IO noise, not engine regression. vs_baseline uses the MEDIAN of the
+live reference re-times as its denominator.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
+import subprocess
 import sys
 import time
 
@@ -33,10 +53,14 @@ BASELINE_KMERS_PER_S = 5.14e6  # reference glistmaker on this host, best of
 # 3: 9.73 s wall for 49,999,976 k-mer instances (remeasured 2026-08-17;
 # round-1's container measured 24.7 s — see BASELINE.md)
 BASELINE_E2E_S = 9.73          # same measurement, as wall seconds
-REF_BIN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       ".ref_build", "src", "glistmaker")
+REPO = os.path.dirname(os.path.abspath(__file__))
+REF_BIN = os.path.join(REPO, ".ref_build", "src", "glistmaker")
 FASTA = "/tmp/bench_50m.fa"
+FASTA_DUP = "/tmp/bench_50m_dup.fa"
+N_INSTANCES = 49_999_976       # uniform input, k=25
+N_INSTANCES_DUP = 48_800_000   # dup input: 50_000 records x (1000-24)
 K = 25
+E2E_PAIRS = 3
 # pad to a kernel-block multiple, not a power of two: TPU sort cost
 # tracks the actual element count (51M sorts ~20% faster than 67M)
 PAD_QUANTUM = 1024 * 128
@@ -55,13 +79,30 @@ def ensure_input():
             f.write(b"\n")
 
 
+def ensure_dup_input():
+    """Repeat-rich 50 Mbp: 50k x 1 kb reads sampled from a 5 Mbp source
+    genome — ~10x coverage, mean canonical 25-mer count ~9 (measured:
+    48.8 M instances, 5.23 M unique). The realistic counting
+    distribution the uniform input's ~zero-duplicate stream is not."""
+    if os.path.exists(FASTA_DUP) and os.path.getsize(FASTA_DUP) > 50_000_000:
+        return
+    rng = np.random.default_rng(43)
+    src = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=5_000_000)
+    SEG, NSEG = 1000, 50_000
+    starts = rng.integers(0, len(src) - SEG, NSEG)
+    with open(FASTA_DUP, "wb") as f:
+        for i, s in enumerate(starts):
+            f.write(b">read%d\n" % i)
+            f.write(src[s:s + SEG].tobytes())
+            f.write(b"\n")
+
+
 def tunnel_alive(timeout: int = 120, attempts: int = 2) -> bool:
     """Probe the default JAX backend in a SUBPROCESS: a hung axon
     tunnel blocks forever inside XLA, which no in-process timeout can
     interrupt.  The tunnel flaps (and the chip is single-process
     exclusive, so a concurrent holder looks like an outage) — retry
     once after a short pause before declaring it down."""
-    import subprocess
     code = "import jax, jax.numpy as jnp; print(int(jnp.arange(8).sum()))"
     for i in range(attempts):
         if i:
@@ -76,44 +117,56 @@ def tunnel_alive(timeout: int = 120, attempts: int = 2) -> bool:
     return False
 
 
-def run_e2e():
-    """End-to-end tool-vs-tool numbers: the bin/glistmaker launcher as
-    a fresh process (includes OUR interpreter startup, ~0.35 s via the
-    -S fast path) against the reference binary as a fresh process."""
-    import subprocess
-    import time as _t
-    launcher = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "bin", "glistmaker")
-    e2e_times = []
-    for _ in range(2):
-        t0 = _t.time()
-        subprocess.run([launcher, FASTA, "-w", str(K), "-o",
-                        "/tmp/bench_e2e"], check=True, capture_output=True)
-        e2e_times.append(_t.time() - t0)
-    e2e = min(e2e_times)
-    ref_e2e = BASELINE_E2E_S
-    if os.path.exists(REF_BIN):
-        ref_times = []
-        for _ in range(2):
-            t0 = _t.time()
-            subprocess.run([REF_BIN, FASTA, "-w", str(K), "-o",
-                            "/tmp/bench_ref", "--num_threads", "8"],
-                           check=True, capture_output=True)
-            ref_times.append(_t.time() - t0)
-        ref_e2e = min(ref_times)
+def _timed_run(argv, outputs):
+    """One fresh-process run: remove stale outputs, settle the page
+    cache (sync flushes the PREVIOUS run's dirty pages so they cannot
+    be charged to this one), run, then sync again INSIDE the timed
+    region so each tool pays for its own writeback."""
+    for p in outputs:
+        try:
+            os.unlink(p)
+        except OSError:
+            pass
+    os.sync()
+    t0 = time.time()
+    subprocess.run(argv, check=True, capture_output=True)
+    os.sync()
+    return time.time() - t0
+
+
+def run_e2e(fasta, tag, pairs=E2E_PAIRS):
+    """Interleaved tool-vs-tool wall times. Returns (our_times,
+    ref_times) lists; ref_times is [] without the oracle binary.
+    Within-pair order alternates each rep so neither tool always runs
+    into the other's cache footprint."""
+    launcher = os.path.join(REPO, "bin", "glistmaker")
+    ours_out = "/tmp/bench_e2e_%s_%d.list" % (tag, K)
+    ref_out = "/tmp/bench_ref_%s_%d.list" % (tag, K)
+    ours_argv = [launcher, fasta, "-w", str(K), "-o",
+                 "/tmp/bench_e2e_" + tag]
+    ref_argv = [REF_BIN, fasta, "-w", str(K), "-o",
+                "/tmp/bench_ref_" + tag, "--num_threads", "8"]
+    have_ref = os.path.exists(REF_BIN)
+    our_times, ref_times = [], []
+    for i in range(pairs):
+        order = [("ours", ours_argv, [ours_out], our_times)]
+        if have_ref:
+            order.append(("ref", ref_argv, [ref_out], ref_times))
+        if i % 2:
+            order.reverse()
+        for _, argv, outs, acc in order:
+            acc.append(_timed_run(argv, outs))
+    if have_ref:
         # the number is only meaningful if the tools produced the same
         # list — fail loudly rather than report a fast wrong answer
         import filecmp
-        ours = "/tmp/bench_e2e_%d.list" % K
-        ref = "/tmp/bench_ref_%d.list" % K
-        if os.path.exists(ours) and os.path.exists(ref):
-            if not filecmp.cmp(ours, ref, shallow=False):
-                raise SystemExit("[bench] e2e outputs differ from the "
-                                 "reference — refusing to report")
-    return e2e, ref_e2e
+        if not filecmp.cmp(ours_out, ref_out, shallow=False):
+            raise SystemExit("[bench] e2e outputs differ from the "
+                             "reference — refusing to report (%s)" % tag)
+    return our_times, ref_times
 
 
-def device_kernel_bench():
+def device_kernel_bench(fasta):
     """Device count-pipeline measurement; prints one JSON line
     {value, dt, n_unique, total, checksum} on success. Invoked in a
     SUBPROCESS with a timeout because a flaky tunnel can hang inside
@@ -124,7 +177,7 @@ def device_kernel_bench():
     from genometester4_tpu.ops.kmers import extract_kmers_best
     from genometester4_tpu.ops.sortcount import count_unique
 
-    parsed = load_file(FASTA)
+    parsed = load_file(fasta)
     pad = -len(parsed.codes) % PAD_QUANTUM + len(parsed.codes)
     codes = np.full(pad, 255, np.uint8)
     codes[: len(parsed.codes)] = parsed.codes
@@ -169,20 +222,19 @@ def device_kernel_bench():
                       "checksum": checksum}))
 
 
-def run_device_bench(timeouts=(420, 240)):
+def run_device_bench(fasta, timeouts=(420, 240)):
     """Run the device section in a timeout-guarded subprocess (a flaky
     tunnel hangs inside XLA beyond in-process timeouts).  Retry once
     with a tighter budget: a transient flap mid-measurement should not
     degrade the recorded artifact to host-only numbers, but the total
     wall stays bounded for the driver."""
-    import subprocess
     for i, timeout in enumerate(timeouts):
         if i and not tunnel_alive(attempts=1):
             return None
         try:
             r = subprocess.run([sys.executable, os.path.abspath(__file__),
-                                "--device-kernel-only"], timeout=timeout,
-                               capture_output=True)
+                                "--device-kernel-only", fasta],
+                               timeout=timeout, capture_output=True)
         except subprocess.TimeoutExpired:
             continue
         if r.returncode != 0:
@@ -194,78 +246,95 @@ def run_device_bench(timeouts=(420, 240)):
     return None
 
 
-def baseline_kmers_per_s(ref_e2e: float) -> float:
-    """Denominator for vs_baseline: the LIVE reference throughput when
-    the oracle binary was just re-timed on this container (wall times
-    shift 2-3x between containers, see BASELINE.md round-2 note), else
-    the recorded constant."""
-    if os.path.exists(REF_BIN):
-        return 49999976 / ref_e2e
+def baseline_kmers_per_s(ref_times) -> float:
+    """Denominator for vs_baseline: the MEDIAN of the live reference
+    re-times on this container (one best-of-2 sample was too few — the
+    r1-r3 headline ratio swung 110→42→82 on reference-side IO noise
+    alone), else the recorded constant."""
+    if ref_times:
+        return N_INSTANCES / statistics.median(ref_times)
     return BASELINE_KMERS_PER_S
 
 
-def emit_fallback(note: str):
-    import jax
-    jax.config.update("jax_platforms", "cpu")
-    e2e, ref_e2e = run_e2e()
-    n_inst = 49999976
-    value = n_inst / e2e
-    print(json.dumps({
+def _r(x, nd=2):
+    return round(x, nd)
+
+
+def emit(value, ref_times, our_times, dup_fields, note=None):
+    line = {
         "metric": "kmer_count_throughput_per_chip",
         "value": round(value, 1),
         "unit": "kmers/s",
-        "vs_baseline": round(value / baseline_kmers_per_s(ref_e2e), 3),
-        "e2e_s": round(e2e, 2),
-        "ref_e2e_s": round(ref_e2e, 2),
-        "e2e_vs_reference": round(ref_e2e / e2e, 2),
-        "note": note + "; end-to-end host pipeline numbers only",
-    }))
-    sys.stderr.write(
-        f"[bench] {note}; end-to-end glistmaker: {e2e:.2f}s vs "
-        f"reference {ref_e2e:.2f}s = {ref_e2e/e2e:.2f}x\n")
+        "vs_baseline": round(value / baseline_kmers_per_s(ref_times), 3),
+        "e2e_s": _r(min(our_times)),
+        "ref_e2e_s": _r(min(ref_times)) if ref_times else BASELINE_E2E_S,
+        "e2e_vs_reference": _r((min(ref_times) if ref_times
+                                else BASELINE_E2E_S) / min(our_times)),
+        "e2e_runs": [_r(t) for t in our_times],
+        "ref_e2e_runs": [_r(t) for t in ref_times],
+    }
+    line.update(dup_fields)
+    if note:
+        line["note"] = note
+    print(json.dumps(line))
+    sys.stderr.write("[bench] " + json.dumps(line) + "\n")
+
+
+def dup_e2e_fields(dev_dup):
+    """Duplicate-heavy end-to-end rows (+ device value when the tunnel
+    cooperated)."""
+    our_d, ref_d = run_e2e(FASTA_DUP, "dup")
+    fields = {
+        "dup_e2e_s": _r(min(our_d)),
+        "dup_e2e_runs": [_r(t) for t in our_d],
+    }
+    if ref_d:
+        fields["dup_ref_e2e_s"] = _r(min(ref_d))
+        fields["dup_ref_e2e_runs"] = [_r(t) for t in ref_d]
+        fields["e2e_dup_vs_reference"] = _r(min(ref_d) / min(our_d))
+    if dev_dup is not None:
+        fields["value_dup"] = round(dev_dup["value"], 1)
+    return fields
 
 
 def main():
     ensure_input()
+    ensure_dup_input()
     if "--device-kernel-only" in sys.argv:
-        device_kernel_bench()
+        device_kernel_bench(sys.argv[-1] if sys.argv[-1].endswith(".fa")
+                            else FASTA)
         return
-    if not tunnel_alive():
-        # accelerator unreachable (dev-tunnel outage): report the honest
-        # end-to-end host numbers so the driver still gets a real line
-        emit_fallback("accelerator tunnel unreachable")
-        return
-    dev = run_device_bench()
-    if dev is None:
-        emit_fallback("device bench failed (tunnel flap mid-run)")
-        return
-    value = dev["value"]
-    dt = dev["dt"]
-    n_unique = dev["n_unique"]
-    total_count = dev["total"]
-    checksum = dev["checksum"]
+    dev = dev_dup = None
+    note = None
+    if tunnel_alive():
+        dev = run_device_bench(FASTA)
+        if dev is None:
+            note = "device bench failed (tunnel flap mid-run)"
+        else:
+            dev_dup = run_device_bench(FASTA_DUP, timeouts=(300,))
+    else:
+        note = "accelerator tunnel unreachable"
 
-    # --- end-to-end tool run (parse -> count -> 600 MB .list write) ---
-    # The honest tool-vs-tool number the kernel metric above excludes:
-    # the host-native pipeline (make_list cost-models itself onto the
-    # host under the axon tunnel), timed wall-clock including the write.
-    e2e, ref_e2e = run_e2e()
+    # --- end-to-end tool runs (parse -> count -> .list write) ---
+    # The honest tool-vs-tool numbers the kernel metric excludes: the
+    # host-native pipeline (make_list cost-models itself onto the host
+    # under the axon tunnel), interleaved fresh-process walls.
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    our_times, ref_times = run_e2e(FASTA, "uni")
+    dup_fields = dup_e2e_fields(dev_dup)
 
-    print(json.dumps({
-        "metric": "kmer_count_throughput_per_chip",
-        "value": round(value, 1),
-        "unit": "kmers/s",
-        "vs_baseline": round(value / baseline_kmers_per_s(ref_e2e), 3),
-        "e2e_s": round(e2e, 2),
-        "ref_e2e_s": round(ref_e2e, 2),
-        "e2e_vs_reference": round(ref_e2e / e2e, 2),
-    }))
-    sys.stderr.write(
-        f"[bench] {total_count} kmer instances, {n_unique} unique, "
-        f"best of 3: {dt:.3f}s ({value/1e6:.1f} M kmers/s); "
-        f"checksum={checksum}\n"
-        f"[bench] end-to-end glistmaker: {e2e:.2f}s vs reference "
-        f"{ref_e2e:.2f}s = {ref_e2e/e2e:.2f}x\n")
+    if dev is not None:
+        value = dev["value"]
+        sys.stderr.write(
+            "[bench] device: %d instances, %d unique, best %.3fs "
+            "(%.1f M kmers/s) checksum=%d\n"
+            % (dev["total"], dev["n_unique"], dev["dt"],
+               dev["value"] / 1e6, dev["checksum"]))
+    else:
+        value = N_INSTANCES / min(our_times)
+        note += "; end-to-end host pipeline numbers only"
+    emit(value, ref_times, our_times, dup_fields, note)
 
 
 if __name__ == "__main__":
