@@ -1,0 +1,380 @@
+/* gt4cli — native front-end for the glistcompare fast paths.
+ *
+ * The bin/ -S CPython launchers answer sub-second jobs with a ~60-75 ms
+ * interpreter floor; the reference binary's whole wall for the same
+ * jobs is 2-150 ms (round-3 VERDICT weak #4 / next #7).  This front-end
+ * runs the two floor-bound surfaces natively:
+ *
+ *   glistcompare LIST -ss METHOD SIZE [--seed N] [-o NAME]
+ *   glistcompare L1 L2 L3... -u|-i [-o NAME]          (>= 3 lists)
+ *
+ * mirroring pipelines/subset_fast.py and pipelines/setops_stream.py
+ * byte-for-byte (same kernels via dlopen of the shared .so that
+ * native_build.py maintains, same header/writer layout, same tmp+rename
+ * publish).  ANY deviation from the exact happy path — unknown flag,
+ * parse surprise, missing/odd/stale file, index input, word-length
+ * mismatch, version surprise — execs the Python launcher
+ * (bin/_glistcompare.py), which owns every piece of error chrome and
+ * every general case.  Reference semantics: src/glistcompare.c:719-787
+ * (subset), :500-717 (multi union/intersection).
+ */
+
+#define _GNU_SOURCE
+#include <dlfcn.h>
+#include <fcntl.h>
+#include <limits.h>
+#include <stdint.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <time.h>
+#include <unistd.h>
+
+#define GT4_LIST_CODE ((uint32_t) (('G' << 24) | ('T' << 16) | ('4' << 8) | 'C'))
+#define WRITE_CHUNK (1 << 20)
+#define MAX_FILES 1024          /* src/glistcompare.c:77 */
+
+typedef struct {
+  uint32_t code, vmaj, vmin, wlen;
+  uint64_t n_words, total, list_start;
+  uint32_t wb, cb;
+} __attribute__((packed)) ListHeader;      /* formats/list_format._HEADER_4_4 */
+
+typedef long (*fgx_subset_t) (const unsigned char *, long,
+                              unsigned long long, int, unsigned long long,
+                              long, unsigned char *, unsigned long long *);
+typedef void *(*fgx_ms_start_t) (const unsigned char **, const long *, int,
+                                 int, int, unsigned int, unsigned int);
+typedef int (*fgx_ms_next_t) (void *, unsigned char *, long, long *,
+                              unsigned long long *);
+typedef void (*fgx_ms_free_t) (void *);
+
+static char repo_root[PATH_MAX];
+
+static void fallback_python (int argc, char **argv)
+{
+  /* hand the ORIGINAL argv to the Python launcher, which owns all
+   * chrome and general paths */
+  char py[PATH_MAX];
+  char **nargv = malloc ((size_t) (argc + 4) * sizeof (char *));
+  int i;
+  if (!nargv) exit (1);
+  snprintf (py, sizeof (py), "%s/bin/_glistcompare.py", repo_root);
+  nargv[0] = "python3";
+  nargv[1] = "-S";
+  nargv[2] = "-u";
+  nargv[3] = py;
+  for (i = 1; i < argc; i++) nargv[3 + i] = argv[i];
+  nargv[3 + argc] = NULL;
+  execvp ("python3", nargv);
+  exit (127);
+}
+
+#define FALLBACK() fallback_python (g_argc, g_argv)
+static int g_argc;
+static char **g_argv;
+
+/* ---- whitelist argument scan ------------------------------------- */
+
+static int is_decimal (const char *s)
+{
+  if (*s == '+' || *s == '-') s++;
+  if (!*s) return 0;
+  for (; *s; s++) if (*s < '0' || *s > '9') return 0;
+  return 1;
+}
+
+/* ---- list input mapping (subset_fast._open_list twin) ------------- */
+
+typedef struct {
+  void *map;                    /* mmap base (NULL for empty lists) */
+  size_t map_len;
+  const unsigned char *recs;    /* 12-byte record stream */
+  long n_words;
+  uint64_t total;
+  uint32_t wlen;
+} ListIn;
+
+static const unsigned char empty_rec[12];
+
+/* returns 0 on success, -1 meaning "fall back" */
+static int open_list (const char *path, ListIn *li)
+{
+  ListHeader h;
+  int fd = open (path, O_RDONLY);
+  ssize_t got;
+  struct stat st;
+  uint64_t start, need;
+  if (fd < 0) return -1;
+  got = read (fd, &h, sizeof (h));
+  if (got < (ssize_t) sizeof (h)) { close (fd); return -1; }
+  if (h.code != GT4_LIST_CODE) { close (fd); return -1; }
+  start = h.list_start;
+  if (h.vmin >= 3) {
+    if (h.wb != 8 || h.cb != 4) { close (fd); return -1; }
+  } else if (h.vmin == 0) {
+    start = 40;
+  }
+  if (fstat (fd, &st) != 0) { close (fd); return -1; }
+  need = start + 12u * h.n_words;
+  if ((uint64_t) st.st_size < need) { close (fd); return -1; }
+  li->wlen = h.wlen;
+  li->n_words = (long) h.n_words;
+  li->total = h.total;
+  if (h.n_words == 0) {
+    li->map = NULL;
+    li->map_len = 0;
+    li->recs = empty_rec;
+    close (fd);
+    return 0;
+  }
+  li->map_len = (size_t) need;
+  li->map = mmap (NULL, li->map_len, PROT_READ, MAP_PRIVATE, fd, 0);
+  close (fd);
+  if (li->map == MAP_FAILED) { li->map = NULL; return -1; }
+  li->recs = (const unsigned char *) li->map + start;
+  return 0;
+}
+
+/* ---- output writer (ListWriter 1 MB-chunk twin) ------------------- */
+
+static int write_all (int fd, const unsigned char *p, size_t n)
+{
+  /* single write(2) calls >= 12 MB stall in dirty-page throttling on
+   * this VM class (CLAUDE.md) — split at 1 MB like ListWriter */
+  while (n) {
+    size_t chunk = n > WRITE_CHUNK ? WRITE_CHUNK : n;
+    ssize_t w = write (fd, p, chunk);
+    if (w <= 0) return -1;
+    p += w;
+    n -= (size_t) w;
+  }
+  return 0;
+}
+
+static void put_header (unsigned char *b, uint32_t wlen, uint64_t n_words,
+                        uint64_t total)
+{
+  ListHeader h;
+  h.code = GT4_LIST_CODE; h.vmaj = 4; h.vmin = 2; h.wlen = wlen;
+  h.n_words = n_words; h.total = total; h.list_start = sizeof (ListHeader);
+  h.wb = 8; h.cb = 4;
+  memcpy (b, &h, sizeof (h));
+}
+
+/* ---- kernel library ------------------------------------------------ */
+
+static void *load_kernels (fgx_subset_t *subset, fgx_ms_start_t *ms_start,
+                           fgx_ms_next_t *ms_next, fgx_ms_free_t *ms_free)
+{
+  char so[PATH_MAX], src1[PATH_MAX], src2[PATH_MAX];
+  struct stat sso, s1, s2;
+  void *lib;
+  snprintf (so, sizeof (so), "%s/native/libfastgt_exact.so", repo_root);
+  snprintf (src1, sizeof (src1), "%s/native/listkernel.c", repo_root);
+  snprintf (src2, sizeof (src2), "%s/native/fastgt_exact.c", repo_root);
+  /* the Python side owns builds; a missing or stale .so means fall
+   * back (python rebuilds it under the flock) */
+  if (stat (so, &sso) != 0) return NULL;
+  if (stat (src1, &s1) == 0 && s1.st_mtime > sso.st_mtime) return NULL;
+  if (stat (src2, &s2) == 0 && s2.st_mtime > sso.st_mtime) return NULL;
+  lib = dlopen (so, RTLD_NOW | RTLD_LOCAL);
+  if (!lib) return NULL;
+  *subset = (fgx_subset_t) dlsym (lib, "fgx_subset");
+  *ms_start = (fgx_ms_start_t) dlsym (lib, "fgx_multi_stream_start");
+  *ms_next = (fgx_ms_next_t) dlsym (lib, "fgx_multi_stream_next");
+  *ms_free = (fgx_ms_free_t) dlsym (lib, "fgx_multi_stream_free");
+  if (!*subset || !*ms_start || !*ms_next || !*ms_free) {
+    dlclose (lib);
+    return NULL;
+  }
+  return lib;
+}
+
+/* ---- main ---------------------------------------------------------- */
+
+int main (int argc, char **argv)
+{
+  const char *files[MAX_FILES];
+  int n_files = 0;
+  int find_union = 0, find_intrsec = 0, find_subset = 0;
+  const char *outputname = "out";
+  const char *method = "rand";
+  unsigned long long subset_size = 0;
+  long seed = -1;
+  int i;
+  char link[PATH_MAX];
+  ssize_t ln;
+
+  g_argc = argc;
+  g_argv = argv;
+
+  /* repo root = dir(dir(/proc/self/exe)) — binary lives in .gt4cli/ */
+  ln = readlink ("/proc/self/exe", link, sizeof (link) - 1);
+  if (ln <= 0) exit (127);
+  link[ln] = 0;
+  {
+    char *s = strrchr (link, '/');
+    if (s) *s = 0;
+    s = strrchr (link, '/');
+    if (s) *s = 0;
+    snprintf (repo_root, sizeof (repo_root), "%s", link);
+  }
+
+  for (i = 1; i < argc; i++) {
+    const char *a = argv[i];
+    if (a[0] != '-') {
+      if (n_files >= MAX_FILES) FALLBACK ();  /* chrome */
+      files[n_files++] = a;
+    } else if (!strcmp (a, "-u") || !strcmp (a, "--union")) {
+      find_union = 1;
+    } else if (!strcmp (a, "-i") || !strcmp (a, "--intersection")) {
+      find_intrsec = 1;
+    } else if (!strcmp (a, "-o") || !strcmp (a, "--outputname")) {
+      /* `-o -u` swallows the -u with a warning (glistcompare.c:122-128)
+       * — warning chrome is Python's */
+      if (i + 1 >= argc || argv[i + 1][0] == '-') FALLBACK ();
+      outputname = argv[++i];
+    } else if (!strcmp (a, "-ss") || !strcmp (a, "--subset")) {
+      find_subset = 1;
+      if (i + 1 >= argc) FALLBACK ();
+      method = argv[++i];
+      if (strcmp (method, "rand") && strcmp (method, "rand_unique")
+          && strcmp (method, "rand_weighted_unique")) FALLBACK ();
+      if (i + 1 >= argc) FALLBACK ();
+      /* python uses strtoll_u64 WITH end-check; only clean decimals
+       * share a parse between the two, everything else is chrome */
+      if (!is_decimal (argv[i + 1]) || argv[i + 1][0] == '-'
+          || argv[i + 1][0] == '+'
+          || strlen (argv[i + 1]) > 19) FALLBACK ();
+      subset_size = strtoull (argv[++i], NULL, 10);
+    } else if (!strcmp (a, "--seed")) {
+      if (i + 1 >= argc || !is_decimal (argv[i + 1])) FALLBACK ();
+      seed = strtol (argv[++i], NULL, 10);
+    } else {
+      FALLBACK ();              /* any other flag: the general path */
+    }
+  }
+
+  if (find_subset) {
+    if (n_files != 1 || find_union || find_intrsec) FALLBACK ();
+  } else if (find_union || find_intrsec) {
+    /* 2-list ops use the pair zipper pipeline (different impl, same
+     * bytes) — not re-implemented here */
+    if (n_files < 3) FALLBACK ();
+  } else {
+    FALLBACK ();
+  }
+
+  if (seed == -1)
+    seed = (long) (unsigned int) time (NULL);  /* glistcompare.c:229 */
+
+  {
+    fgx_subset_t subset_fn;
+    fgx_ms_start_t ms_start;
+    fgx_ms_next_t ms_next;
+    fgx_ms_free_t ms_free;
+    ListIn in[MAX_FILES];
+    uint32_t wlen;
+    void *lib = load_kernels (&subset_fn, &ms_start, &ms_next, &ms_free);
+    if (!lib) FALLBACK ();
+
+    for (i = 0; i < n_files; i++)
+      if (open_list (files[i], &in[i]) != 0) FALLBACK ();
+    wlen = in[0].wlen;
+    for (i = 1; i < n_files; i++)
+      if (in[i].wlen != wlen) FALLBACK ();  /* mismatch chrome */
+
+    if (find_subset) {
+      /* unique-size-overflow chrome is Python's (glistcompare.c:296) */
+      unsigned long long tot = 0;
+      long m;
+      unsigned char hdr[sizeof (ListHeader)];
+      unsigned char *out;
+      char out_path[PATH_MAX], tmp[PATH_MAX];
+      int mi = !strcmp (method, "rand") ? 0
+             : !strcmp (method, "rand_unique") ? 1 : 2;
+      int fd;
+      if (mi != 0 && subset_size > (unsigned long long) in[0].n_words)
+        FALLBACK ();
+      out = malloc (in[0].n_words > 0 ? 12u * (size_t) in[0].n_words : 12);
+      if (!out) FALLBACK ();
+      m = subset_fn (in[0].recs, in[0].n_words, in[0].total, mi,
+                     subset_size, seed, out, &tot);
+      snprintf (out_path, sizeof (out_path), "%s_subset_%u.list",
+                outputname, wlen);
+      snprintf (tmp, sizeof (tmp), "%s.tmp.%d", out_path, (int) getpid ());
+      fd = open (tmp, O_WRONLY | O_CREAT | O_TRUNC, 0644);
+      if (fd < 0) FALLBACK ();
+      put_header (hdr, wlen, (uint64_t) m, tot);
+      if (write_all (fd, hdr, sizeof (hdr)) != 0
+          || write_all (fd, out, 12u * (size_t) m) != 0) {
+        close (fd); unlink (tmp); exit (1);
+      }
+      close (fd);
+      if (rename (tmp, out_path) != 0) { unlink (tmp); exit (1); }
+      return 0;
+    }
+
+    /* multi union/intersection: union first, then intersection, as the
+     * CLI dispatches (cli/glistcompare.py multi-file section) */
+    {
+      const unsigned char *streams[MAX_FILES];
+      long lens[MAX_FILES];
+      long cap = 1 << 20;
+      unsigned char *buf = malloc (12u * (size_t) cap);
+      int op;
+      if (!buf) FALLBACK ();
+      for (i = 0; i < n_files; i++) {
+        streams[i] = in[i].recs;
+        lens[i] = in[i].n_words;
+      }
+      for (op = 0; op < 2; op++) {
+        int intersect = (op == 1);
+        void *st;
+        uint64_t n_words = 0, total = 0;
+        unsigned char hdr[sizeof (ListHeader)];
+        char out_path[PATH_MAX], tmp[PATH_MAX];
+        int fd, more;
+        if (!(intersect ? find_intrsec : find_union)) continue;
+        /* default rules: union ADD(1), intersection MIN(3)
+         * (setops_stream._RINT; ops/setops.py defaults) */
+        st = ms_start (streams, lens, n_files, intersect,
+                       intersect ? 3 : 1, 1u, 1u);
+        if (!st) FALLBACK ();
+        snprintf (out_path, sizeof (out_path), "%s_%u_%s.list",
+                  outputname, wlen, intersect ? "intrsec" : "union");
+        snprintf (tmp, sizeof (tmp), "%s.tmp.%d", out_path,
+                  (int) getpid ());
+        fd = open (tmp, O_WRONLY | O_CREAT | O_TRUNC, 0644);
+        if (fd < 0) { ms_free (st); FALLBACK (); }
+        put_header (hdr, wlen, 0, 0);
+        if (write_all (fd, hdr, sizeof (hdr)) != 0) {
+          close (fd); unlink (tmp); exit (1);
+        }
+        do {
+          long m = 0;
+          unsigned long long s_out = 0;
+          more = ms_next (st, buf, cap, &m, &s_out);
+          if (m) {
+            if (write_all (fd, buf, 12u * (size_t) m) != 0) {
+              close (fd); unlink (tmp); exit (1);
+            }
+            n_words += (uint64_t) m;
+            total += s_out;
+          }
+        } while (more);
+        ms_free (st);
+        put_header (hdr, wlen, n_words, total);
+        if (pwrite (fd, hdr, sizeof (hdr), 0) != (ssize_t) sizeof (hdr)) {
+          close (fd); unlink (tmp); exit (1);
+        }
+        close (fd);
+        if (rename (tmp, out_path) != 0) { unlink (tmp); exit (1); }
+      }
+    }
+    return 0;
+  }
+}

@@ -1,0 +1,166 @@
+"""Native CLI front-end (.gt4cli/glistcompare, native/gt4cli.c).
+
+bin/glistcompare is a /bin/sh wrapper that execs the native front-end
+for the floor-bound fast paths (-ss, N-list -u/-i) and lets it exec the
+Python launcher (bin/_glistcompare.py) for everything else. These tests
+pin:
+
+* the whitelisted happy paths are byte-identical across all THREE
+  implementations: native front-end, Python fast path
+  (GT4_NO_FASTCLI=1), and the reference binary;
+* every non-whitelisted shape falls back to Python with identical
+  chrome/exit codes (the front-end must never half-handle a case).
+"""
+
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tests.conftest import has_reference, run_reference, random_fasta
+
+REPO = Path(__file__).resolve().parent.parent
+BIN = str(REPO / "bin" / "glistcompare")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built_frontend():
+    r = subprocess.run([str(REPO / "tools" / "build_gt4cli.sh")],
+                       capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()
+    assert (REPO / ".gt4cli" / "glistcompare").exists()
+
+
+@pytest.fixture(scope="module")
+def lists(tmp_path_factory):
+    if not has_reference():
+        pytest.skip("reference not built")
+    d = tmp_path_factory.mktemp("fastcli")
+    rng = np.random.default_rng(5)
+    paths = []
+    for i in range(4):
+        fa = d / f"in{i}.fa"
+        fa.write_text(random_fasta(rng, 3, 3000, 6000, n_prob=0.01))
+        r = run_reference(["glistmaker", str(fa), "-w", "16",
+                           "-o", str(d / f"l{i}")])
+        assert r.returncode == 0, r.stderr
+        paths.append(str(d / f"l{i}_16.list"))
+    return d, paths
+
+
+def run3(args, cwd, out_names):
+    """Run native / python-fallback / reference on the same argv,
+    asserting identical exit codes and output bytes."""
+    rn = subprocess.run([BIN] + args + ["-o", "n"], cwd=cwd,
+                        capture_output=True)
+    rp = subprocess.run([BIN] + args + ["-o", "p"], cwd=cwd,
+                        capture_output=True,
+                        env=dict(os.environ, GT4_NO_FASTCLI="1"))
+    rr = run_reference(["glistcompare"] + args + ["-o", "r"], cwd=cwd)
+    assert rn.returncode == rp.returncode == rr.returncode == 0, (
+        args, rn.stderr, rp.stderr, rr.stderr)
+    assert rn.stdout == rp.stdout == rr.stdout
+    for name in out_names:
+        a = (cwd / ("n" + name)).read_bytes()
+        b = (cwd / ("p" + name)).read_bytes()
+        c = (cwd / ("r" + name)).read_bytes()
+        assert a == b, f"native != python fast path: {name}"
+        assert a == c, f"native != reference: {name}"
+
+
+@pytest.mark.parametrize("method", ["rand", "rand_unique",
+                                    "rand_weighted_unique"])
+def test_subset_three_way_identical(lists, method):
+    d, paths = lists
+    run3([paths[0], "-ss", method, "800", "--seed", "11"],
+         d, ["_subset_16.list"])
+
+
+def test_subset_size_exceeds_rand(lists):
+    """rand method with size > total instances: our walk stops at the
+    list end (native/listkernel.c fgx_subset header comment) while the
+    reference's while(out>0) loops past the list — non-oracle UB, so
+    only native-vs-python parity is asserted here."""
+    d, paths = lists
+    args = [paths[0], "-ss", "rand", "99999999", "--seed", "3"]
+    rn = subprocess.run([BIN] + args + ["-o", "nx"], cwd=d,
+                        capture_output=True)
+    rp = subprocess.run([BIN] + args + ["-o", "px"], cwd=d,
+                        capture_output=True,
+                        env=dict(os.environ, GT4_NO_FASTCLI="1"))
+    assert rn.returncode == rp.returncode == 0, (rn.stderr, rp.stderr)
+    assert (d / "nx_subset_16.list").read_bytes() == \
+           (d / "px_subset_16.list").read_bytes()
+
+
+@pytest.mark.parametrize("flags,outs", [
+    (["-u"], ["_16_union.list"]),
+    (["-i"], ["_16_intrsec.list"]),
+    (["-u", "-i"], ["_16_union.list", "_16_intrsec.list"]),
+])
+def test_multi_three_way_identical(lists, flags, outs):
+    d, paths = lists
+    run3(paths + flags, d, outs)
+
+
+def test_multi_with_empty_input(lists, tmp_path):
+    """A zero-record member list exercises the empty-stream branch."""
+    d, paths = lists
+    empty = tmp_path / "empty_16.list"
+    # intersect two disjoint-ish subsets to likely-nonempty, then force
+    # an actually-empty list via an impossible cutoff in python pipeline
+    r = subprocess.run([BIN, paths[0], "-ss", "rand_unique", "0",
+                        "--seed", "1", "-o", str(tmp_path / "e")],
+                       capture_output=True)
+    assert r.returncode == 0, r.stderr
+    os.replace(tmp_path / "e_subset_16.list", empty)
+    run3([paths[0], paths[1], str(empty), "-u"], d, ["_16_union.list"])
+    run3([paths[0], paths[1], str(empty), "-i"], d, ["_16_intrsec.list"])
+
+
+@pytest.mark.parametrize("args", [
+    ["-v"],                                     # version chrome
+    ["-u"],                                     # no files
+    ["LST0", "LST1", "-u"],                     # 2-list → pair pipeline
+    ["LST0", "LST1", "LST2", "-u", "-c", "2"],  # cutoff flag
+    ["LST0", "LST1", "LST2", "-u", "-r", "max"],  # rule flag
+    ["LST0", "LST1", "LST2", "--count_only", "-u"],
+    ["LST0", "-ss", "rand_unique", "99999999"],  # unique > n_words chrome
+    ["LST0", "-ss", "bogus", "5"],               # bad method chrome
+    ["nofile.list", "-ss", "rand", "5"],         # open error chrome
+    ["LST0", "LST1", "LST2", "-u", "-o", "-i"],  # -o swallow quirk
+    ["LST0", "LST1", "LST2"],                    # no method selected
+])
+def test_fallback_matches_reference_chrome(lists, args):
+    d, paths = lists
+    argv = [paths[int(a[3])] if a.startswith("LST") else a for a in args]
+    rn = subprocess.run([BIN] + argv, cwd=d, capture_output=True)
+    rr = run_reference(["glistcompare"] + argv, cwd=d)
+    if rr.returncode < 0:
+        # reference segfaults (e.g. missing-file path) — not an oracle
+        return
+    assert rn.returncode == rr.returncode, (args, rn.stderr, rr.stderr)
+    assert rn.stdout == rr.stdout
+    assert rn.stderr == rr.stderr
+
+
+def test_stale_so_falls_back(lists, tmp_path):
+    """A kernel .so older than its source must not be dlopened by the
+    front-end — it execs Python, which rebuilds under the flock."""
+    d, paths = lists
+    so = REPO / "native" / "libfastgt_exact.so"
+    if not so.exists():
+        pytest.skip("kernel .so not built yet")
+    src = REPO / "native" / "listkernel.c"
+    old = so.stat().st_mtime
+    try:
+        os.utime(so, (old, src.stat().st_mtime - 10))
+        r = subprocess.run([BIN, paths[0], "-ss", "rand", "10", "--seed",
+                            "2", "-o", str(tmp_path / "s")],
+                           capture_output=True)
+        assert r.returncode == 0, r.stderr
+        assert (tmp_path / "s_subset_16.list").exists()
+    finally:
+        os.utime(so, None)
