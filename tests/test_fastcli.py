@@ -146,6 +146,80 @@ def test_fallback_matches_reference_chrome(lists, args):
     assert rn.stderr == rr.stderr
 
 
+@pytest.mark.parametrize("flags", [["-u", "--count_only"],
+                                   ["-i", "--count_only"],
+                                   ["-u", "-i", "--count_only"]])
+def test_multi_count_only_three_way(lists, flags):
+    d, paths = lists
+    rn = subprocess.run([BIN] + paths + flags, cwd=d, capture_output=True)
+    rp = subprocess.run([BIN] + paths + flags, cwd=d, capture_output=True,
+                        env=dict(os.environ, GT4_NO_FASTCLI="1"))
+    rr = run_reference(["glistcompare"] + paths + flags, cwd=d)
+    assert rn.returncode == rp.returncode == rr.returncode == 0
+    assert rn.stdout == rp.stdout == rr.stdout
+
+
+BINQ = str(REPO / "bin" / "glistquery")
+
+
+@pytest.mark.parametrize("args", [
+    ["--stat"], ["--stats"], ["-stat"], ["--median"], ["--gc"],
+    ["--distribution", "10"], ["--distribution", "0"],
+])
+def test_glistquery_stats_three_way(lists, args):
+    d, paths = lists
+    for argv in ([paths[0]] + args, [paths[0], paths[1]] + args):
+        rn = subprocess.run([BINQ] + argv, cwd=d, capture_output=True)
+        rp = subprocess.run([BINQ] + argv, cwd=d, capture_output=True,
+                            env=dict(os.environ, GT4_NO_FASTCLI="1"))
+        rr = run_reference(["glistquery"] + argv, cwd=d)
+        assert rn.returncode == rp.returncode == rr.returncode == 0, (
+            argv, rn.stderr, rp.stderr, rr.stderr)
+        assert rn.stdout == rp.stdout == rr.stdout, argv
+
+
+def test_glistquery_stat_on_index(lists, tmp_path):
+    """--stat accepts .index headers (the one index case the fast path
+    answers); the native front-end must match byte-for-byte."""
+    d, paths = lists
+    rng = np.random.default_rng(9)
+    fa = tmp_path / "ix.fa"
+    fa.write_text(random_fasta(rng, 2, 2000, 4000))
+    r = run_reference(["glistmaker", str(fa), "-w", "16", "--index",
+                       "-o", str(tmp_path / "ix")])
+    assert r.returncode == 0, r.stderr
+    idx = str(tmp_path / "ix_16.index")
+    rn = subprocess.run([BINQ, idx, "--stat"], capture_output=True)
+    rr = run_reference(["glistquery", idx, "--stat"])
+    assert rn.returncode == rr.returncode == 0
+    assert rn.stdout == rr.stdout
+    # --median on an index needs the generic path: must fall back, not
+    # misanswer
+    rn = subprocess.run([BINQ, idx, "--median"], capture_output=True)
+    rr = run_reference(["glistquery", idx, "--median"])
+    assert rn.returncode == rr.returncode
+    assert rn.stdout == rr.stdout
+
+
+@pytest.mark.parametrize("args", [
+    ["LST0"],                          # full dump (generic path)
+    ["LST0", "--stat", "-D"],          # debug disables the fast path
+    ["-v"],
+    ["LST0", "--distribution"],        # missing arg chrome
+    ["nofile.list", "--stat"],
+])
+def test_glistquery_fallback_chrome(lists, args):
+    d, paths = lists
+    argv = [paths[int(a[3])] if a.startswith("LST") else a for a in args]
+    rn = subprocess.run([BINQ] + argv, cwd=d, capture_output=True)
+    rr = run_reference(["glistquery"] + argv, cwd=d)
+    if rr.returncode < 0:
+        return  # reference segfault: not an oracle
+    assert rn.returncode == rr.returncode, (args, rn.stderr, rr.stderr)
+    assert rn.stdout == rr.stdout
+    assert rn.stderr == rr.stderr
+
+
 def test_stale_so_falls_back(lists, tmp_path):
     """A kernel .so older than its source must not be dlopened by the
     front-end — it execs Python, which rebuilds under the flock."""

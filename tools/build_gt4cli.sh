@@ -12,3 +12,4 @@ out="$root/.gt4cli/glistcompare"
 if [ -x "$out" ] && [ ! "$src" -nt "$out" ]; then exit 0; fi
 cc -O2 -Wall -o "$out.tmp.$$" "$src" -ldl
 mv "$out.tmp.$$" "$out"
+ln -f "$out" "$root/.gt4cli/glistquery"
