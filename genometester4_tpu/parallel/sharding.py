@@ -107,17 +107,22 @@ def _owner_shard(hi, lo, k: int, n_shards: int):
 def _route_by_prefix(hi, lo, counts, valid, k: int, n_shards: int, cap: int):
     """Partition local unique words into per-destination-shard buckets.
 
-    Returns (bucket_hi, bucket_lo, bucket_counts, bucket_valid, overflow)
-    with shape [n_shards, cap].
+    Returns (bucket_hi, bucket_lo, bucket_counts, bucket_count_per_shard,
+    overflow) with bucket arrays of shape [n_shards, cap].
+
+    Entries are sorted (count_unique output) and owner = top word bits,
+    so each owner's entries are CONTIGUOUS: bucket b spans
+    [owner_offset[b], owner_offset[b] + owner_count[b]). Bucketing is
+    therefore n_shards CONTIGUOUS dynamic slices — NOT a [n_shards, cap]
+    element gather: XLA lowers that gather to serialized row lookups,
+    measured 2.9-9.1 s per 33.5M-window step at kp=1 on a v5e (round-4
+    mesh-overhead measurement, tools/mesh_overhead.py) where the whole
+    direct pipeline is 0.108 s. Contiguous dynamic slices stream at copy
+    speed.
     """
     owner = _owner_shard(hi, lo, k, n_shards)
     owner = jnp.where(valid, owner, n_shards)  # invalid → dropped
 
-    # Entries are sorted (count_unique output) and owner = top word bits,
-    # so each owner's entries are CONTIGUOUS: bucket b spans
-    # [owner_offset[b], owner_offset[b] + owner_count[b]). Bucketing is
-    # then a pure GATHER (TPU scatters serialize; gathers don't): output
-    # slot (b, r) reads source index owner_offset[b] + r.
     # owner is non-decreasing over the valid prefix (invalid tail sorts
     # to n_shards), so bucket bounds fall out of a binary search
     bounds = jnp.searchsorted(owner, jnp.arange(n_shards + 1))
@@ -125,15 +130,20 @@ def _route_by_prefix(hi, lo, counts, valid, k: int, n_shards: int, cap: int):
     owner_count = (bounds[1:] - bounds[:-1]).astype(jnp.int32)
 
     overflow = jnp.any(owner_count > cap)
-    r = jax.lax.broadcasted_iota(jnp.int32, (n_shards, cap), 1)
-    src = owner_offset[:, None] + r
-    in_bucket = r < owner_count[:, None]
-    src = jnp.clip(src, 0, hi.shape[0] - 1)
-    bh = jnp.where(in_bucket, hi[src], 0)
-    bl = jnp.where(in_bucket, lo[src], 0)
-    bc = jnp.where(in_bucket, counts[src], 0)
-    bv = in_bucket
-    return bh, bl, bc, bv, overflow
+    # pad by cap so a slice starting at the last offset stays in range
+    # (dynamic_slice clamps out-of-range starts, which would silently
+    # misalign the bucket contents)
+    pad = jnp.zeros((cap,), hi.dtype)
+    hp = jnp.concatenate([hi, pad])
+    lp = jnp.concatenate([lo, pad])
+    cp = jnp.concatenate([counts.astype(jnp.uint32), pad])
+    bh = jnp.stack([jax.lax.dynamic_slice(hp, (owner_offset[b],), (cap,))
+                    for b in range(n_shards)])
+    bl = jnp.stack([jax.lax.dynamic_slice(lp, (owner_offset[b],), (cap,))
+                    for b in range(n_shards)])
+    bc = jnp.stack([jax.lax.dynamic_slice(cp, (owner_offset[b],), (cap,))
+                    for b in range(n_shards)])
+    return bh, bl, bc, owner_count, overflow
 
 
 def sharded_count_step(mesh: Mesh, k: int, chunk_bases: int,
@@ -150,6 +160,19 @@ def sharded_count_step(mesh: Mesh, k: int, chunk_bases: int,
     n_windows = chunk_bases - k + 1
     cap = cap_factor * max(1, n_windows // kp)
     cap = int(cap)
+    # tight merge buffer: the all-unique column load is exactly
+    # dp * n_windows (each of the dp*kp sources contributes ~W/kp words
+    # to every column), so 2x that covers the canonical A-corner skew
+    # (<= 2x uniform, module docstring); sort cost tracks the static
+    # buffer size, so sorting the full dp*kp*cap worst case would pay
+    # 1.5x sort for slack that is almost never used. Overflow (deeper
+    # skew) is detected and retried like bucket overflow. The divisor is
+    # the CONSTANT default factor — dividing by the runtime cap_factor
+    # would cancel against cap and keep the threshold fixed across
+    # retries (an infinite retry loop on borderline loads). The trailing
+    # +cap absorbs the last source's write tail (forward-order
+    # dynamic_update_slice note below).
+    merge_cap = 2 * dp * kp * cap // CAP_FACTOR + cap
 
     def per_device(codes_block):
         # codes_block: [1, 1, chunk_bases] block of this device
@@ -160,20 +183,41 @@ def sharded_count_step(mesh: Mesh, k: int, chunk_bases: int,
                                          hi_bits=max(0, 2 * k - 32),
                                          unit_weights=True)
         uvalid = ucnt > 0
-        bh, bl, bc, bv, ovf = _route_by_prefix(uhi, ulo, ucnt, uvalid, k, kp, cap)
+        bh, bl, bc, bn, ovf = _route_by_prefix(uhi, ulo, ucnt, uvalid,
+                                               k, kp, cap)
         # exchange buckets so column j holds every device's bucket j
         bh = jax.lax.all_to_all(bh, "kp", 0, 0, tiled=True)
         bl = jax.lax.all_to_all(bl, "kp", 0, 0, tiled=True)
         bc = jax.lax.all_to_all(bc, "kp", 0, 0, tiled=True)
-        bv = jax.lax.all_to_all(bv, "kp", 0, 0, tiled=True)
+        bn = jax.lax.all_to_all(bn[:, None], "kp", 0, 0,
+                                tiled=True).reshape(kp)
         # gather row partials of this column across dp
         bh = jax.lax.all_gather(bh, "dp", tiled=True)
         bl = jax.lax.all_gather(bl, "dp", tiled=True)
         bc = jax.lax.all_gather(bc, "dp", tiled=True)
-        bv = jax.lax.all_gather(bv, "dp", tiled=True)
+        bn = jax.lax.all_gather(bn, "dp", tiled=True)
+        # compact the dp*kp source segments into a tight buffer so the
+        # merge sort runs over ~actual elements, not the 3x-slack worst
+        # case. Forward source order lets each dynamic_update_slice's
+        # cap-length write spill garbage past its valid prefix and have
+        # the NEXT source overwrite it; only the last source's tail
+        # lands in the +cap pad, masked by valid = iota < total.
+        offs = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                jnp.cumsum(bn.astype(jnp.int32))])
+        total = offs[dp * kp]
+        ovf = ovf | (total > merge_cap - cap)
+        offs = jnp.minimum(offs, merge_cap - cap)
+        mh = jnp.zeros((merge_cap,), bh.dtype)
+        ml = jnp.zeros((merge_cap,), bl.dtype)
+        mc = jnp.zeros((merge_cap,), bc.dtype)
+        for s in range(dp * kp):
+            mh = jax.lax.dynamic_update_slice(mh, bh[s], (offs[s],))
+            ml = jax.lax.dynamic_update_slice(ml, bl[s], (offs[s],))
+            mc = jax.lax.dynamic_update_slice(mc, bc[s], (offs[s],))
+        mvalid = jax.lax.broadcasted_iota(
+            jnp.int32, (merge_cap, 1), 0).reshape(merge_cap) < total
         mhi, mlo, mcnt, n_uniq = count_unique(
-            bh.reshape(-1), bl.reshape(-1), bc.reshape(-1), bv.reshape(-1),
-            hi_bits=max(0, 2 * k - 32))
+            mh, ml, mc, mvalid, hi_bits=max(0, 2 * k - 32))
         ovf = jax.lax.pmax(jax.lax.pmax(ovf.astype(jnp.int32), "kp"), "dp")
         return (mhi[None], mlo[None], mcnt[None], n_uniq[None], ovf)
 
