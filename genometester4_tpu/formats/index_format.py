@@ -53,6 +53,40 @@ class IndexFile:
     subseqs: np.ndarray
 
 
+class IndexVersionError(ValueError):
+    """Major version mismatch (gt4_index_map_new, src/index-map.c:330-334
+    — the reference validates ONLY the magic and the major version; every
+    other header field is consumed lazily and unvalidated)."""
+
+    def __init__(self, version_major: int):
+        self.version_major = version_major
+        super().__init__(f"incompatible major version {version_major}")
+
+
+def _parse_files_block(fblock: bytes) -> list:
+    p = 0
+    assert fblock[p:p + 4] == b"F4TG"
+    p += 12
+    (n_files,) = struct.unpack_from("<I", fblock, p)
+    p += 4
+    files = []
+    for _ in range(n_files):
+        size, n_ss = struct.unpack_from("<QQ", fblock, p)
+        p += 16
+        (nlen,) = struct.unpack_from("<H", fblock, p)
+        p += 2
+        name = fblock[p:p + nlen].split(b"\0")[0]
+        p += nlen
+        ss = np.zeros((n_ss, 4), np.int64)
+        for j in range(n_ss):
+            np_, nl = struct.unpack_from("<QI", fblock, p)
+            sp, sl = struct.unpack_from("<QQ", fblock, p + 12)
+            ss[j] = (np_, nl, sp, sl)
+            p += 28
+        files.append(IndexFile(name, size, ss))
+    return files
+
+
 class IndexMap:
     """Loaded .index. ``kmer_recs`` (when set) is the mmapped
     interleaved (word, loc_start) u64 blob; ``words``/``loc_start``
@@ -63,18 +97,65 @@ class IndexMap:
                  n_subseq_bits: int, n_pos_bits: int, files: list,
                  words, loc_start, locations,
                  num_locations: int = 0, path: str = "",
-                 kmer_recs=None):
+                 kmer_recs=None, files_raw=None):
         self.word_length = word_length
         self.n_file_bits = n_file_bits
         self.n_subseq_bits = n_subseq_bits
         self.n_pos_bits = n_pos_bits
-        self.files = files
+        self._files = files
+        self._files_raw = files_raw
         self._words = words
         self._loc_start = loc_start
-        self.locations = locations
+        self._locations = locations
+        self._locations_src = None  # (data, locations_start) until read
         self.num_locations = num_locations
         self.path = path
-        self.kmer_recs = kmer_recs
+        self.version_major = 4   # get_statistics prints the header's
+        self.version_minor = 2   # actual fields (src/glistquery.c:425)
+        self._kmer_recs = kmer_recs
+        self._kmers_src = None      # (data, kmers_start, n_words)
+
+    @property
+    def kmer_recs(self):
+        """Built lazily, bounds-clamped: a truncated file makes the
+        reference read past its mmap (SIGBUS or adjacent-mapping
+        garbage, address-space dependent — non-oracle UB); we return the
+        in-bounds prefix zero-padded to the declared length so every
+        command stays deterministic and crash-free (round-4
+        fuzz_index_chrome finding)."""
+        if self._kmer_recs is None:
+            data, start, n_words = self._kmers_src
+            want = n_words * 2
+            avail = max(0, min(want, (len(data) - start) // 8))
+            recs = np.frombuffer(data, np.uint64, avail, start)
+            if avail < want:
+                recs = np.concatenate(
+                    [recs, np.zeros(want - avail, np.uint64)])
+            self._kmer_recs = recs
+        return self._kmer_recs
+
+    @property
+    def locations(self) -> np.ndarray:
+        """Built lazily: the reference dereferences the locations
+        pointer only on location-consuming commands, so a corrupt
+        locations_start must not fail a plain dump (round-4
+        fuzz_index_chrome finding)."""
+        if self._locations is None:
+            data, start = self._locations_src
+            n = max(0, (len(data) - start) // 8)
+            start = min(start, len(data))
+            self._locations = np.frombuffer(data, np.uint64, n, start)
+        return self._locations
+
+    @property
+    def files(self) -> list:
+        """Parsed lazily: the reference touches the files block only for
+        --files/--sequences (print_files/print_sequences), so a corrupt
+        block must not fail commands that never read it (round-4
+        fuzz_index_chrome finding)."""
+        if self._files is None:
+            self._files = _parse_files_block(bytes(self._files_raw))
+        return self._files
 
     @property
     def words(self) -> np.ndarray:
@@ -121,41 +202,29 @@ def read_index_map(path: str | os.PathLike) -> IndexMap:
      files_start, kmers_start, locations_start) = _HEADER.unpack_from(data, 0)
     if code != GT4_INDEX_CODE:
         raise ValueError(f"not a GT4 .index file (magic {code:#x})")
-    files = []
+    if vmaj != 4:
+        raise IndexVersionError(vmaj)
     if files_start + 16 > len(data):
         # header-only index (glistmaker with zero words writes just the
         # 72-byte header, src/glistmaker.c:343-346)
-        return IndexMap(wlen, fb, sb, pb, [], np.empty(0, np.uint64),
-                        np.empty(0, np.uint64), np.empty(0, np.uint64),
-                        num_locations=n_locs, path=os.fspath(path))
-    # the files block is small and loop-parsed: copy it to bytes once
-    fblock = bytes(data[files_start:kmers_start])
-    p = 0
-    assert fblock[p:p + 4] == b"F4TG"
-    p += 12
-    (n_files,) = struct.unpack_from("<I", fblock, p)
-    p += 4
-    for _ in range(n_files):
-        size, n_ss = struct.unpack_from("<QQ", fblock, p)
-        p += 16
-        (nlen,) = struct.unpack_from("<H", fblock, p)
-        p += 2
-        name = fblock[p:p + nlen].split(b"\0")[0]
-        p += nlen
-        ss = np.zeros((n_ss, 4), np.int64)
-        for j in range(n_ss):
-            np_, nl = struct.unpack_from("<QI", fblock, p)
-            sp, sl = struct.unpack_from("<QQ", fblock, p + 12)
-            ss[j] = (np_, nl, sp, sl)
-            p += 28
-        files.append(IndexFile(name, size, ss))
-    recs = np.frombuffer(data, np.uint64, n_words * 2, kmers_start)
-    n_loc_written = (len(data) - locations_start) // 8
-    locations = np.frombuffer(data, np.uint64, n_loc_written,
-                              locations_start)
-    return IndexMap(wlen, fb, sb, pb, files, None, None, locations,
-                    num_locations=n_locs, path=os.fspath(path),
-                    kmer_recs=recs)
+        im = IndexMap(wlen, fb, sb, pb, [], np.empty(0, np.uint64),
+                      np.empty(0, np.uint64), np.empty(0, np.uint64),
+                      num_locations=n_locs, path=os.fspath(path),
+                      kmer_recs=np.empty(0, np.uint64))
+        im.version_minor = vmin
+        return im
+    # files block kept as a raw view and parsed lazily (IndexMap.files):
+    # the reference touches it only for --files/--sequences, so corrupt
+    # bytes there must not fail commands that never read it (round-4
+    # fuzz_index_chrome finding)
+    fblock = data[files_start:kmers_start]
+    im = IndexMap(wlen, fb, sb, pb, None, None, None, None,
+                  num_locations=n_locs, path=os.fspath(path),
+                  files_raw=fblock)
+    im.version_minor = vmin
+    im._kmers_src = (data, kmers_start, n_words)
+    im._locations_src = (data, locations_start)
+    return im
 
 
 def _write_chunked(f, view, chunk: int = 1 << 20):

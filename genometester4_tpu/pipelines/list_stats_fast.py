@@ -45,6 +45,11 @@ def _read_info(path):
     if len(head) < 16:
         return None
     code, vmaj, vmin, wlen = struct.unpack_from("<IIII", head, 0)
+    if vmaj != 4:
+        # gt4_word_map_new/gt4_index_map_new reject other majors with
+        # their own stderr chrome — generic path owns that (round-4
+        # fuzz_index_chrome finding)
+        return None
     li = _ListInfo()
     li.path = path
     li.vmaj, li.vmin, li.k = vmaj, vmin, wlen
@@ -84,7 +89,8 @@ def _read_info(path):
 
 def _stats_lines(li: _ListInfo) -> str:
     if li.is_index:
-        return (f"Index {li.path}: built with glistmaker version 4.2\n"
+        return (f"Index {li.path}: built with glistmaker version "
+                f"{li.vmaj}.{li.vmin}\n"
                 f"Wordlength\t{li.k}\nNUnique\t{li.n_words}\n"
                 f"NTotal\t{li.total}\n")
     return (f"List {li.path}: built with glistmaker version "

@@ -192,10 +192,18 @@ class IndexQuery(ListQuery):
     the GT4IndexMap interface stack (src/index-map.c:140-208)."""
 
     def __init__(self, path: str):
-        from genometester4_tpu.formats.index_format import read_index_map
+        from genometester4_tpu.formats.index_format import (
+            IndexVersionError, read_index_map)
         self.path = path
         try:
             self.index_map = read_index_map(path)
+        except IndexVersionError as e:
+            # gt4_index_map_new prints its own diagnostic before
+            # returning NULL (src/index-map.c:330-334); the caller then
+            # prints the corrupted line
+            sys.stderr.write("gt4_index_map_new: incompatible major "
+                             f"version {e.version_major} (required 4)\n")
+            raise ListFileError(path) from e
         except Exception as e:
             # gt4_index_map_new returns NULL on malformed indices
             # (src/index-map.c:322-347); the caller prints the
@@ -675,7 +683,9 @@ def dump_lists(lists: list[ListQuery], is_union: bool, header_names=None):
 
 def _stats_header_lines(lst: ListQuery) -> str:
     if lst.index_map is not None:
-        return (f"Index {lst.path}: built with glistmaker version 4.2\n"
+        return (f"Index {lst.path}: built with glistmaker version "
+                f"{lst.index_map.version_major}."
+                f"{lst.index_map.version_minor}\n"
                 f"Wordlength\t{lst.k}\nNUnique\t{len(lst.words)}\n"
                 f"NTotal\t{lst.index_map.num_locations}\n")
     h = lst.header

@@ -124,6 +124,9 @@ static int open_list (const char *path, ListIn *li)
   got = read (fd, &h, sizeof (h));
   if (got < (ssize_t) sizeof (h)) { close (fd); return -1; }
   if (h.code != GT4_LIST_CODE) { close (fd); return -1; }
+  /* the CLI's _probe_source rejects other major versions with chrome
+   * BEFORE the Python fast path can run — mirror by falling back */
+  if (h.vmaj != 4) { close (fd); return -1; }
   start = h.list_start;
   if (h.vmin >= 3) {
     if (h.wb != 8 || h.cb != 4) { close (fd); return -1; }
@@ -171,6 +174,7 @@ static int read_info (const char *path, ListIn *li, int map_records)
   memcpy (&vmaj, head + 4, 4);
   memcpy (&vmin, head + 8, 4);
   memcpy (&wlen, head + 12, 4);
+  if (vmaj != 4) { close (fd); return -1; }  /* version chrome: Python */
   li->vmaj = vmaj; li->vmin = vmin; li->wlen = wlen;
   li->map = NULL; li->map_len = 0; li->recs = NULL;
   if (code == GT4_LIST_CODE) {
@@ -464,9 +468,10 @@ static int main_glistcompare (int argc, char **argv)
 static void stats_lines (const char *path, const ListIn *li)
 {
   if (li->is_index)
-    printf ("Index %s: built with glistmaker version 4.2\n"
+    printf ("Index %s: built with glistmaker version %u.%u\n"
             "Wordlength\t%u\nNUnique\t%llu\nNTotal\t%llu\n",
-            path, li->wlen, (unsigned long long) li->n_words,
+            path, li->vmaj, li->vmin, li->wlen,
+            (unsigned long long) li->n_words,
             (unsigned long long) li->total);
   else
     printf ("List %s: built with glistmaker version %u.%u\n"

@@ -3,6 +3,7 @@ byte-identity, glistquery index queries, glistcompare index inputs."""
 
 import io
 import sys
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -241,3 +242,53 @@ def test_make_index_gz_records_compressed_size(rng, tmp_path):
     make_index([str(gz)], 11, str(tmp_path / "t.index"))
     assert (tmp_path / "t.index").read_bytes() == (
         tmp_path / "ref_11.index").read_bytes()
+
+
+def test_corrupt_index_chrome_parity(rng, tmp_path):
+    """fuzz_index_chrome findings (round 4): the reference validates
+    ONLY the magic and major version at index open (gt4_index_map_new,
+    src/index-map.c:322-351) and touches every other region lazily —
+    so (a) a non-4 major version must print the reference's diagnostic
+    + corrupted line, (b) a flipped minor version must flow into the
+    --stat chrome verbatim, and (c) a file truncated to cut only the
+    locations block must still dump words/counts."""
+    import struct
+    import subprocess
+
+    from tests.conftest import has_reference, run_reference
+    if not has_reference():
+        import pytest
+        pytest.skip("reference not built")
+    fa = tmp_path / "in.fa"
+    fa.write_text(random_fasta(rng, 2, 2000, 4000))
+    r = run_reference(["glistmaker", str(fa), "-w", "12", "--index",
+                       "-o", str(tmp_path / "ix")])
+    assert r.returncode == 0, r.stderr
+    base = (tmp_path / "ix_12.index").read_bytes()
+    BIN = str(Path(__file__).resolve().parent.parent / "bin" / "glistquery")
+
+    def both(data, cmd):
+        bad = tmp_path / "bad.index"
+        bad.write_bytes(data)
+        ro = subprocess.run([BIN, str(bad)] + cmd, capture_output=True)
+        rr = run_reference(["glistquery", str(bad)] + cmd)
+        assert rr.returncode >= 0, "reference crashed: not an oracle"
+        assert ro.returncode == rr.returncode, (cmd, ro.stderr, rr.stderr)
+        assert ro.stdout == rr.stdout, cmd
+        assert ro.stderr == rr.stderr, cmd
+
+    # (a) major version 5: open fails with the reference diagnostic
+    b = bytearray(base)
+    struct.pack_into("<I", b, 4, 5)
+    for cmd in (["--stat"], ["--median"], []):
+        both(bytes(b), cmd)
+    # (b) minor version 7: accepted; --stat prints "4.7"
+    b = bytearray(base)
+    struct.pack_into("<I", b, 8, 7)
+    both(bytes(b), ["--stat"])
+    # (c) truncate to the start of the locations block: dump + --stat +
+    # --sequences still answer (locations untouched)
+    (_c, _vj, _vn, _wl, _nw, _nl, _fb, _sb, _pb, _f, _fs, _ks,
+     ls) = struct.unpack_from("<IIIIQQIIIIQQQ", base, 0)
+    for cmd in ([], ["--stat"], ["--sequences"]):
+        both(base[:ls], cmd)
