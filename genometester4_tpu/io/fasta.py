@@ -158,10 +158,30 @@ def parse_fasta(raw: bytes) -> ParsedSequences:
                            _data=raw, count_n=count_n)
 
 
+def _line_index_fastq(data: np.ndarray):
+    """Line index counting EVERY '\\n'-delimited segment — including
+    zero-length ones — minus the virtual segment after a trailing
+    newline. The reference's FASTQ state machine is strictly
+    line-driven (src/fasta.c:190-293: sequence ends at the first '\\n',
+    quality is exactly one line), so a record with an EMPTY sequence or
+    quality line ("@n\\n\\n+\\n\\n") still occupies four lines; dropping
+    zero-length lines (what _line_index does, correctly, for FASTA)
+    shifted the 4-line cadence and lost records (round-4 fuzz_ingest
+    finding, seed 517)."""
+    nl = np.flatnonzero(data == _NL)
+    starts = np.empty(len(nl) + 1, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = nl + 1
+    ends = np.append(nl, len(data))
+    if len(starts) and starts[-1] >= ends[-1]:
+        starts, ends = starts[:-1], ends[:-1]
+    return starts, ends
+
+
 def parse_fastq(raw: bytes) -> ParsedSequences:
     """Standard 4-line-per-record FASTQ (name/seq/+/quality)."""
     data = np.frombuffer(raw, dtype=np.uint8)
-    starts, ends = _line_index(data)
+    starts, ends = _line_index_fastq(data)
     raw_ends = ends  # see parse_fasta: names keep '\r' (src/fasta.c:145-174)
     ends = _strip_cr(data, ends)
     n_lines = len(starts)

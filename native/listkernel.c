@@ -130,15 +130,20 @@ long fgx_parse_fastq_slab (const unsigned char *data, long n,
   long n_lines = 0, n_full;
   int line_in_group = 0;
   long pending_name = -1;
-  /* pass 1: count NON-EMPTY lines (parse_fastq groups those by 4 and
-   * drops any trailing partial group outright, even one holding a
-   * sequence line) */
+  /* pass 1: count lines the way parse_fastq's _line_index_fastq does —
+   * EVERY '\n'-delimited segment is a line, including zero-length ones
+   * ("@n\n\n+\n\n" is a complete 4-line record with an empty sequence
+   * and quality — the reference's state machine is strictly
+   * line-driven, src/fasta.c:190-293); only a zero-length segment at
+   * EOF after a trailing newline is not a line. Round-4 fuzz_ingest
+   * findings (seeds 404/517): any emptiness-based skipping desyncs the
+   * 4-line group cadence and silently drops records. parse_fastq
+   * groups lines by 4 and drops any trailing partial group outright,
+   * even one holding a sequence line. */
   while (i < n) {
     long e = i;
     while (e < n && data[e] != '\n') e++;
-    long le = e;
-    if (le > i && data[le - 1] == '\r') le--;
-    if (le > i) n_lines++;
+    if (e < n || e > i) n_lines++;
     i = e + 1;
   }
   n_full = n_lines / 4;
@@ -148,7 +153,7 @@ long fgx_parse_fastq_slab (const unsigned char *data, long n,
     while (e < n && data[e] != '\n') e++;
     long line_end = e;
     if (line_end > i && data[line_end - 1] == '\r') line_end--;
-    if (line_end > i) {                   /* skip empty lines */
+    if (e < n || e > i) {   /* every segment except an empty EOF tail */
       if (line_in_group == 0) {
         pending_name = i + 1;             /* past '@' */
       } else if (line_in_group == 1) {

@@ -6,6 +6,9 @@ is byte-identical .list output versus the reference binaries.
 
 import subprocess
 
+import os
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -244,3 +247,78 @@ def test_omp_threads_byte_identical(tmp_path, rng):
         assert r.returncode == 0, r.stderr
         outs.append(out.read_bytes())
     assert outs[0] == outs[1]
+
+
+def test_fastq_crlf_empty_fields_byte_identical(tmp_path):
+    """fuzz_ingest finding (round 4, seed 404): a CRLF FASTQ record with
+    an EMPTY sequence (and quality) line — "@name\\r\\n\\r\\n+\\r\\n\\r\\n" —
+    desynced the native slab parser's 4-line group cadence: it stripped
+    CR before its line-emptiness test, so "\\r\\n" fields vanished and
+    every later line shifted roles (sequences became qualities, zero
+    records emitted). parse_fastq's _line_index counts a line iff it
+    has >=1 RAW byte before the newline; the native pass now mirrors
+    that exactly."""
+    import subprocess
+
+    from tests.conftest import has_reference, run_reference
+    if not has_reference():
+        import pytest
+        pytest.skip("reference not built")
+    fq = tmp_path / "in.fa"   # extension lies on purpose (content sniff)
+    seq = "ACGTGGTACGTTACGGATTTACGGTACGGGTACCGTAAACCGGTTACGATCGGTA" * 40
+    fq.write_bytes(
+        b"@empty first record\r\n\r\n+plus line with text\r\n\r\n"
+        + b"@rec1\r\n" + seq.encode() + b"\r\n+\r\n"
+        + b"I" * len(seq) + b"\r\n"
+        + b"@rec2\r\n" + seq[5:].encode() + b"\r\n+\r\n"
+        + b"J" * (len(seq) - 5) + b"\r\n")
+    r = run_reference(["glistmaker", str(fq), "-w", "31",
+                       "-o", str(tmp_path / "ref")])
+    assert r.returncode == 0, r.stderr
+    launcher = str(Path(__file__).resolve().parent.parent / "bin"
+                   / "glistmaker")
+    r = subprocess.run([launcher, str(fq), "-w", "31", "-o",
+                        str(tmp_path / "ours")],
+                       env=dict(os.environ, GT4_TPU_COUNT_IMPL="host"),
+                       capture_output=True)
+    assert r.returncode == 0, r.stderr
+    ours = (tmp_path / "ours_31.list").read_bytes()
+    ref = (tmp_path / "ref_31.list").read_bytes()
+    assert ours == ref
+    assert len(ref) > 48  # records actually produced
+
+
+def test_fastq_lf_empty_record_byte_identical(tmp_path):
+    """fuzz_ingest finding (round 4, seed 517): a bare-LF FASTQ record
+    with zero-length sequence and quality lines ("@n\\n\\n+\\n\\n") is a
+    complete 4-line record to the reference's line-driven state machine
+    (src/fasta.c:190-293) — and it registers the empty record in the
+    .index subsequence registry. parse_fastq's old line index dropped
+    zero-length lines, shifting the group cadence (sequences became
+    qualities). Checks .list and .index bytes."""
+    import subprocess
+
+    from tests.conftest import has_reference, run_reference
+    if not has_reference():
+        import pytest
+        pytest.skip("reference not built")
+    fq = tmp_path / "in.fq"
+    seq = "ACGTGGTACGTTACGGATTTACGGTACGGGTACCGTAAACCGGTTACGATCGGTA" * 30
+    fq.write_bytes(
+        b"@rec0\n" + seq.encode() + b"\n+\n" + b"I" * len(seq) + b"\n"
+        + b"@empty\n\n+\n\n"
+        + b"@rec2\n" + seq[3:].encode() + b"\n+\n"
+        + b"J" * (len(seq) - 3) + b"\n")
+    launcher = str(Path(__file__).resolve().parent.parent / "bin"
+                   / "glistmaker")
+    for extra, ext in (([], "list"), (["--index"], "index")):
+        r = run_reference(["glistmaker", str(fq), "-w", "25",
+                           "-o", str(tmp_path / "ref")] + extra)
+        assert r.returncode == 0, r.stderr
+        r = subprocess.run([launcher, str(fq), "-w", "25", "-o",
+                            str(tmp_path / "ours")] + extra,
+                           env=dict(os.environ, GT4_TPU_COUNT_IMPL="host"),
+                           capture_output=True)
+        assert r.returncode == 0, r.stderr
+        assert (tmp_path / f"ours_25.{ext}").read_bytes() == \
+               (tmp_path / f"ref_25.{ext}").read_bytes(), ext
