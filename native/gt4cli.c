@@ -56,6 +56,18 @@ typedef int (*fgx_ms_next_t) (void *, unsigned char *, long, long *,
 typedef void (*fgx_ms_free_t) (void *);
 typedef void (*fgx_gc_t) (const unsigned char *, long,
                           unsigned long long *, unsigned long long *);
+typedef void (*fgx_zipper_t) (const unsigned char *, long,
+                              const unsigned long long *, long,
+                              unsigned int *);
+typedef long (*fgx_dumprec_t) (const unsigned char *, long, int,
+                               unsigned char *);
+typedef long (*fgx_extract_t) (const unsigned char *, long, int,
+                               unsigned long long *);
+typedef int (*fgx_sortpair_t) (unsigned long long *, unsigned long long *,
+                               long, int);
+typedef void (*fgx_batched_t) (const unsigned char *, long,
+                               const unsigned long long *, long,
+                               unsigned int *);
 typedef void (*fgx_median_t) (const unsigned char *, long, unsigned int *,
                               unsigned int *, unsigned int *);
 typedef void (*fgx_distro_t) (const unsigned char *, long,
@@ -481,11 +493,149 @@ static void stats_lines (const char *path, const ListIn *li)
             (unsigned long long) li->total);
 }
 
+/* glistquery -l fast path: both sides are sorted plain .lists, one
+ * linear zipper + the native formatter (search_list nmm==0 branch,
+ * pipelines/listquery.py — reference src/glistquery.c:702-717: prints
+ * the QUERY list's counts for words found in the searched list). */
+static int run_list_query (const ListIn *searched, const ListIn *query,
+                           uint32_t k)
+{
+  fgx_zipper_t zipper = (fgx_zipper_t) ksym ("fgx_lookup_records_zipper");
+  fgx_dumprec_t dumprec = (fgx_dumprec_t) ksym ("fgx_dump_records");
+  long nq = query->n_words;
+  unsigned long long *qw = malloc ((size_t) (nq > 0 ? nq : 1) * 8);
+  unsigned int *cnt = malloc ((size_t) (nq > 0 ? nq : 1) * 4);
+  long CH = 1 << 20;            /* records per format chunk */
+  unsigned char *recbuf = malloc (12u * (size_t) CH);
+  unsigned char *txt = malloc ((size_t) CH * (k + 12));
+  long j, m = 0;
+  if (!qw || !cnt || !recbuf || !txt) FALLBACK ();
+  for (j = 0; j < nq; j++)
+    memcpy (qw + j, query->recs + 12 * j, 8);
+  zipper (searched->recs, searched->n_words, qw, nq, cnt);
+  for (j = 0; j < nq; j++) {
+    if (!cnt[j]) continue;
+    memcpy (recbuf + 12 * m, query->recs + 12 * j, 12);
+    if (++m == CH) {
+      long nb = dumprec (recbuf, m, (int) k, txt);
+      if (write_all (1, txt, (size_t) nb) != 0) exit (1);
+      m = 0;
+    }
+  }
+  if (m) {
+    long nb = dumprec (recbuf, m, (int) k, txt);
+    if (write_all (1, txt, (size_t) nb) != 0) exit (1);
+  }
+  return 0;
+}
+
+/* glistquery -f fast path: the clean-file shape — exact-k ACGT/acgt
+ * tokens, one per line — batched through the native kernels
+ * (search_query_file's fast path, pipelines/listquery.py; reference
+ * src/glistquery.c:619-660). Prints the CANONICAL word and its count
+ * (0 for absent words — min_freq defaults to 0) in input order.
+ * Returns -1 to fall back (any token deviation). */
+static int run_query_file (const ListIn *searched, const char *path,
+                           uint32_t k)
+{
+  FILE *f = fopen (path, "rb");
+  long fsz, n_lines = 0, i, j, m;
+  unsigned char *data, *codes, *recbuf, *txt;
+  unsigned long long *cw, *sw, *idx;
+  unsigned int *cnt_sorted;
+  fgx_extract_t extract;
+  fgx_sortpair_t sortpair;
+  fgx_batched_t batched;
+  fgx_dumprec_t dumprec;
+  if (!f) return -1;            /* missing-file chrome is Python's */
+  fseek (f, 0, SEEK_END);
+  fsz = ftell (f);
+  fseek (f, 0, SEEK_SET);
+  data = malloc ((size_t) fsz + 1);
+  if (!data || (fsz && fread (data, 1, (size_t) fsz, f) != (size_t) fsz)) {
+    fclose (f); free (data); return -1;
+  }
+  fclose (f);
+  /* validate: every line is exactly k chars of ACGT/acgt */
+  i = 0;
+  while (i < fsz) {
+    long e = i;
+    while (e < fsz && data[e] != '\n') e++;
+    if (e == i && e == fsz) break;      /* trailing empty tail */
+    if (e - i != (long) k) { free (data); return -1; }
+    for (j = i; j < e; j++) {
+      unsigned char c = data[j];
+      if (c != 'A' && c != 'C' && c != 'G' && c != 'T' && c != 'a'
+          && c != 'c' && c != 'g' && c != 't') { free (data); return -1; }
+    }
+    n_lines++;
+    i = e + 1;
+  }
+  if (n_lines == 0) { free (data); return 0; }  /* no output, rc 0 */
+
+  extract = (fgx_extract_t) ksym ("fgx_extract_canonical");
+  sortpair = (fgx_sortpair_t) ksym ("fgx_sort_pair_u64");
+  batched = (fgx_batched_t) ksym ("fgx_lookup_records_batched");
+  dumprec = (fgx_dumprec_t) ksym ("fgx_dump_records");
+
+  /* k codes + one 255 separator per token -> one canonical word each */
+  codes = malloc ((size_t) n_lines * (k + 1));
+  cw = malloc ((size_t) n_lines * 8);
+  sw = malloc ((size_t) n_lines * 8);
+  idx = malloc ((size_t) n_lines * 8);
+  cnt_sorted = malloc ((size_t) n_lines * 4);
+  if (!codes || !cw || !sw || !idx || !cnt_sorted) FALLBACK ();
+  m = 0;
+  i = 0;
+  while (i < fsz) {
+    long e = i;
+    while (e < fsz && data[e] != '\n') e++;
+    if (e == i && e == fsz) break;
+    for (j = i; j < e; j++) {
+      unsigned char c = data[j];
+      codes[m++] = (unsigned char) ((c == 'A' || c == 'a') ? 0
+                   : (c == 'C' || c == 'c') ? 1
+                   : (c == 'G' || c == 'g') ? 2 : 3);
+    }
+    codes[m++] = 255;
+    i = e + 1;
+  }
+  if (extract (codes, m, (int) k, cw) != n_lines) FALLBACK ();
+  free (data);
+  free (codes);
+  memcpy (sw, cw, (size_t) n_lines * 8);
+  for (j = 0; j < n_lines; j++) idx[j] = (unsigned long long) j;
+  if (sortpair (sw, idx, n_lines, (int) (2 * k))) FALLBACK ();
+  batched (searched->recs, searched->n_words, sw, n_lines, cnt_sorted);
+  {
+    long CH = 1 << 20;
+    unsigned int *cnt = malloc ((size_t) n_lines * 4);
+    long w = 0;
+    recbuf = malloc (12u * (size_t) (n_lines < CH ? n_lines : CH));
+    txt = malloc ((size_t) (n_lines < CH ? n_lines : CH) * (k + 12));
+    if (!cnt || !recbuf || !txt) FALLBACK ();
+    for (j = 0; j < n_lines; j++) cnt[idx[j]] = cnt_sorted[j];
+    /* min_freq 0, max_freq UINT_MAX: every query prints (absent -> 0) */
+    for (j = 0; j < n_lines; j++) {
+      memcpy (recbuf + 12 * w, &cw[j], 8);
+      memcpy (recbuf + 12 * w + 8, &cnt[j], 4);
+      if (++w == CH || j == n_lines - 1) {
+        long nb = dumprec (recbuf, w, (int) k, txt);
+        if (write_all (1, txt, (size_t) nb) != 0) exit (1);
+        w = 0;
+      }
+    }
+  }
+  return 0;
+}
+
 static int main_glistquery (int argc, char **argv)
 {
   const char *files[MAX_FILES];
   int n_files = 0;
   const char *command = NULL;
+  const char *query_list = NULL;
+  const char *query_file = NULL;
   long long distro = 0;
   int i;
 
@@ -501,14 +651,41 @@ static int main_glistquery (int argc, char **argv)
       command = "median";
     } else if (!strcmp (a, "-gc") || !strcmp (a, "--gc")) {
       command = "gc";
+    } else if (!strcmp (a, "-l") || !strcmp (a, "--listfile")) {
+      if (i + 1 >= argc || query_list) FALLBACK ();
+      query_list = argv[++i];
+    } else if (!strcmp (a, "-f") || !strcmp (a, "--queryfile")) {
+      if (i + 1 >= argc || query_file) FALLBACK ();
+      query_file = argv[++i];
     } else if (!strcmp (a, "--distribution")
                || !strcmp (a, "-distribution")) {
       if (i + 1 >= argc || !is_decimal (argv[i + 1])) FALLBACK ();
       distro = strtoll (argv[++i], NULL, 10);
       command = "distro";
     } else {
-      FALLBACK ();              /* -q/-f/-l/-D/anything else: Python */
+      FALLBACK ();              /* -q/-f/-D/anything else: Python */
     }
+  }
+  if (query_list) {
+    ListIn searched, query;
+    if (command || query_file || n_files != 1) FALLBACK ();
+    if (read_info (files[0], &searched, 1) != 0) FALLBACK ();
+    if (read_info (query_list, &query, 1) != 0) FALLBACK ();
+    /* index inputs, wordlength-mismatch chrome: Python's */
+    if (searched.is_index || query.is_index
+        || searched.wlen != query.wlen) FALLBACK ();
+    return run_list_query (&searched, &query, searched.wlen);
+  }
+  if (query_file) {
+    ListIn searched;
+    int rc;
+    if (command || n_files != 1) FALLBACK ();
+    if (read_info (files[0], &searched, 1) != 0) FALLBACK ();
+    if (searched.is_index || searched.wlen == 0
+        || searched.wlen > 32) FALLBACK ();
+    rc = run_query_file (&searched, query_file, searched.wlen);
+    if (rc < 0) FALLBACK ();    /* any token deviation: Python path */
+    return rc;
   }
   if (!command || n_files == 0) FALLBACK ();
 

@@ -58,6 +58,30 @@ def make_lists(d, rnd):
     return paths + [empty, trunc, os.path.join(d, "nofile.list")]
 
 
+def make_word_files(d, rnd, lists):
+    """Query-word text files: clean exact-k, mixed case, dirty (wrong
+    length / non-ACGT / CRLF / empty), and a words-from-list file."""
+    import subprocess as sp
+    out = []
+    r = sp.run([os.path.join(REF, "glistquery"), lists[0]],
+               capture_output=True)
+    words = [ln.split(b"\t")[0] for ln in r.stdout.splitlines()[:300]]
+    clean = os.path.join(d, "w_clean.txt")
+    with open(clean, "wb") as f:
+        for w in words:
+            f.write((w.lower() if rnd.random() < 0.3 else w) + b"\n")
+        f.write(b"A" * (len(words[0]) if words else 12) + b"\n")
+    out.append(clean)
+    dirty = os.path.join(d, "w_dirty.txt")
+    with open(dirty, "wb") as f:
+        f.write((words[0] if words else b"ACGT") + b"\n")
+        f.write(b"ACGTN\n\nACG\nacgtacgtACGTACGTACGTACGTACGTACGT\n")
+        f.write((words[1] if len(words) > 1 else b"ACGT") + b"\r\n")
+    out.append(dirty)
+    out.append(os.path.join(d, "w_missing.txt"))
+    return out
+
+
 GLC_TOKENS = ["-u", "-i", "--union", "--intersection", "--count_only",
               "-c", "2", "-o", "OUT", "-r", "min", "-r", "max",
               "-ss", "rand", "-ss", "rand_unique", "-ss",
@@ -66,7 +90,8 @@ GLC_TOKENS = ["-u", "-i", "--union", "--intersection", "--count_only",
               "LIST", "LIST", "LIST", "99999999999"]
 GLQ_TOKENS = ["--stat", "--stats", "-stat", "--median", "--gc",
               "--distribution", "10", "0", "200", "-D", "LIST", "LIST",
-              "--locations", "-q", "ACGTACGTACGT", "-min", "2", "LIST"]
+              "--locations", "-q", "ACGTACGTACGT", "-min", "2", "LIST",
+              "-l", "LIST", "-l", "LIST", "-f", "WORDS", "-f", "WORDS"]
 
 
 def run_pair(tool, argv, cwd):
@@ -109,6 +134,7 @@ def main():
     fails = 0
     with tempfile.TemporaryDirectory() as d:
         lists = make_lists(d, rnd)
+        word_files = make_word_files(d, rnd, lists)
         for t in range(n_trials):
             tool, pool = rnd.choice([("glistcompare", GLC_TOKENS),
                                      ("glistquery", GLQ_TOKENS)])
@@ -118,6 +144,8 @@ def main():
                 tok = rnd.choice(pool)
                 if tok == "LIST":
                     tok = rnd.choice(lists)
+                elif tok == "WORDS":
+                    tok = rnd.choice(word_files)
                 elif tok == "OUT":
                     tok = "out%d" % rnd.randrange(3)
                 argv.append(tok)

@@ -201,12 +201,58 @@ def test_glistquery_stat_on_index(lists, tmp_path):
     assert rn.stdout == rr.stdout
 
 
+def test_glistquery_list_query_three_way(lists, tmp_path):
+    """-l fast path: zipper + native formatter, three-way identical;
+    also the zero-hit and self-query (all-hit) shapes."""
+    d, paths = lists
+    # subset of paths[0] as query: all hits with the query's counts
+    r = subprocess.run([BIN, paths[0], "-ss", "rand_unique", "500",
+                        "--seed", "3", "-o", str(tmp_path / "q")],
+                       capture_output=True)
+    assert r.returncode == 0, r.stderr
+    q = str(tmp_path / "q_subset_16.list")
+    for searched, query in ((paths[0], q), (paths[0], paths[1]),
+                            (paths[0], paths[0])):
+        rn = subprocess.run([BINQ, searched, "-l", query],
+                            capture_output=True)
+        rp = subprocess.run([BINQ, searched, "-l", query],
+                            capture_output=True,
+                            env=dict(os.environ, GT4_NO_FASTCLI="1"))
+        rr = run_reference(["glistquery", searched, "-l", query])
+        assert rn.returncode == rp.returncode == rr.returncode == 0
+        assert rn.stdout == rp.stdout == rr.stdout
+
+
+def test_glistquery_query_file_three_way(lists, tmp_path):
+    """-f fast path: clean exact-k token files (upper+lowercase,
+    present and absent words), three-way identical."""
+    d, paths = lists
+    r = run_reference(["glistquery", paths[0]])
+    words = [ln.split(b"\t")[0] for ln in r.stdout.splitlines()[:200]]
+    qf = tmp_path / "q.txt"
+    rows = [w for w in words]
+    rows += [w.lower() for w in words[:20]]
+    rows += [b"A" * 16, b"acgtacgtacgtacgt"]       # likely absent -> 0
+    qf.write_bytes(b"\n".join(rows) + b"\n")
+    rn = subprocess.run([BINQ, paths[0], "-f", str(qf)],
+                        capture_output=True)
+    rp = subprocess.run([BINQ, paths[0], "-f", str(qf)],
+                        capture_output=True,
+                        env=dict(os.environ, GT4_NO_FASTCLI="1"))
+    rr = run_reference(["glistquery", paths[0], "-f", str(qf)])
+    assert rn.returncode == rp.returncode == rr.returncode == 0
+    assert rn.stdout == rp.stdout == rr.stdout
+
+
 @pytest.mark.parametrize("args", [
     ["LST0"],                          # full dump (generic path)
     ["LST0", "--stat", "-D"],          # debug disables the fast path
     ["-v"],
     ["LST0", "--distribution"],        # missing arg chrome
     ["nofile.list", "--stat"],
+    ["LST0", "-l", "nofile.list"],     # query-list open chrome
+    ["LST0", "LST1", "-l", "LST2"],    # multi-searched table path
+    ["LST0", "-f", "nofile.txt"],      # query-file open chrome
 ])
 def test_glistquery_fallback_chrome(lists, args):
     d, paths = lists
