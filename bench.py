@@ -97,7 +97,7 @@ def ensure_dup_input():
             f.write(b"\n")
 
 
-def tunnel_alive(timeout: int = 120, attempts: int = 2) -> bool:
+def tunnel_alive(timeout: int = 120, attempts: int = 3) -> bool:
     """Probe the default JAX backend in a SUBPROCESS: a hung axon
     tunnel blocks forever inside XLA, which no in-process timeout can
     interrupt.  The tunnel flaps (and the chip is single-process

@@ -6,16 +6,25 @@ which is ~60% of the device count pipeline. The hypothesis under test
 cheaper per element than one full sort (BASELINE.md: ~2.4x at 32K
 rows), so short-row sort + log2(n/L0) pairwise merge rounds could beat
 the monolithic sort IF a merge round is cheap enough. A merge of two
-sorted length-L runs is ONE bitonic merge network — log2(2L) + 1
+sorted length-L runs is ONE bitonic merge network — log2(2L)
 compare-exchange stages — not a full bitonic sort (log^2 stages): run A
 ascending concatenated with run B reversed is a bitonic sequence.
 
 Each grid step loads one row pair (both runs entirely in VMEM — valid
-for L up to ~128K at 16 MB VMEM; larger rounds would need merge-path
-tiling with misaligned HBM DMA, which is exactly where this design
-stops paying, see sort_experiment results in BASELINE.md), runs the
-stages as static reshape + compare + select chains, and writes the
-merged 2L row.
+for L up to ~128K at 16 MB VMEM; larger rounds would need the
+big-distance stages hoisted to XLA elementwise passes, see
+sort_experiment results in BASELINE.md), runs the stages, and writes
+the merged 2L row.
+
+Every compare-exchange stage is expressed with `pltpu.roll` instead of
+reshapes: the distance-d partner of element i is i^d, which is i+d for
+the lo element of each pair and i-d for the hi element, so two
+circular rolls (+d and -d along the row or lane axis) plus a parity
+mask select the partner without any relayout. Mosaic rejects the
+reshape formulation ("infer-vector-layout: unsupported shape cast" on
+lane-axis regrouping, measured on v5e); rolls are native shuffles.
+Wrapped values at the roll seams are never selected (if bit d of i is
+0 then i+d stays in range, else i-d does).
 
 Unsigned 2-key compare — (k1a,k2a) < (k1b,k2b) lexicographic on u32
 pairs — runs in int32 with the sign-flip bias applied at load and
@@ -35,59 +44,61 @@ _BIAS = -(1 << 31)  # int32 sign-flip bias (x ^ BIAS orders u32 as i32)
 
 
 @functools.lru_cache(maxsize=None)
-def make_pair_merge(n_pairs: int, L: int, interpret: bool = False):
-    """Merge rows (2p, 2p+1), each a sorted length-L run, for p in
-    [0, n_pairs). Inputs k1, k2: int32[(2*n_pairs*L)//LANE, LANE]
-    row-major (row r occupies array rows [r*L/LANE, (r+1)*L/LANE)).
-    ODD rows must be PRE-REVERSED by the caller (descending), so each
-    block is already one bitonic sequence. Returns (k1', k2') of the
-    same shape where each 2L span is fully sorted ascending.
+def make_block_merge(n_blocks: int, span: int, start_d: int | None = None,
+                     interpret: bool = False):
+    """Bitonic-merge each length-``span`` block of the input.
+
+    Inputs k1, k2: int32[(n_blocks*span)//LANE, LANE] row-major (block
+    b occupies array rows [b*span/LANE, (b+1)*span/LANE)). Every block
+    must already be a BITONIC sequence (e.g. an ascending run followed
+    by a descending run, or any rotation thereof — the caller reverses
+    odd runs, merge_round below). Runs compare-exchange stages at
+    distances start_d, start_d/2, …, 1 (start_d defaults to span/2,
+    the full merge network) and writes each block fully sorted
+    ascending.
+
+    ``start_d`` < span/2 supports the hybrid-sort deep rounds where
+    the larger distances were already applied as XLA elementwise
+    passes and each span-sized block is bitonic by construction.
     """
-    assert L % LANE == 0 and (L & (L - 1)) == 0, "L must be pow2*128"
-    rows_per_run = L // LANE
-    block_rows = 2 * rows_per_run          # one pair per grid step
-    n2 = 2 * L                              # merged span length
-    stages = n2.bit_length() - 1            # log2(2L)
+    assert span % (2 * LANE) == 0 and (span & (span - 1)) == 0, \
+        "span must be pow2 multiple of 2*LANE"
+    block_rows = span // LANE
+    if start_d is None:
+        start_d = span // 2
+    assert (start_d & (start_d - 1)) == 0 and start_d < span
 
     def kernel(k1_ref, k2_ref, o1_ref, o2_ref):
         x1 = k1_ref[...] ^ jnp.int32(_BIAS)
         x2 = k2_ref[...] ^ jnp.int32(_BIAS)
-        for j in range(stages - 1, -1, -1):
-            d = 1 << j
+        row_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (block_rows, LANE), 0)
+        lane_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (block_rows, LANE), 1)
+        d = start_d
+        while d >= 1:
             if d >= LANE:
                 dr = d // LANE
-                s1 = x1.reshape(n2 // (2 * d), 2, dr, LANE)
-                s2 = x2.reshape(n2 // (2 * d), 2, dr, LANE)
-                a1, b1 = s1[:, 0], s1[:, 1]
-                a2, b2 = s2[:, 0], s2[:, 1]
-                swap = (a1 > b1) | ((a1 == b1) & (a2 > b2))
-                lo1 = jnp.where(swap, b1, a1)
-                hi1 = jnp.where(swap, a1, b1)
-                lo2 = jnp.where(swap, b2, a2)
-                hi2 = jnp.where(swap, a2, b2)
-                x1 = jnp.stack([lo1, hi1], axis=1).reshape(
-                    block_rows, LANE)
-                x2 = jnp.stack([lo2, hi2], axis=1).reshape(
-                    block_rows, LANE)
+                axis, shift_n, iota, dd = 0, block_rows, row_iota, dr
             else:
-                # lane-dimension exchange: reshape the lane axis
-                s1 = x1.reshape(block_rows, LANE // (2 * d), 2, d)
-                s2 = x2.reshape(block_rows, LANE // (2 * d), 2, d)
-                a1, b1 = s1[:, :, 0], s1[:, :, 1]
-                a2, b2 = s2[:, :, 0], s2[:, :, 1]
-                swap = (a1 > b1) | ((a1 == b1) & (a2 > b2))
-                lo1 = jnp.where(swap, b1, a1)
-                hi1 = jnp.where(swap, a1, b1)
-                lo2 = jnp.where(swap, b2, a2)
-                hi2 = jnp.where(swap, a2, b2)
-                x1 = jnp.stack([lo1, hi1], axis=2).reshape(
-                    block_rows, LANE)
-                x2 = jnp.stack([lo2, hi2], axis=2).reshape(
-                    block_rows, LANE)
+                axis, shift_n, iota, dd = 1, LANE, lane_iota, d
+            f1 = pltpu.roll(x1, shift=shift_n - dd, axis=axis)
+            f2 = pltpu.roll(x2, shift=shift_n - dd, axis=axis)
+            b1 = pltpu.roll(x1, shift=dd, axis=axis)
+            b2 = pltpu.roll(x2, shift=dd, axis=axis)
+            is_lo = (iota & dd) == 0
+            p1 = jnp.where(is_lo, f1, b1)
+            p2 = jnp.where(is_lo, f2, b2)
+            gt = (x1 > p1) | ((x1 == p1) & (x2 > p2))
+            lt = (p1 > x1) | ((p1 == x1) & (p2 > x2))
+            take = jnp.where(is_lo, gt, lt)
+            x1 = jnp.where(take, p1, x1)
+            x2 = jnp.where(take, p2, x2)
+            d //= 2
         o1_ref[...] = x1 ^ jnp.int32(_BIAS)
         o2_ref[...] = x2 ^ jnp.int32(_BIAS)
 
-    total_rows = n_pairs * block_rows
+    total_rows = n_blocks * block_rows
     spec = pl.BlockSpec((block_rows, LANE), lambda p: (p, 0))
     fn = pl.pallas_call(
         kernel,
@@ -95,7 +106,7 @@ def make_pair_merge(n_pairs: int, L: int, interpret: bool = False):
             jax.ShapeDtypeStruct((total_rows, LANE), jnp.int32),
             jax.ShapeDtypeStruct((total_rows, LANE), jnp.int32),
         ],
-        grid=(n_pairs,),
+        grid=(n_blocks,),
         in_specs=[spec, spec],
         out_specs=[spec, spec],
         interpret=interpret,
@@ -118,7 +129,7 @@ def merge_round(k1, k2, L: int, interpret: bool = False):
     r2 = k2.reshape(n_pairs, 2, L)
     r1 = r1.at[:, 1].set(r1[:, 1, ::-1])
     r2 = r2.at[:, 1].set(r2[:, 1, ::-1])
-    fn = make_pair_merge(n_pairs, L, interpret=interpret)
+    fn = make_block_merge(n_pairs, 2 * L, interpret=interpret)
     i1 = jax.lax.bitcast_convert_type(r1.reshape(-1, LANE), jnp.int32)
     i2 = jax.lax.bitcast_convert_type(r2.reshape(-1, LANE), jnp.int32)
     o1, o2 = fn(i1, i2)

@@ -158,21 +158,33 @@ def sharded_count_step(mesh: Mesh, k: int, chunk_bases: int,
     dp = mesh.shape["dp"]
     kp = mesh.shape["kp"]
     n_windows = chunk_bases - k + 1
-    cap = cap_factor * max(1, n_windows // kp)
-    cap = int(cap)
+    cap_soft = cap_factor * max(1, n_windows // kp)
+    # hard bound: a bucket can never hold more than this device's total
+    # uniques (<= n_windows), so slack beyond that is pure copy/exchange
+    # waste — at kp=1 this cuts the bucket arrays from 3x to 1x W
+    # (round-4 mesh-overhead measurement, tools/mesh_overhead.py)
+    cap = int(min(cap_soft, n_windows))
     # tight merge buffer: the all-unique column load is exactly
     # dp * n_windows (each of the dp*kp sources contributes ~W/kp words
     # to every column), so 2x that covers the canonical A-corner skew
     # (<= 2x uniform, module docstring); sort cost tracks the static
     # buffer size, so sorting the full dp*kp*cap worst case would pay
     # 1.5x sort for slack that is almost never used. Overflow (deeper
-    # skew) is detected and retried like bucket overflow. The divisor is
-    # the CONSTANT default factor — dividing by the runtime cap_factor
-    # would cancel against cap and keep the threshold fixed across
-    # retries (an infinite retry loop on borderline loads). The trailing
-    # +cap absorbs the last source's write tail (forward-order
-    # dynamic_update_slice note below).
-    merge_cap = 2 * dp * kp * cap // CAP_FACTOR + cap
+    # skew) is detected and retried like bucket overflow. Two rules
+    # keep the retry sound:
+    #   * the soft term divides by the CONSTANT default factor and
+    #     multiplies the UNCLAMPED cap_soft — dividing by the runtime
+    #     cap_factor (or using the clamped cap) would cancel against
+    #     the retry's growth and keep the threshold fixed across
+    #     retries (an infinite retry loop on borderline loads);
+    #   * dp*kp*cap is an ABSOLUTE bound on the column load (every
+    #     source contributes <= cap), so min() with it never creates
+    #     an overflow the retry can't clear — it only trims slack the
+    #     load cannot reach (dp=kp=1: merge sort over 2x W, not 5x W).
+    # The trailing +cap absorbs the last source's write tail
+    # (forward-order dynamic_update_slice note below).
+    merge_cap = min(2 * dp * kp * cap_soft // CAP_FACTOR,
+                    dp * kp * cap) + cap
 
     def per_device(codes_block):
         # codes_block: [1, 1, chunk_bases] block of this device
