@@ -86,14 +86,19 @@ def make_block_merge(n_blocks: int, span: int, start_d: int | None = None,
             f2 = pltpu.roll(x2, shift=shift_n - dd, axis=axis)
             b1 = pltpu.roll(x1, shift=dd, axis=axis)
             b2 = pltpu.roll(x2, shift=dd, axis=axis)
-            is_lo = (iota & dd) == 0
-            p1 = jnp.where(is_lo, f1, b1)
-            p2 = jnp.where(is_lo, f2, b2)
-            gt = (x1 > p1) | ((x1 == p1) & (x2 > p2))
-            lt = (p1 > x1) | ((p1 == x1) & (p2 > x2))
-            take = jnp.where(is_lo, gt, lt)
-            x1 = jnp.where(take, p1, x1)
-            x2 = jnp.where(take, p2, x2)
+            # int32 bit-selects only: Mosaic rejects reused i1 masks
+            # feeding multiple select_n ops ("Unsupported target
+            # bitwidth for truncation", v5e) — the same quirk
+            # runmarks_pallas.py works around with its int32-only rule
+            lo1 = ((iota & dd) == 0).astype(jnp.int32)   # 1 at lo slots
+            neg_lo = -lo1                                 # -1 at lo slots
+            p1 = b1 ^ ((b1 ^ f1) & neg_lo)
+            p2 = b2 ^ ((b2 ^ f2) & neg_lo)
+            gt = ((x1 > p1) | ((x1 == p1) & (x2 > p2))).astype(jnp.int32)
+            lt = ((p1 > x1) | ((p1 == x1) & (x2 < p2))).astype(jnp.int32)
+            neg_take = -((gt & lo1) | (lt & (1 - lo1)))
+            x1 = x1 ^ ((x1 ^ p1) & neg_take)
+            x2 = x2 ^ ((x2 ^ p2) & neg_take)
             d //= 2
         o1_ref[...] = x1 ^ jnp.int32(_BIAS)
         o2_ref[...] = x2 ^ jnp.int32(_BIAS)
