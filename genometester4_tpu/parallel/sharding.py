@@ -147,7 +147,7 @@ def _route_by_prefix(hi, lo, counts, valid, k: int, n_shards: int, cap: int):
 
 
 def sharded_count_step(mesh: Mesh, k: int, chunk_bases: int,
-                       cap_factor: int = CAP_FACTOR):
+                       cap_factor: float = CAP_FACTOR):
     """Build the jitted SPMD counting step for a mesh.
 
     Returns fn(codes) where codes is uint8[dp*kp, chunk_bases] (one chunk
@@ -158,7 +158,11 @@ def sharded_count_step(mesh: Mesh, k: int, chunk_bases: int,
     dp = mesh.shape["dp"]
     kp = mesh.shape["kp"]
     n_windows = chunk_bases - k + 1
-    cap_soft = cap_factor * max(1, n_windows // kp)
+    # cap_factor may be a float (callers that know their duplication
+    # regime pass < 1 and rely on the overflow retry, BASELINE.md
+    # "Multi-chip (projected)")
+    cap_soft = int(cap_factor * max(1, n_windows // kp))
+    cap_soft = max(1, cap_soft)
     # hard bound: a bucket can never hold more than this device's total
     # uniques (<= n_windows), so slack beyond that is pure copy/exchange
     # waste — at kp=1 this cuts the bucket arrays from 3x to 1x W
@@ -248,7 +252,7 @@ def sharded_count_step(mesh: Mesh, k: int, chunk_bases: int,
 
 def iter_count_kmers_sharded(codes: np.ndarray, k: int, mesh: Mesh,
                              chunk_bases: int | None = None,
-                             cap_factor: int = CAP_FACTOR):
+                             cap_factor: float = CAP_FACTOR):
     """Count k-mers of a full code array on the mesh, streaming results.
 
     Feeds dp*kp chunks per step (overlapped by k-1 like the single-chip
@@ -304,7 +308,7 @@ def iter_count_kmers_sharded(codes: np.ndarray, k: int, mesh: Mesh,
 
 def count_kmers_sharded(codes: np.ndarray, k: int, mesh: Mesh,
                         chunk_bases: int | None = None,
-                        cap_factor: int = CAP_FACTOR):
+                        cap_factor: float = CAP_FACTOR):
     """Materializing wrapper over iter_count_kmers_sharded."""
     out_w, out_c = [], []
     for w, c in iter_count_kmers_sharded(codes, k, mesh, chunk_bases,
