@@ -3,10 +3,14 @@ at dp=1, kp=1 on the real chip (round-3 VERDICT missing #4).
 
 The mesh is the default device count path whenever >1 device is
 visible; this quantifies what the SPMD formulation itself costs — the
-second (merge) sort over the 3x-slack bucket table, the routing gather,
-and the degenerate collectives — so BASELINE.md's "Multi-chip
+merge-side dedupe over the compacted column buffer plus the routing
+copies and degenerate collectives — so BASELINE.md's "Multi-chip
 (projected)" table can derive expected N-chip throughput from measured
-single-chip numbers instead of hand-waving.
+single-chip numbers instead of hand-waving. History on this container:
+9.15 s round 3 (serialized bucketing gather + 3x-slack merge), 2.42 s
+after the contiguous-slice routing fix, 0.896 s after the hard bucket/
+merge bounds (8.2x the 0.109 s direct pipeline) — see BASELINE.md
+"Mesh overhead" for the anatomy.
 
 Run under `timeout` from the repo root (the axon tunnel can hang inside
 XLA): `timeout 420 python tools/mesh_overhead.py`.
