@@ -74,6 +74,21 @@ def trial(t, rnd, jax, np):
 
     # sharded pair ops vs numpy oracle
     mesh = make_mesh(n_dev, dp=dp)
+
+    # float cap_factor (duplication-aware slack, round 4): a tight
+    # random factor must converge through the overflow retry to the
+    # same result as the default slack
+    from genometester4_tpu.parallel.sharding import count_kmers_sharded
+    codes = np.where(seq == ord("A"), 0,
+                     np.where(seq == ord("C"), 1,
+                              np.where(seq == ord("G"), 2, 3))
+                     ).astype(np.uint8)[: rnd.randrange(5_000, 60_000)]
+    wd, cd = count_kmers_sharded(codes, k, mesh)
+    tight = 0.05 + 0.9 * rnd.random()
+    wt, ct = count_kmers_sharded(codes, k, mesh, cap_factor=tight)
+    if not (np.array_equal(wd, wt) and np.array_equal(cd, ct)):
+        return (f"float cap_factor {tight:.3f} != default "
+                f"(n_dev={n_dev} dp={dp} k={k})")
     m1 = rnd.randrange(1, 200_000)
     m2 = rnd.randrange(1, 200_000)
     pool = np.unique(rng.integers(0, 1 << 44, size=m1 + m2,
