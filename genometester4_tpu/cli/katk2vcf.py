@@ -18,6 +18,24 @@ import sys
 CHRS = ["MT", "X", "Y"] + [str(i) for i in range(1, 23)]
 
 
+def _substr(s: str, off: int, ln: int | None = None) -> str:
+    """Perl ``substr`` in rvalue string context: negative offset counts
+    from the end; offset beyond either end yields "" (Perl returns
+    undef with a warning, which concatenates as the empty string)."""
+    n = len(s)
+    if off < 0:
+        off = n + off
+        if off < 0:
+            return ""
+    if off > n:
+        return ""
+    if ln is None:
+        return s[off:]
+    if ln < 0:
+        return s[off:n + ln]
+    return s[off:off + ln]
+
+
 def load_chr_seqs(chr_dir: str) -> dict:
     seqs = {}
     for c in CHRS:
@@ -66,44 +84,71 @@ def main(argv=None) -> int:
     prev_pos = None
 
     def flush_indel(cur_tokens):
-        """End-of-run indel normalization (50 bp left-shift scan)."""
+        """End-of-run indel normalization (50 bp left-shift scan).
+
+        Perl quirk reproduced deliberately (scripts/katk2vcf.pl:63-65,
+        82-84): the rebuilt key takes its CHROMOSOME from the
+        flush-triggering line's first column (``$voti = $tmp0[0]``)
+        while the shift scan indexes the PENDING line's chromosome
+        sequence — so a pending indel flushed at a chromosome switch
+        is re-attributed to the new line's chromosome (and, for
+        deletions, the r=0 identity match fires unconditionally, so
+        the reattribution happens even with no shift). Found by
+        fuzz_scripts.py; KATK call tables genuinely span chromosomes.
+        """
         nonlocal voti, mutat_1, mutat_2, pikk, taht, het
         lahti = voti.split(":")
         p0 = int(lahti[1]) - 1
         seq = hg.get(lahti[0], "")
+        cur_chr = cur_tokens[0] if cur_tokens else ""
         if taht == "I":
             mut_pikk_2 = len(mutat_2)
-            if len(mutat_2) > 1 and seq:
-                ref_i2 = seq[p0 - 50:p0 + 50]
-                true_i2 = seq[p0 - 50:p0 + 1] + mutat_2[1:] \
-                    + seq[p0 + 1:p0 + 50]
-                for r in range(50):
-                    ajut = true_i2[:50 - r] + true_i2[-50 - r:]
-                    if ajut == ref_i2:
-                        ajut_pos = p0 - r
-                        if het == 1:
-                            mutat_1 = true_i2[49 - r]
-                        mutat_2 = true_i2[49 - r:49 - r + mut_pikk_2]
-                        if het == 0:
-                            mutat_1 = mutat_2
-                        voti = f"{lahti[0]}:{ajut_pos}"
+            ref_i2 = true_i2 = ""
+            if len(mutat_2) > 1:
+                ref_i2 = _substr(seq, p0 - 50, 100)
+                true_i2 = (_substr(seq, p0 - 50, 51) + mutat_2[1:]
+                           + _substr(seq, p0 + 1, 49))
+            for r in range(50):
+                ajut = _substr(true_i2, 0, 50 - r) \
+                    + _substr(true_i2, -50 - r)
+                # the inner condition RE-CHECKS the length (pl:58), so
+                # a clobbered single-char pending I never slides
+                if ajut == ref_i2 and len(mutat_2) > 1:
+                    ajut_pos = p0 - r
+                    if het == 1:
+                        mutat_1 = _substr(true_i2, 49 - r, 1)
+                    mutat_2 = _substr(true_i2, 49 - r, mut_pikk_2)
+                    if het == 0:
+                        mutat_1 = mutat_2
+                    voti = f"{cur_chr}:{ajut_pos}"
         if taht == "D":
-            if len(mutat_1) > 1 and seq:
-                ref_d1 = seq[p0 - 50:p0] \
-                    + seq[p0 + len(mutat_1) - 1:p0 + len(mutat_1) - 1 + 50]
-                for r in range(50):
-                    ajut = seq[p0 - 50:p0 - r] \
-                        + seq[p0 + len(mutat_1) - 1 - r:
-                              p0 + len(mutat_1) - 1 + 50]
-                    if ajut == ref_d1:
-                        ajut_pos = p0 - r
-                        if het == 1:
-                            mutat_2 = seq[p0 - r - 1].lower()
-                        mutat_1 = seq[p0 - r - 1:
-                                      p0 - r - 1 + len(mutat_1)].lower()
-                        if het == 0:
-                            mutat_2 = mutat_1
-                        voti = f"{lahti[0]}:{ajut_pos}"
+            # per-assignment guards only (pl:71-76): with a pending
+            # run whose mutat_1 was clobbered to one char by an
+            # adjacent S line (no gap -> no flush -> the S branch
+            # overwrites the shared $mutat_* state), both strings stay
+            # "" and the match fires at EVERY r — the final r=49
+            # rewrites the variant to (flush-line chrom, pos-50) with
+            # bases read 50 left of the pending site. Deterministic;
+            # byte-parity requires it (fuzz_scripts finding #2).
+            ml = len(mutat_1)
+            ref_d1 = ""
+            if ml > 1:
+                ref_d1 = _substr(seq, p0 - 50, 50) \
+                    + _substr(seq, p0 + ml - 1, 50)
+            for r in range(50):
+                ajut = ""
+                if len(mutat_1) > 1:
+                    ajut = _substr(seq, p0 - 50, 50 - r) \
+                        + _substr(seq, p0 + len(mutat_1) - 1 - r, 50 + r)
+                if ajut == ref_d1:
+                    ajut_pos = p0 - r
+                    if het == 1:
+                        mutat_2 = _substr(seq, p0 - r - 1, 1).lower()
+                    mutat_1 = _substr(seq, p0 - r - 1,
+                                      len(mutat_1)).lower()
+                    if het == 0:
+                        mutat_2 = mutat_1
+                    voti = f"{cur_chr}:{ajut_pos}"
             mutat_1 = mutat_1[:1].upper() + mutat_1[1:]
             mutat_2 = mutat_2[:1].upper() + mutat_2[1:]
         callid.append(voti)
@@ -113,24 +158,35 @@ def main(argv=None) -> int:
         taht = ""
         het = 0
 
+    def perl_num(s):
+        """Perl scalar numification of a position token: the leading
+        decimal-integer prefix, else 0 (header "POS", comments, and
+        short lines all numify to 0 — scripts/katk2vcf.pl:39 records
+        $posit for EVERY line, so such lines participate in the
+        pending-indel flush distance check)."""
+        i = 0
+        if s[:1] in "+-":
+            i = 1
+        j = i
+        while j < len(s) and s[j].isdigit():
+            j += 1
+        return int(s[:j]) if j > i else 0
+
     with open(calls_fn) as f:
         for line in f:
             line = line.rstrip("\n")
             t = line.split("\t")
-            if len(t) <= TYPE_COL:
-                continue
-            try:
-                pos = int(t[1])
-            except ValueError:
-                continue
-            key0 = f"{t[0]}:{t[1]}"
-            if t[5] == "NC":
+            pos = perl_num(t[1]) if len(t) > 1 else 0
+            key0 = f"{t[0]}:{t[1] if len(t) > 1 else ''}"
+            if len(t) > 5 and t[5] == "NC":
                 nc[key0] = "NC"
                 prev_pos = pos
                 continue
             if pikk == 1 and prev_pos is not None and pos - prev_pos > 1:
                 flush_indel(t)
             prev_pos = pos
+            if len(t) <= TYPE_COL:
+                continue
             c0, c1 = t[CALL_COL][:1], t[CALL_COL][1:2]
             if t[TYPE_COL] == "I":
                 if pikk == 0:

@@ -84,6 +84,62 @@ def test_katk2vcf_identical(tmp_path, rng):
     assert out == ref.stdout
 
 
+@pytest.mark.skipif(perl is None, reason="perl not available")
+def test_katk2vcf_cross_chromosome_flush_quirk(tmp_path, rng):
+    """fuzz_scripts finding (round 4): a pending indel flushed at a
+    chromosome switch is re-attributed to the NEW line's chromosome
+    ($voti = $tmp0[0], scripts/katk2vcf.pl:63-65,82-84) while the
+    left-shift scan indexes the OLD chromosome's sequence — and the
+    deletion r=0 identity match fires unconditionally, so the
+    reattribution happens even with no shift. Byte-parity requires
+    reproducing it."""
+    B = "ACGT"
+    chrdir = tmp_path / "chrdir"
+    chrdir.mkdir()
+    seqs = {}
+    for cn in ("1", "2"):
+        seq = "".join(B[i] for i in rng.integers(0, 4, 1500))
+        seqs[cn] = seq
+        (chrdir / f"{cn}.fa").write_text(
+            ">%s\n" % cn + "\n".join(seq[i:i + 60]
+                                     for i in range(0, len(seq), 60))
+            + "\n")
+    # chrom-2 deletion left pending across the switch: the negative
+    # position delta suppresses the flush, the chrom-1 S line clobbers
+    # the shared $mutat_* state to single chars, and the next gap
+    # flushes the deletion with the every-r empty-string match — the
+    # variant re-emerges 50 bp left, on chromosome 1, with bases from
+    # chromosome 2 (scripts/katk2vcf.pl:45-89)
+    def alt(b):
+        return "G" if b != "G" else "T"
+    lines = ["#KATK version: 4.2.16",
+             "CHR\tPOS\tSUB\tREF\tCOV\tCALL\tCLASS\tP\tPMUT",
+             f"2\t600\t0\t{seqs['2'][599]}\t30\t{seqs['2'][599]}-\tD"
+             "\t0.9\t0.9",
+             f"1\t300\t0\t{seqs['1'][299]}\t30"
+             f"\t{seqs['1'][299]}{alt(seqs['1'][299])}\tS\t0.9\t0.9",
+             f"1\t500\t0\t{seqs['1'][499]}\t30"
+             f"\t{seqs['1'][499]}{alt(seqs['1'][499])}\tS\t0.9\t0.9"]
+    calls = tmp_path / "calls.txt"
+    calls.write_text("\n".join(lines) + "\n")
+    patched = tmp_path / "katk2vcf_local.pl"
+    src = (SCRIPTS / "katk2vcf.pl").read_text()
+    src = src.replace('my $chr_dir = "/storage9/db/human_GRCh38/data/chr/";',
+                      f'my $chr_dir = "{chrdir}/";')
+    patched.write_text(src)
+    ref = subprocess.run([perl, str(patched), str(calls)],
+                         capture_output=True, text=True)
+    from genometester4_tpu.cli.katk2vcf import main
+    rc, out = run_cli(main, ["--chr_dir", str(chrdir), str(calls)])
+    assert rc == 0
+    assert out == ref.stdout
+    # the quirk line: the pending 2:600 deletion prints under
+    # chromosome 1 at position 550 (slid 50 left by the final r=49
+    # empty-string match)
+    body = [l for l in out.splitlines() if not l.startswith("#")]
+    assert any(l.startswith("1\t550\t") and "\tD\t" in l for l in body)
+
+
 def test_make_union_intersection_tree(tmp_path, rng):
     from tests.conftest import has_reference
     if not has_reference():
