@@ -221,12 +221,15 @@ def filter_final(argv) -> int:
     with open(blast_file) as f:
         for line in f:
             t = line.rstrip("\n").replace("\r", "").split("\t")
-            if len(t) < 2:
-                continue
-            if t[1] == tgt:
-                tcount[t[0]] = tcount.get(t[0], 0) + 1
+            # perl counts EVERY line: a missing second column numifies
+            # to "" ne TARGET and lands in ocount (under the undef/""
+            # key for empty lines) — _filter_final.pl:42-47
+            qid = t[0] if t else ""
+            dbid = t[1] if len(t) > 1 else ""
+            if dbid == tgt:
+                tcount[qid] = tcount.get(qid, 0) + 1
             else:
-                ocount[t[0]] = ocount.get(t[0], 0) + 1
+                ocount[qid] = ocount.get(qid, 0) + 1
     for rid, seq in zip(ids, seqs):
         if tcount.get(rid, 0) > 0 and ocount.get(rid, 0) == 0:
             sys.stdout.write(">%s %s:%s\n%s\n"

@@ -200,13 +200,133 @@ def trial_make_union(t):
                 which, t, n)
 
 
+def run_cli_both(fn, args):
+    """Capture stdout AND stderr of a twin stage."""
+    so, se = io.StringIO(), io.StringIO()
+    old_o, old_e = sys.stdout, sys.stderr
+    sys.stdout, sys.stderr = so, se
+    try:
+        rc = fn(args)
+    finally:
+        sys.stdout, sys.stderr = old_o, old_e
+    return rc, so.getvalue(), se.getvalue()
+
+
+def trial_repeats(t):
+    """The whole 5-stage repeats pipeline vs the Perl scripts, each
+    stage's stdout+stderr byte-compared; later stages consume the
+    PERL outputs so a stage-1 divergence can't mask stage-2."""
+    from genometester4_tpu.cli.repeats import STAGES
+    B = "ACGT"
+    with tempfile.TemporaryDirectory() as d:
+        # genome with planted repeats so find_regions has material
+        motif = "".join(rnd.choice(B) for _ in range(
+            rnd.randrange(40, 200)))
+        parts = []
+        for _ in range(rnd.randrange(3, 9)):
+            parts.append("".join(rnd.choice(B) for _ in range(
+                rnd.randrange(100, 800))))
+            if rnd.random() < 0.75:
+                parts.append(motif)
+        seq = "".join(parts)
+        fa = os.path.join(d, "g.fa")
+        open(fa, "w").write(">g%d extra tokens\n%s\n" % (t, seq))
+        counts = {}
+        for i in range(len(seq) - 16):
+            w = seq[i:i + 16]
+            counts[w] = counts.get(w, 0) + 1
+        table = os.path.join(d, "over.txt")
+        with open(table, "w") as f:
+            for w, c in counts.items():
+                if c >= 2 or rnd.random() < 0.001:
+                    f.write("%s\t%d\n" % (w, c))
+        min_len = str(rnd.randrange(20, 120))
+        min_avg = rnd.choice(["1", "1.5", "2", "2.0"])
+        args = [table, fa, min_len, min_avg]
+        if rnd.random() < 0.4:
+            args.append(str(rnd.randrange(200, 3000)))
+        ref = subprocess.run(
+            [PERL, os.path.join(SCRIPTS, "repeats", "find_regions.pl")]
+            + args, capture_output=True, text=True)
+        rc, out, err = run_cli_both(STAGES["find_regions"], args)
+        if rc != 0 or out != ref.stdout or err != ref.stderr:
+            return "repeats find_regions diverges (trial %d)" % t
+
+        regions = os.path.join(d, "regions.fa")
+        open(regions, "w").write(ref.stdout)
+        rids, rlens = [], {}
+        for ln in ref.stdout.splitlines():
+            if ln.startswith(">"):
+                rid = ln[1:].split()[0]
+                rids.append(rid)
+            elif rids:
+                rlens[rids[-1]] = len(ln)
+        blast = os.path.join(d, "blast.txt")
+        with open(blast, "w") as f:
+            if rids:
+                for _ in range(rnd.randrange(0, 4 * len(rids) + 4)):
+                    a, b = rnd.choice(rids), rnd.choice(rids)
+                    la, lb = rlens[a], rlens[b]
+                    if rnd.random() < 0.7:
+                        lb = max(1, int(la * (0.9 + 0.2 * rnd.random())))
+                    ident = "%.1f" % (80 + 20 * rnd.random())
+                    alen = max(1, int(la * (0.85 + 0.3 * rnd.random())))
+                    f.write("%s\t%d\t%s\t%d\t%s\t%d\n"
+                            % (a, la, b, lb, ident, alen))
+
+        ref2 = subprocess.run(
+            [PERL, os.path.join(SCRIPTS, "repeats", "collate_repeats.pl"),
+             blast, regions], capture_output=True, text=True)
+        rc, out, err = run_cli_both(STAGES["collate_repeats"],
+                                    [blast, regions])
+        if rc != 0 or out != ref2.stdout or err != ref2.stderr:
+            return "repeats collate diverges (trial %d)" % t
+
+        groups = os.path.join(d, "groups.txt")
+        open(groups, "w").write(ref2.stdout)
+        mn = str(rnd.randrange(0, 4))
+        ref3 = subprocess.run(
+            [PERL, os.path.join(SCRIPTS, "repeats",
+                                "_filter_collated.pl"), groups, mn],
+            capture_output=True, text=True)
+        rc, out, err = run_cli_both(STAGES["filter_collated"],
+                                    [groups, mn])
+        if rc != 0 or out != ref3.stdout:
+            return "repeats filter_collated diverges (trial %d)" % t
+
+        ref4 = subprocess.run(
+            [PERL, os.path.join(SCRIPTS, "repeats", "_unique.pl"),
+             regions, blast], capture_output=True, text=True)
+        rc, out, err = run_cli_both(STAGES["unique"], [regions, blast])
+        if rc != 0 or out != ref4.stdout:
+            return "repeats unique diverges (trial %d)" % t
+
+        chrom_blast = os.path.join(d, "chroms.txt")
+        chroms = ["chr1", "chr2", "chrX"]
+        tgt = rnd.choice(chroms)
+        with open(chrom_blast, "w") as f:
+            for rid in rids:
+                for _ in range(rnd.randrange(0, 4)):
+                    f.write("%s\t%s\textra\tcols\n"
+                            % (rid, rnd.choice(chroms)))
+            if rnd.random() < 0.3:
+                f.write("lonely_token\n")
+        ref5 = subprocess.run(
+            [PERL, os.path.join(SCRIPTS, "repeats", "_filter_final.pl"),
+             regions, chrom_blast, tgt], capture_output=True, text=True)
+        rc, out, err = run_cli_both(STAGES["filter_final"],
+                                    [regions, chrom_blast, tgt])
+        if rc != 0 or out != ref5.stdout:
+            return "repeats filter_final diverges (trial %d)" % t
+
+
 def main():
     if PERL is None:
         print("perl not available; skipping", file=sys.stderr)
         return 0
     fails = 0
     for t in range(N_TRIALS):
-        for fn in (trial_generate_vcf, trial_katk2vcf):
+        for fn in (trial_generate_vcf, trial_katk2vcf, trial_repeats):
             msg = fn(t)
             if msg:
                 print("FAIL: " + msg, file=sys.stderr)
