@@ -22,14 +22,33 @@ for trial in range(4):
     male = random.random() < 0.5
     mean = random.choice([15, 30, 60])
 
-    # DB: two k-mers per marker; counts come from read synthesis below
+    # DB: two k-mers per marker; counts come from read synthesis below.
+    # Canonical-duplicate k-mers are excluded: the reference corrupts
+    # its own trie on them (trie.c:266-280 sums the two codes into the
+    # count field; the first window hitting the mangled code then
+    # aborts the whole count table, gmer_counter.c:774-790 'DB
+    # inconsistency ... break') — documented non-emulated divergence,
+    # COVERAGE.md "Known gaps". At w=12 random pairs collide ~12% of
+    # the time per 1000-marker DB (seed 9101 trial 3 found this).
+    comp = str.maketrans(B, "TGCA")
+    seen_canon = set()
+
+    def fresh_kmer():
+        while True:
+            k = "".join(random.choice(B) for _ in range(w))
+            r = k.translate(comp)[::-1]
+            c = min(k, r, key=lambda s: [B.index(ch) for ch in s])
+            if c not in seen_canon:
+                seen_canon.add(c)
+                return k
+
     markers = []
     with open(T + "/db.txt", "w") as f:
         for i in range(n_a + n_x + n_y):
             chrom = (str(random.randint(1, 22)) if i < n_a
                      else ("X" if i < n_a + n_x else "Y"))
-            k1 = "".join(random.choice(B) for _ in range(w))
-            k2 = "".join(random.choice(B) for _ in range(w))
+            k1 = fresh_kmer()
+            k2 = fresh_kmer()
             markers.append((chrom, k1, k2))
             f.write("%s_m%d\t2\t%s\t%s\n" % (chrom, i, k1, k2))
 

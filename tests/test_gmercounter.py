@@ -544,3 +544,44 @@ def test_index_hits_batched_matches_plain():
         np.testing.assert_array_equal(c1, c2)
         np.testing.assert_array_equal(p1, p2)
         np.testing.assert_array_equal(d1, d2)
+
+
+def test_duplicate_kmer_db_counts_stay_sane(tmp_path):
+    """Deliberate divergence (COVERAGE.md Known gaps): on a text DB
+    with CANONICAL-DUPLICATE k-mers the reference corrupts its own
+    trie (trie.c:266-280 sums the two marker codes into the count
+    field; the first window hitting the mangled code aborts the whole
+    count table, gmer_counter.c:774-790) and silently drops every
+    later window in the table. We do not emulate the self-corruption:
+    every non-duplicate marker counts correctly regardless of where
+    duplicate-word windows appear, and the duplicate word itself
+    counts to neither marker (the reference's mangled-code
+    no-increment outcome). Found by fuzz_fastgt_chain seed 9101."""
+    import subprocess
+    import sys
+    db = (
+        "mA\t2\tACGTACGTACGT\tGGCACTTAGGCG\n"
+        "mB\t2\tTTTTCCCCAAAA\tCGCCTAAGTGCC\n"   # revcomp duplicate of mA k2
+        "mC\t2\tCCTTCCACGCAG\tGACGACGACGAC\n"
+    )
+    (tmp_path / "db.txt").write_text(db)
+    reads = (
+        ">r0\nAAAGGCACTTAGGCGAAA\n"      # duplicate-word hit FIRST
+        ">r1\nTTTCCTTCCACGCAGTTT\n"      # mC k1 after the dup hit
+        ">r2\nGGGACGTACGTACGTGGG\n"      # mA k1 after the dup hit
+    )
+    (tmp_path / "reads.fa").write_text(reads)
+    r = subprocess.run(
+        [sys.executable, "-m", "genometester4_tpu.cli.gmer_counter",
+         "-db", str(tmp_path / "db.txt"), "--kmers",
+         str(tmp_path / "reads.fa")],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    rows = {l.split("\t")[0]: l.split("\t") for l in
+            r.stdout.splitlines() if l and not l.startswith("#")}
+    # per-kmer count columns follow NODE and N_KMERS. Windows AFTER
+    # the duplicate-word hit still count (the reference drops them via
+    # the table break); the duplicate word itself counts to neither
+    assert rows["mC"][2:] == ["1", "0"]
+    assert rows["mA"][2:] == ["1", "0"]
+    assert rows["mB"][2:] == ["0", "0"]
