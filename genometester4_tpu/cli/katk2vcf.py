@@ -18,6 +18,24 @@ import sys
 CHRS = ["MT", "X", "Y"] + [str(i) for i in range(1, 23)]
 
 
+def perl_num(s):
+    """Perl scalar numification of a position token: the leading
+    decimal-integer prefix, else 0 (header "POS", comments, and
+    short lines all numify to 0 — scripts/katk2vcf.pl:39 records
+    $posit for EVERY line, so such lines participate in the
+    pending-indel flush distance check). Also applied wherever the
+    Perl script does arithmetic on a position string ($lahti[1]-1 at
+    pl:47, $asukoht[1]-1 at pl:196, $tmp0[1]-1 at pl:107/138):
+    degenerate tokens like "12x" numify to 12 instead of crashing."""
+    i = 0
+    if s[:1] in "+-":
+        i = 1
+    j = i
+    while j < len(s) and s[j].isdigit():
+        j += 1
+    return int(s[:j]) if j > i else 0
+
+
 def _substr(s: str, off: int, ln: int | None = None) -> str:
     """Perl ``substr`` in rvalue string context: negative offset counts
     from the end; offset beyond either end yields "" (Perl returns
@@ -98,7 +116,7 @@ def main(argv=None) -> int:
         """
         nonlocal voti, mutat_1, mutat_2, pikk, taht, het
         lahti = voti.split(":")
-        p0 = int(lahti[1]) - 1
+        p0 = perl_num(lahti[1]) - 1
         seq = hg.get(lahti[0], "")
         cur_chr = cur_tokens[0] if cur_tokens else ""
         if taht == "I":
@@ -135,8 +153,13 @@ def main(argv=None) -> int:
             if ml > 1:
                 ref_d1 = _substr(seq, p0 - 50, 50) \
                     + _substr(seq, p0 + ml - 1, 50)
+            # $ajut_1 is initialized ONCE before the loop (pl:71) and
+            # each per-iteration assignment is guarded (pl:75-76): when
+            # a match truncates mutat_1 to <=1 chars (substr clamped
+            # near a chromosome end), Perl retains the previous
+            # MATCHING $ajut_1 and re-fires the match at every later r
+            ajut = ""
             for r in range(50):
-                ajut = ""
                 if len(mutat_1) > 1:
                     ajut = _substr(seq, p0 - 50, 50 - r) \
                         + _substr(seq, p0 + len(mutat_1) - 1 - r, 50 + r)
@@ -158,20 +181,6 @@ def main(argv=None) -> int:
         taht = ""
         het = 0
 
-    def perl_num(s):
-        """Perl scalar numification of a position token: the leading
-        decimal-integer prefix, else 0 (header "POS", comments, and
-        short lines all numify to 0 — scripts/katk2vcf.pl:39 records
-        $posit for EVERY line, so such lines participate in the
-        pending-indel flush distance check)."""
-        i = 0
-        if s[:1] in "+-":
-            i = 1
-        j = i
-        while j < len(s) and s[j].isdigit():
-            j += 1
-        return int(s[:j]) if j > i else 0
-
     with open(calls_fn) as f:
         for line in f:
             line = line.rstrip("\n")
@@ -191,7 +200,10 @@ def main(argv=None) -> int:
             if t[TYPE_COL] == "I":
                 if pikk == 0:
                     voti = key0
-                    base = hg.get(t[0], "")[pos - 1:pos]
+                    # substr($hg38{...}, $tmp0[1]-1, 1) with numified
+                    # pos (pl:107): pos 0 wraps to the LAST chromosome
+                    # base via Perl's negative offset
+                    base = _substr(hg.get(t[0], ""), pos - 1, 1)
                     mutat_1 = mutat_2 = base
                     if c0 != c1:
                         if c0 == "-":
@@ -217,7 +229,7 @@ def main(argv=None) -> int:
             if t[TYPE_COL] == "D":
                 if pikk == 0:
                     voti = key0
-                    base = hg.get(t[0], "")[pos - 1:pos]
+                    base = _substr(hg.get(t[0], ""), pos - 1, 1)  # pl:138
                     mutat_1 = mutat_2 = base
                     if c0 != c1:
                         if c0 == "-":
@@ -267,8 +279,10 @@ def main(argv=None) -> int:
         call[muutus] = call[muutus].upper()
         genot = call[muutus].split("/")
         seq = hg.get(asukoht[0], "")
-        p = int(asukoht[1])
-        nuc = seq[p - 1:p]
+        # $nuc = substr(..., $asukoht[1]-1, 1) (pl:196): numified
+        # position, and position 0 wraps to the last chromosome base
+        p = perl_num(asukoht[1])
+        nuc = _substr(seq, p - 1, 1)
         if muutus in nc:
             call[muutus] = nc[muutus]
         if tyyp[muutus] in ("I", "S"):

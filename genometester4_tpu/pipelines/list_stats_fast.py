@@ -66,7 +66,9 @@ def _read_info(path):
             if len(head) < _H40.size:
                 return None
             (_, _, _, _, n_words, total, start) = _H40.unpack_from(head, 0)
-            if (vmaj, vmin) < (4, 2):
+            # only 4.0 implies list_start == 40; 4.1+ honors the stored
+            # value (word-map.c:198-210)
+            if vmin == 0:
                 start = _H40.size
         li.n_words, li.total, li.list_start = n_words, total, start
         try:

@@ -205,7 +205,10 @@ static int read_info (const char *path, ListIn *li, int map_records)
       memcpy (&n_words, head + 16, 8);
       memcpy (&total, head + 24, 8);
       memcpy (&start, head + 32, 8);
-      if (vmaj < 4 || (vmaj == 4 && vmin < 2)) start = 40;
+      /* only version 4.0 implies list_start == 40 (sizeof the 4_0
+       * header); 4.1+ carries a stored list_start that must be
+       * honored (word-map.c:198-210; same rule as open_list above) */
+      if (vmin == 0) start = 40;
     }
     li->n_words = (long) n_words;
     li->total = total;
@@ -671,9 +674,12 @@ static int main_glistquery (int argc, char **argv)
     if (command || query_file || n_files != 1) FALLBACK ();
     if (read_info (files[0], &searched, 1) != 0) FALLBACK ();
     if (read_info (query_list, &query, 1) != 0) FALLBACK ();
-    /* index inputs, wordlength-mismatch chrome: Python's */
+    /* index inputs, wordlength-mismatch chrome: Python's. Corrupt
+     * word lengths (0 or > 32) would drive fgx_dump_records' shifts
+     * into UB — same guard as the -f path. */
     if (searched.is_index || query.is_index
-        || searched.wlen != query.wlen) FALLBACK ();
+        || searched.wlen != query.wlen
+        || searched.wlen == 0 || searched.wlen > 32) FALLBACK ();
     return run_list_query (&searched, &query, searched.wlen);
   }
   if (query_file) {

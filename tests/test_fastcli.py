@@ -266,6 +266,77 @@ def test_glistquery_fallback_chrome(lists, args):
     assert rn.stderr == rr.stderr
 
 
+def test_glistquery_v41_stored_list_start(lists, tmp_path):
+    """Round-5 advisor finding: read_info forced list_start=40 for every
+    vmin<2, but the reference honors the STORED list_start for 4.1 and
+    only implies 40 for 4.0 (word-map.c:198-210). A v4.1 list whose
+    records start at 48 must read identically through the native fast
+    paths (--median/--gc/-l), the Python fast path, and the reference."""
+    d, paths = lists
+    raw = bytearray(Path(paths[0]).read_bytes())
+    # source is a 4.4 list (48-byte header, records at 48). Rebuild as
+    # 4.1: 40-byte header (code,vmaj,vmin,wlen u32 + n_words,total,
+    # list_start u64), NONSTANDARD stored list_start=56, 16 pad bytes,
+    # then the records — proves the stored offset is honored.
+    import struct as _s
+    _s.pack_into("<I", raw, 8, 1)          # version_minor = 1
+    _s.pack_into("<Q", raw, 32, 56)        # stored list_start = 56
+    v41 = tmp_path / "v41_16.list"
+    v41.write_bytes(bytes(raw[:40]) + b"\x00" * 16 + bytes(raw[48:]))
+    for args in (["--median"], ["--gc"], ["-l", paths[1]],
+                 ["-l", str(v41)]):
+        argv = [str(v41)] + args
+        rn = subprocess.run([BINQ] + argv, capture_output=True)
+        rp = subprocess.run([BINQ] + argv, capture_output=True,
+                            env=dict(os.environ, GT4_NO_FASTCLI="1"))
+        rr = run_reference(["glistquery"] + argv)
+        assert rn.returncode == rp.returncode == rr.returncode == 0, (
+            args, rn.stderr, rp.stderr, rr.stderr)
+        assert rn.stdout == rp.stdout == rr.stdout, args
+
+
+def test_glistquery_corrupt_wlen_l_falls_back(lists, tmp_path):
+    """Round-5 advisor finding: the -l fast path had no word-length
+    bound (the -f path guards wlen==0||wlen>32), so a corrupt list
+    claiming wlen=2000 drove fgx_dump_records into shift-count UB. It
+    must fall back to the Python path and match its bytes exactly."""
+    d, paths = lists
+    import struct as _s
+    for bad_wlen in (0, 2000):
+        raws = []
+        for p in (paths[0], paths[1]):
+            raw = bytearray(Path(p).read_bytes())
+            _s.pack_into("<I", raw, 12, bad_wlen)
+            raws.append(raw)
+        s = tmp_path / f"bad{bad_wlen}_s.list"
+        q = tmp_path / f"bad{bad_wlen}_q.list"
+        s.write_bytes(bytes(raws[0]))
+        q.write_bytes(bytes(raws[1]))
+        argv = [str(s), "-l", str(q)]
+        rn = subprocess.run([BINQ] + argv, capture_output=True)
+        rp = subprocess.run([BINQ] + argv, capture_output=True,
+                            env=dict(os.environ, GT4_NO_FASTCLI="1"))
+        assert rn.returncode == rp.returncode, (rn.stderr, rp.stderr)
+        assert rn.stdout == rp.stdout
+        assert rn.stderr == rp.stderr
+
+
+def test_wrapper_rebuilds_stale_frontend(lists):
+    """Round-5 advisor finding: the sh wrappers only built the native
+    front-end when MISSING, so edits to native/gt4cli.c kept exec'ing a
+    stale binary. The wrapper now rebuilds when src -nt exe."""
+    exe = REPO / ".gt4cli" / "glistcompare"
+    src = REPO / "native" / "gt4cli.c"
+    assert exe.exists()
+    old_src_mtime = src.stat().st_mtime
+    os.utime(exe, (old_src_mtime - 10, old_src_mtime - 10))
+    d, paths = lists
+    r = subprocess.run([BINQ, paths[0], "--stat"], capture_output=True)
+    assert r.returncode == 0, r.stderr
+    assert exe.stat().st_mtime >= old_src_mtime, \
+        "wrapper did not rebuild the stale front-end"
+
+
 def test_stale_so_falls_back(lists, tmp_path):
     """A kernel .so older than its source must not be dlopened by the
     front-end — it execs Python, which rebuilds under the flock."""

@@ -140,6 +140,100 @@ def test_katk2vcf_cross_chromosome_flush_quirk(tmp_path, rng):
     assert any(l.startswith("1\t550\t") and "\tD\t" in l for l in body)
 
 
+@pytest.mark.skipif(perl is None, reason="perl not available")
+def test_katk2vcf_degenerate_position_tokens(tmp_path, rng):
+    """Round-5 advisor finding (medium): a non-numeric position token
+    (e.g. "12x") opening an I/D run crashed flush_indel's strict
+    int() while Perl numifies it ($lahti[1]-1, scripts/katk2vcf.pl:47).
+    Also covers the same numification family in the output loop
+    (pl:196) where a position-0 key wraps substr to the LAST
+    chromosome base via Perl's negative offset."""
+    B = "ACGT"
+    seq = "".join(B[i] for i in rng.integers(0, 4, 200))
+    chrdir = tmp_path / "chrdir"
+    chrdir.mkdir()
+    (chrdir / "1.fa").write_text(
+        ">1\n" + "\n".join(seq[i:i + 60]
+                           for i in range(0, len(seq), 60)) + "\n")
+
+    def alt(b):
+        return "G" if b != "G" else "T"
+    lines = ["#KATK version: 4.2.16",
+             "CHR\tPOS\tSUB\tREF\tCOV\tCALL\tCLASS\tP\tPMUT",
+             # I run opened at the degenerate position "12x" (numifies
+             # to 12); the gap to pos 30 triggers flush_indel on it
+             "1\t12x\t0\t-\t28\t-A\tI\t0.98\t0.9",
+             "1\t12x\t0\t-\t28\t-A\tI\t0.98\t0.9",
+             f"1\t30\t0\t{seq[29]}\t30\t{seq[29]}{alt(seq[29])}\tS"
+             "\t0.9\t0.9",
+             # S at numified position 0: the VCF loop's nuc becomes
+             # the LAST chromosome base (substr negative wrap)
+             f"1\t0junk\t0\t{seq[199]}\t30"
+             f"\t{seq[199]}{alt(seq[199])}\tS\t0.9\t0.9",
+             # sacrificial last call (the Perl loop drops the final one)
+             f"1\t80\t0\t{seq[79]}\t30\t{seq[79]}{alt(seq[79])}\tS"
+             "\t0.9\t0.9"]
+    calls = tmp_path / "calls.txt"
+    calls.write_text("\n".join(lines) + "\n")
+    patched = tmp_path / "katk2vcf_local.pl"
+    src = (SCRIPTS / "katk2vcf.pl").read_text()
+    src = src.replace('my $chr_dir = "/storage9/db/human_GRCh38/data/chr/";',
+                      f'my $chr_dir = "{chrdir}/";')
+    patched.write_text(src)
+    ref = subprocess.run([perl, str(patched), str(calls)],
+                         capture_output=True, text=True)
+    from genometester4_tpu.cli.katk2vcf import main
+    rc, out = run_cli(main, ["--chr_dir", str(chrdir), str(calls)])
+    assert rc == 0
+    assert out == ref.stdout
+
+
+@pytest.mark.skipif(perl is None, reason="perl not available")
+def test_katk2vcf_d_scan_stale_ajut_retention(tmp_path, rng):
+    """Round-5 advisor finding: in the Perl D-branch every
+    per-iteration $ajut_1 assignment is guarded by length($mutat_1)>1
+    (scripts/katk2vcf.pl:75-76), so when a match truncates mutat_1 to
+    one char (substr clamped by a negative offset near the chromosome
+    start), Perl RETAINS the previous matching $ajut_1 and re-fires
+    the match at every later r. A pending heterozygous deletion at
+    position 1 (p0=0) hits exactly that: the r=0 identity match
+    rewrites mutat_1 = substr(seq,-1,2) = one char, and the stale
+    ajut then slides the variant to position -49."""
+    B = "ACGT"
+    seq = "".join(B[i] for i in rng.integers(0, 4, 100))
+    chrdir = tmp_path / "chrdir"
+    chrdir.mkdir()
+    (chrdir / "1.fa").write_text(
+        ">1\n" + "\n".join(seq[i:i + 60]
+                           for i in range(0, len(seq), 60)) + "\n")
+
+    def alt(b):
+        return "G" if b != "G" else "T"
+    lines = ["#KATK version: 4.2.16",
+             "CHR\tPOS\tSUB\tREF\tCOV\tCALL\tCLASS\tP\tPMUT",
+             f"1\t1\t0\t{seq[0]}\t30\t{seq[0]}-\tD\t0.9\t0.9",
+             f"1\t60\t0\t{seq[59]}\t30\t{seq[59]}{alt(seq[59])}\tS"
+             "\t0.9\t0.9",
+             f"1\t80\t0\t{seq[79]}\t30\t{seq[79]}{alt(seq[79])}\tS"
+             "\t0.9\t0.9"]
+    calls = tmp_path / "calls.txt"
+    calls.write_text("\n".join(lines) + "\n")
+    patched = tmp_path / "katk2vcf_local.pl"
+    src = (SCRIPTS / "katk2vcf.pl").read_text()
+    src = src.replace('my $chr_dir = "/storage9/db/human_GRCh38/data/chr/";',
+                      f'my $chr_dir = "{chrdir}/";')
+    patched.write_text(src)
+    ref = subprocess.run([perl, str(patched), str(calls)],
+                         capture_output=True, text=True)
+    from genometester4_tpu.cli.katk2vcf import main
+    rc, out = run_cli(main, ["--chr_dir", str(chrdir), str(calls)])
+    assert rc == 0
+    assert out == ref.stdout
+    # the retention quirk: the deletion lands at position -49
+    body = [l for l in out.splitlines() if not l.startswith("#")]
+    assert any(l.startswith("1\t-49\t") for l in body)
+
+
 def test_make_union_intersection_tree(tmp_path, rng):
     from tests.conftest import has_reference
     if not has_reference():
