@@ -55,8 +55,12 @@ BASELINE_KMERS_PER_S = 5.14e6  # reference glistmaker on this host, best of
 BASELINE_E2E_S = 9.73          # same measurement, as wall seconds
 REPO = os.path.dirname(os.path.abspath(__file__))
 REF_BIN = os.path.join(REPO, ".ref_build", "src", "glistmaker")
+REF_SRC = os.path.join(REPO, ".ref_build", "src")
 FASTA = "/tmp/bench_50m.fa"
 FASTA_DUP = "/tmp/bench_50m_dup.fa"
+FASTA_GEN = "/tmp/bench_50m_genomic.fa"
+FGT_DIR = "/tmp/bench_fastgt"
+GASM_DIR = "/tmp/bench_gasm"
 N_INSTANCES = 49_999_976       # uniform input, k=25
 N_INSTANCES_DUP = 48_800_000   # dup input: 50_000 records x (1000-24)
 K = 25
@@ -95,6 +99,143 @@ def ensure_dup_input():
             f.write(b">read%d\n" % i)
             f.write(src[s:s + SEG].tobytes())
             f.write(b"\n")
+
+
+def ensure_genomic_input():
+    """Genome-shaped 50 Mbp (round-5 VERDICT #7): GC-content isochores
+    (100 kb blocks, GC fraction ~ Beta(2,2) per block — the composition
+    drift a uniform i.i.d. stream lacks) + 60 planted repeat families
+    (0.5-5 kb consensus, 20-200 copies each, 1% point mutations per
+    copy, half the copies reverse-complemented). Exercises (a) the
+    canonical A-rich-corner density concentration sharding.py's slack
+    exists for and (b) near-duplicate k-mer neighborhoods at bench
+    scale (canonical-min semantics: src/sequence.c:81-86)."""
+    if os.path.exists(FASTA_GEN) and os.path.getsize(FASTA_GEN) > 50_000_000:
+        return
+    rng = np.random.default_rng(44)
+    L = 50_000_000
+    BLK = 100_000
+    B = np.frombuffer(b"ACGT", np.uint8)
+    out = np.empty(L, np.uint8)
+    for s in range(0, L, BLK):
+        gc = rng.beta(2.0, 2.0) * 0.6 + 0.2   # GC in [0.2, 0.8]
+        p = np.array([(1 - gc) / 2, gc / 2, gc / 2, (1 - gc) / 2])
+        out[s:s + BLK] = rng.choice(B, size=min(BLK, L - s), p=p)
+    comp = np.zeros(256, np.uint8)
+    comp[B] = np.frombuffer(b"TGCA", np.uint8)
+    for _ in range(60):
+        flen = int(rng.integers(500, 5000))
+        fam = rng.choice(B, size=flen)
+        for _ in range(int(rng.integers(20, 200))):
+            copy = fam.copy()
+            nmut = max(1, int(0.01 * flen))
+            pos = rng.integers(0, flen, nmut)
+            copy[pos] = B[rng.integers(0, 4, nmut)]
+            if rng.random() < 0.5:
+                copy = comp[copy][::-1]
+            at = int(rng.integers(0, L - flen))
+            out[at:at + flen] = copy
+    with open(FASTA_GEN, "wb") as f:
+        f.write(b">chr1 genome-shaped 50Mbp (isochores + repeat families)\n")
+        for i in range(0, L, 80):
+            f.write(out[i:i + 80].tobytes())
+            f.write(b"\n")
+
+
+def ensure_fastgt_fixture():
+    """FastGT chain fixture: a 30k-marker biallelic DB (A/B 25-mers
+    drawn from a 4 Mbp source, alt = middle-base flip) + 150k x 100 bp
+    reads sampled from the source with the alt allele planted on ~half
+    the overlapping reads (src/gmer_counter.c:135 + gmer_caller.c:495
+    are the chained surfaces)."""
+    if os.path.exists(os.path.join(FGT_DIR, "reads.fq")):
+        return
+    os.makedirs(FGT_DIR, exist_ok=True)
+    rng = np.random.default_rng(45)
+    B = np.frombuffer(b"ACGT", np.uint8)
+    L = 4_000_000
+    src = rng.choice(B, size=L)
+    n_mark = 15_000
+    pos = np.sort(rng.choice(np.arange(100, L - 100, 40), n_mark,
+                             replace=False))
+    alt = src[pos + 12].copy()
+    for i in range(n_mark):               # alt != ref at the middle base
+        c = src[pos[i] + 12]
+        a = B[(np.where(B == c)[0][0] + 1 + int(rng.integers(3))) % 4]
+        alt[i] = a
+    with open(os.path.join(FGT_DIR, "db.txt"), "wb") as f:
+        for i in range(n_mark):
+            ka = src[pos[i]:pos[i] + 25].tobytes().decode()
+            kb_arr = src[pos[i]:pos[i] + 25].copy()
+            kb_arr[12] = alt[i]
+            kb = kb_arr.tobytes().decode()
+            f.write(b"M%d\t2\t%s\t%s\n" % (i, ka.encode(), kb.encode()))
+    is_het = rng.random(n_mark) < 0.5
+    with open(os.path.join(FGT_DIR, "reads.fq"), "wb") as f:
+        for i in range(60_000):
+            s = int(rng.integers(0, L - 100))
+            read = src[s:s + 100].copy()
+            lo = np.searchsorted(pos, s - 24)
+            hi = np.searchsorted(pos, s + 100 - 1)
+            for mi in range(lo, hi):
+                if is_het[mi] and rng.random() < 0.5:
+                    off = pos[mi] + 12 - s
+                    if 0 <= off < 100:
+                        read[off] = alt[mi]
+            f.write(b"@r%d\n" % i + read.tobytes() + b"\n+\n" + b"I" * 100
+                    + b"\n")
+
+
+def ensure_gasm_fixture():
+    """KATK fixture: 200 exome-style regions (150 bp, 4 anchor 25-mers
+    each) over a 200 kb genome, ~40x diploid coverage (exome-realistic;
+    at sparse coverage the per-region fixed costs dominate both tools
+    and the comparison measures orchestration, not calling) with a
+    planted het SNV per region; gmer_counter --compile_index builds the
+    read index (fixture prep, untimed)."""
+    if os.path.exists(os.path.join(GASM_DIR, "db.idx")):
+        return
+    os.makedirs(GASM_DIR, exist_ok=True)
+    rng = np.random.default_rng(46)
+    B = "ACGT"
+    L = 200_000
+    g = "".join(B[i] for i in rng.integers(0, 4, L))
+    hap2 = list(g)
+    region_lines, dblines = [], []
+    for ri in range(200):
+        rs = ri * 1000
+        re_ = rs + 150
+        p = rs + 75
+        hap2[p] = "G" if g[p] != "G" else "T"
+        kms = [g[q:q + 25] for q in range(rs + 5, re_ - 30, 30)]
+        for km in kms:
+            dblines.append("R%d_%d\t1\t%s" % (ri, len(dblines), km))
+        region_lines.append("1\t%d\t%d\t%s\t%s"
+                            % (1000 + rs, 1000 + re_, g[rs:re_],
+                               "\t".join(kms)))
+    hap2 = "".join(hap2)
+    comp = str.maketrans("ACGT", "TGCA")
+    with open(os.path.join(GASM_DIR, "reads.fq"), "w") as f:
+        i = 0
+        for hap in (g, hap2):
+            for _ in range(40_000):
+                s = int(rng.integers(0, L - 100))
+                r = hap[s:s + 100]
+                if rng.random() < 0.5:
+                    r = r.translate(comp)[::-1]
+                f.write("@rd%d\n%s\n+\n%s\n" % (i, r, "J" * 100))
+                i += 1
+    with open(os.path.join(GASM_DIR, "db.txt"), "w") as f:
+        f.write("\n".join(dblines) + "\n")
+    with open(os.path.join(GASM_DIR, "regions.txt"), "w") as f:
+        f.write("\n".join(region_lines) + "\n")
+    counter = (os.path.join(REPO, ".ref_build", "src", "gmer_counter")
+               if os.path.exists(os.path.join(REPO, ".ref_build", "src",
+                                              "gmer_counter"))
+               else os.path.join(REPO, "bin", "gmer_counter"))
+    subprocess.run([counter, "-db", "db.txt", "--compile_index", "db.idx",
+                    "--num_threads", "1", "reads.fq"], cwd=GASM_DIR,
+                   check=True, capture_output=True)
 
 
 def tunnel_alive(timeout: int = 120, attempts: int = 3) -> bool:
@@ -305,14 +446,126 @@ def dup_e2e_fields(dev_dup):
     return fields
 
 
+def _timed_redirect(argv, out_path, cwd=None):
+    """Fresh-process wall of one tool with stdout redirected to a file
+    (same sync discipline as _timed_run)."""
+    os.sync()
+    t0 = time.time()
+    with open(out_path, "wb") as f:
+        subprocess.run(argv, check=True, stdout=f,
+                       stderr=subprocess.DEVNULL, cwd=cwd)
+    os.sync()
+    return time.time() - t0
+
+
+def fastgt_fields(pairs=2):
+    """FastGT chain scoreboard (round-5 VERDICT #6): gmer_counter -db
+    -> gmer_caller on a fixed 30k-marker/150k-read fixture, alternated
+    single runs, outputs byte-compared. The chain wall is the sum of
+    both tools' fresh-process walls."""
+    if not os.path.exists(os.path.join(REF_SRC, "gmer_counter")):
+        return {}
+    ensure_fastgt_fixture()
+    db = os.path.join(FGT_DIR, "db.txt")
+    fq = os.path.join(FGT_DIR, "reads.fq")
+
+    def chain(tag, counter, caller):
+        cnt = os.path.join(FGT_DIR, "counts_%s.txt" % tag)
+        calls = os.path.join(FGT_DIR, "calls_%s.txt" % tag)
+        dt = _timed_redirect([counter, "-db", db, fq], cnt)
+        dt += _timed_redirect([caller, cnt], calls)
+        return dt
+
+    ours = (os.path.join(REPO, "bin", "gmer_counter"),
+            os.path.join(REPO, "bin", "gmer_caller"))
+    ref = (os.path.join(REF_SRC, "gmer_counter"),
+           os.path.join(REF_SRC, "gmer_caller"))
+    our_times, ref_times = [], []
+    for i in range(pairs):
+        order = [("ours", ours, our_times), ("ref", ref, ref_times)]
+        if i % 2:
+            order.reverse()
+        for tag, tools, acc in order:
+            acc.append(chain(tag, *tools))
+    for name in ("counts", "calls"):
+        a = open(os.path.join(FGT_DIR, "%s_ours.txt" % name), "rb").read()
+        b = open(os.path.join(FGT_DIR, "%s_ref.txt" % name), "rb").read()
+        if a != b:
+            raise SystemExit("[bench] fastgt %s outputs differ — refusing "
+                             "to report" % name)
+    return {
+        "fastgt_e2e_s": _r(min(our_times)),
+        "fastgt_ref_e2e_s": _r(min(ref_times)),
+        "fastgt_e2e_vs_reference": _r(min(ref_times) / min(our_times)),
+        "fastgt_e2e_runs": [_r(t) for t in our_times],
+        "fastgt_ref_e2e_runs": [_r(t) for t in ref_times],
+    }
+
+
+def gasm_fields(pairs=2):
+    """KATK scoreboard (round-5 VERDICT #6): gassembler over the
+    200-region fixture, --num_threads 1 both sides (the reference's
+    threaded output is schedule-dependent, so the sequential surface is
+    the only byte-comparable one; our parallel mode is byte-identical
+    to our sequential at any thread count), stdout byte-compared."""
+    if not os.path.exists(os.path.join(REF_SRC, "gassembler")):
+        return {}
+    ensure_gasm_fixture()
+    args = ["--dbi", "db.idx", "--region_file", "regions.txt",
+            "--coverage", "12", "--sex", "female", "--num_threads", "1"]
+
+    def run_one(tag, exe):
+        out = os.path.join(GASM_DIR, "calls_%s.txt" % tag)
+        return _timed_redirect([exe] + args, out, cwd=GASM_DIR)
+
+    our_exe = os.path.join(REPO, "bin", "gassembler")
+    ref_exe = os.path.join(REF_SRC, "gassembler")
+    our_times, ref_times = [], []
+    for i in range(pairs):
+        order = [("ours", our_exe, our_times), ("ref", ref_exe, ref_times)]
+        if i % 2:
+            order.reverse()
+        for tag, exe, acc in order:
+            acc.append(run_one(tag, exe))
+    a = open(os.path.join(GASM_DIR, "calls_ours.txt"), "rb").read()
+    b = open(os.path.join(GASM_DIR, "calls_ref.txt"), "rb").read()
+    if a != b:
+        raise SystemExit("[bench] gassembler outputs differ — refusing "
+                         "to report")
+    return {
+        "gasm_e2e_s": _r(min(our_times)),
+        "gasm_ref_e2e_s": _r(min(ref_times)),
+        "gasm_e2e_vs_reference": _r(min(ref_times) / min(our_times)),
+        "gasm_e2e_runs": [_r(t) for t in our_times],
+        "gasm_ref_e2e_runs": [_r(t) for t in ref_times],
+    }
+
+
+def gen_e2e_fields(dev_gen):
+    """Genome-shaped input rows (round-5 VERDICT #7)."""
+    our_g, ref_g = run_e2e(FASTA_GEN, "gen", pairs=2)
+    fields = {
+        "gen_e2e_s": _r(min(our_g)),
+        "gen_e2e_runs": [_r(t) for t in our_g],
+    }
+    if ref_g:
+        fields["gen_ref_e2e_s"] = _r(min(ref_g))
+        fields["gen_ref_e2e_runs"] = [_r(t) for t in ref_g]
+        fields["e2e_gen_vs_reference"] = _r(min(ref_g) / min(our_g))
+    if dev_gen is not None:
+        fields["value_gen"] = round(dev_gen["value"], 1)
+    return fields
+
+
 def main():
     ensure_input()
     ensure_dup_input()
+    ensure_genomic_input()
     if "--device-kernel-only" in sys.argv:
         device_kernel_bench(sys.argv[-1] if sys.argv[-1].endswith(".fa")
                             else FASTA)
         return
-    dev = dev_dup = None
+    dev = dev_dup = dev_gen = None
     note = None
     if tunnel_alive():
         dev = run_device_bench(FASTA)
@@ -320,6 +573,7 @@ def main():
             note = "device bench failed (tunnel flap mid-run)"
         else:
             dev_dup = run_device_bench(FASTA_DUP, timeouts=(300,))
+            dev_gen = run_device_bench(FASTA_GEN, timeouts=(300,))
     else:
         note = "accelerator tunnel unreachable"
 
@@ -331,6 +585,9 @@ def main():
     jax.config.update("jax_platforms", "cpu")
     our_times, ref_times = run_e2e(FASTA, "uni")
     dup_fields = dup_e2e_fields(dev_dup)
+    dup_fields.update(gen_e2e_fields(dev_gen))
+    dup_fields.update(fastgt_fields())
+    dup_fields.update(gasm_fields())
 
     if dev is not None:
         value = dev["value"]

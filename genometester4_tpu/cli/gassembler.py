@@ -648,10 +648,15 @@ def main(argv=None) -> int:
         if num_threads > 1 and len(regions) > 1 and not p.print_reads:
             _parallel_assemble(asm, oq, regions, _shell, num_threads)
         else:
-            for region in regions:
+            for i, region in enumerate(regions):
                 cb = _shell(region)
                 oq.start_block(cb)
                 oq.flush()
+                # cross-region device SW batching: fill the pending
+                # window's SW matrices in one lane-batched launch (no-op
+                # on host-SW configs / under -D; byte-order preserved —
+                # pipelines.gassemble.Assembler.prefetch_device_sw)
+                asm.prefetch_device_sw(regions, i)
                 asm.assemble(region, cb)
                 oq.finish_block(cb)
         oq.flush()

@@ -145,6 +145,51 @@ def neg_log_likelihood(count_a, count_b, pB, params):
     return -jnp.sum(marginal)
 
 
+@jit
+def _raw_posteriors(count_a, count_b, pB, params):
+    """Raw (unnormalized) posteriors + row sums + argmax — the device
+    twin of fgx_genotype_batch's per-marker output (a[i], sum, best),
+    which print_genotypes needs because the reference compares the RAW
+    a[best] against the probability cutoff (src/gmer_caller.c:448) and
+    prints a[best]/sum."""
+    f = jnp.float32
+    lp = genotype_log_posteriors(
+        count_a.astype(f), count_b.astype(f), pB,
+        params[0], params[1], params[2], params[3], params[4], params[5],
+        params[6])
+    a = jnp.exp(lp)          # float32: underflows ~e^-87 where the
+    sums = jnp.sum(a, axis=1)  # native float64 path goes to ~e^-708 —
+    best = jnp.argmax(lp, axis=1).astype(jnp.uint32)  # documented tol
+    return a, sums, best
+
+
+def genotype_batch_device(counts: np.ndarray, pB: float,
+                          params: np.ndarray, chunk: int = 1 << 20):
+    """Drop-in twin of fastgt_native.genotype_batch on the accelerator:
+    flat uint16 [a0,b0,a1,b1,...] -> (a[n,15], sum[n], best[n]).
+
+    Production routing: pipelines/gmercall.print_genotypes selects this
+    under GT4_TPU_CALLER_IMPL=device (or =auto on a fast accelerator
+    link — never behind the axon tunnel, utils.backend cost model).
+    float32 posteriors; best-call agreement vs the exact native path is
+    pinned by tests/test_genotype_model.py::test_device_caller_*."""
+    counts = np.asarray(counts).reshape(-1, 2)
+    n = len(counts)
+    a = np.empty((n, N_GENOTYPES), np.float64)
+    sums = np.empty(n, np.float64)
+    best = np.empty(n, np.uint32)
+    p = jnp.asarray(np.asarray(params, np.float32))
+    for s in range(0, n, chunk):
+        ca = jnp.asarray(counts[s:s + chunk, 0].astype(np.float32))
+        cb = jnp.asarray(counts[s:s + chunk, 1].astype(np.float32))
+        aa, ss, bb = _raw_posteriors(ca, cb, float(pB), p)
+        e = s + len(counts[s:s + chunk])
+        a[s:e] = np.asarray(aa, np.float64)
+        sums[s:e] = np.asarray(ss, np.float64)
+        best[s:e] = np.asarray(bb)
+    return a, sums, best
+
+
 def genotype_calls_batch(counts: np.ndarray, pB: float,
                          params: np.ndarray, chunk: int = 1 << 20):
     """Host wrapper: flat uint16 [a0,b0,a1,b1,...] like the native path."""

@@ -45,7 +45,7 @@ _BIAS = -(1 << 31)  # int32 sign-flip bias (x ^ BIAS orders u32 as i32)
 
 @functools.lru_cache(maxsize=None)
 def make_block_merge(n_blocks: int, span: int, start_d: int | None = None,
-                     interpret: bool = False):
+                     interpret: bool = False, n_payload: int = 0):
     """Bitonic-merge each length-``span`` block of the input.
 
     Inputs k1, k2: int32[(n_blocks*span)//LANE, LANE] row-major (block
@@ -60,6 +60,10 @@ def make_block_merge(n_blocks: int, span: int, start_d: int | None = None,
     ``start_d`` < span/2 supports the hybrid-sort deep rounds where
     the larger distances were already applied as XLA elementwise
     passes and each span-sized block is bitonic by construction.
+
+    ``n_payload`` extra int32 arrays ride along: they are moved by the
+    same compare-exchange decisions but never compared (the mesh merge
+    carries per-word counts this way, round-5 VERDICT #1).
     """
     assert span % (2 * LANE) == 0 and (span & (span - 1)) == 0, \
         "span must be pow2 multiple of 2*LANE"
@@ -68,9 +72,12 @@ def make_block_merge(n_blocks: int, span: int, start_d: int | None = None,
         start_d = span // 2
     assert (start_d & (start_d - 1)) == 0 and start_d < span
 
-    def kernel(k1_ref, k2_ref, o1_ref, o2_ref):
-        x1 = k1_ref[...] ^ jnp.int32(_BIAS)
-        x2 = k2_ref[...] ^ jnp.int32(_BIAS)
+    def kernel(*refs):
+        in_refs = refs[:2 + n_payload]
+        out_refs = refs[2 + n_payload:]
+        x1 = in_refs[0][...] ^ jnp.int32(_BIAS)
+        x2 = in_refs[1][...] ^ jnp.int32(_BIAS)
+        xv = [r[...] for r in in_refs[2:]]
         row_iota = jax.lax.broadcasted_iota(
             jnp.int32, (block_rows, LANE), 0)
         lane_iota = jax.lax.broadcasted_iota(
@@ -86,6 +93,8 @@ def make_block_merge(n_blocks: int, span: int, start_d: int | None = None,
             f2 = pltpu.roll(x2, shift=shift_n - dd, axis=axis)
             b1 = pltpu.roll(x1, shift=dd, axis=axis)
             b2 = pltpu.roll(x2, shift=dd, axis=axis)
+            fv = [pltpu.roll(v, shift=shift_n - dd, axis=axis) for v in xv]
+            bv = [pltpu.roll(v, shift=dd, axis=axis) for v in xv]
             # int32 bit-selects only: Mosaic rejects reused i1 masks
             # feeding multiple select_n ops ("Unsupported target
             # bitwidth for truncation", v5e) — the same quirk
@@ -94,29 +103,98 @@ def make_block_merge(n_blocks: int, span: int, start_d: int | None = None,
             neg_lo = -lo1                                 # -1 at lo slots
             p1 = b1 ^ ((b1 ^ f1) & neg_lo)
             p2 = b2 ^ ((b2 ^ f2) & neg_lo)
+            pv = [b ^ ((b ^ f) & neg_lo) for b, f in zip(bv, fv)]
             gt = ((x1 > p1) | ((x1 == p1) & (x2 > p2))).astype(jnp.int32)
             lt = ((p1 > x1) | ((p1 == x1) & (x2 < p2))).astype(jnp.int32)
             neg_take = -((gt & lo1) | (lt & (1 - lo1)))
             x1 = x1 ^ ((x1 ^ p1) & neg_take)
             x2 = x2 ^ ((x2 ^ p2) & neg_take)
+            xv = [v ^ ((v ^ p) & neg_take) for v, p in zip(xv, pv)]
             d //= 2
-        o1_ref[...] = x1 ^ jnp.int32(_BIAS)
-        o2_ref[...] = x2 ^ jnp.int32(_BIAS)
+        out_refs[0][...] = x1 ^ jnp.int32(_BIAS)
+        out_refs[1][...] = x2 ^ jnp.int32(_BIAS)
+        for r, v in zip(out_refs[2:], xv):
+            r[...] = v
 
     total_rows = n_blocks * block_rows
     spec = pl.BlockSpec((block_rows, LANE), lambda p: (p, 0))
+    n_arr = 2 + n_payload
     fn = pl.pallas_call(
         kernel,
-        out_shape=[
-            jax.ShapeDtypeStruct((total_rows, LANE), jnp.int32),
-            jax.ShapeDtypeStruct((total_rows, LANE), jnp.int32),
-        ],
+        out_shape=[jax.ShapeDtypeStruct((total_rows, LANE), jnp.int32)
+                   for _ in range(n_arr)],
         grid=(n_blocks,),
-        in_specs=[spec, spec],
-        out_specs=[spec, spec],
+        in_specs=[spec] * n_arr,
+        out_specs=[spec] * n_arr,
         interpret=interpret,
     )
     return fn
+
+
+def _big_stage(arrs, d):
+    """One distance-``d`` bitonic compare-exchange pass over the whole
+    stream as XLA elementwise traffic (the t_stage component of the
+    sort experiment, tools/sort_experiment.py): min/max of (k1,k2)
+    lexicographic on uint32, payloads moved by the same decision."""
+    jnp_ = jnp
+    r1 = arrs[0].reshape(-1, 2, d)
+    r2 = arrs[1].reshape(-1, 2, d)
+    a1, b1 = r1[:, 0], r1[:, 1]
+    a2, b2 = r2[:, 0], r2[:, 1]
+    swap = (a1 > b1) | ((a1 == b1) & (a2 > b2))
+    out = []
+    for a in arrs:
+        r = a.reshape(-1, 2, d)
+        lo = jnp_.where(swap, r[:, 1], r[:, 0])
+        hi = jnp_.where(swap, r[:, 0], r[:, 1])
+        out.append(jnp_.stack([lo, hi], 1).reshape(-1))
+    return out
+
+
+def merge_sorted_runs(arrays, L: int, span_log: int = 17,
+                      use_pallas: bool = True, interpret: bool = False):
+    """One merge round at arbitrary run length with payloads.
+
+    ``arrays`` = (k1, k2, *payloads): uint32[n] flat streams where every
+    aligned length-``L`` span is sorted ascending by the (k1, k2)
+    unsigned lexicographic key; n must be a multiple of 2L. Returns the
+    same tuple with every 2L span sorted, payloads moved alongside.
+
+    Schedule (the hybrid the sort experiment measured at 12 ms/round
+    for 2 arrays at 2^25): reverse odd runs (each 2L block becomes
+    bitonic), run compare-exchange distances L … span as full-array
+    XLA elementwise passes, then finish distances span/2 … 1 with the
+    in-VMEM Pallas kernel (span = min(2L, 2^span_log)). With
+    ``use_pallas=False`` (CPU meshes, virtual-device tests) every
+    distance runs as an XLA pass — bit-identical output, no Mosaic.
+    """
+    k1 = arrays[0]
+    n = k1.shape[0]
+    assert n % (2 * L) == 0, (n, L)
+    n_pairs = n // (2 * L)
+
+    def rev_odd(a):
+        r = a.reshape(n_pairs, 2, L)
+        return r.at[:, 1].set(r[:, 1, ::-1]).reshape(n)
+
+    arrs = [rev_odd(a) for a in arrays]
+    span = min(2 * L, 1 << span_log)
+    if use_pallas and span % (2 * LANE) != 0:
+        use_pallas = False      # tiny runs: pure-XLA stages
+    d = L
+    while d >= (span if use_pallas else 1):
+        arrs = _big_stage(arrs, d)
+        d //= 2
+    if not use_pallas:
+        return tuple(arrs)
+    fn = make_block_merge(n // span, span, start_d=span // 2,
+                          interpret=interpret,
+                          n_payload=len(arrs) - 2)
+    ints = [jax.lax.bitcast_convert_type(a.reshape(-1, LANE), jnp.int32)
+            for a in arrs]
+    outs = fn(*ints)
+    return tuple(jax.lax.bitcast_convert_type(o, jnp.uint32).reshape(n)
+                 for o in outs)
 
 
 def merge_round(k1, k2, L: int, interpret: bool = False):

@@ -361,24 +361,59 @@ def sw_matrices_batch_device(ref: np.ndarray, reads: np.ndarray,
     """Drop-in device twin of ops.swalign.sw_matrices_batch backed by the
     lane-batched kernel. Shapes are padded to multiples of 8 so repeated
     gassembler regions reuse a handful of compiled kernels."""
+    return sw_matrices_batch_device_multi([(ref, reads)],
+                                          interpret=interpret)[0]
+
+
+def sw_matrices_batch_device_multi(region_inputs, interpret: bool = False):
+    """MANY regions' SW fills in ONE lane-batched launch (round-5
+    VERDICT #5: cross-region device batching).
+
+    ``region_inputs``: list of (ref int8[n_i], reads int8[B_i, m_i]).
+    Returns a list of per-region (score, sx, sy) matrices, each sliced
+    to its own [B_i, n_i+1, m_i+1] — integer-identical to per-region
+    launches (the kernel is per-lane: every read carries its OWN
+    reference and reference length, make_sw_pallas_lanes).
+
+    Why: a typical gassembler region has 30-300 usable reads, so a
+    per-region launch fills a fraction of the 128-lane groups and pays
+    one dispatch per region (src/gassembler.c:1912-2006 is the per-
+    region loop). Packing the pending window's reads fills whole lane
+    groups and amortizes the launch; caps are padded to the window
+    maxima (multiples of 8) so a handful of compiled kernels serve all
+    windows."""
     from genometester4_tpu.ops.swalign import diag_to_matrix
     # ensure_jax: axon plugin registration under the bin/ -S launchers
     from genometester4_tpu.utils.lazyjax import ensure_jax
     jnp = ensure_jax().numpy
 
-    n = len(ref)
-    B, m = reads.shape
-    n_cap = _round_up(max(n, 8), 8)
-    m_cap = _round_up(max(m, 8), 8)
+    n_cap = _round_up(max(max(len(r) for r, _ in region_inputs), 8), 8)
+    m_cap = _round_up(max(max(b.shape[1] for _, b in region_inputs), 8), 8)
+    B = sum(b.shape[0] for _, b in region_inputs)
     run = _lanes_cached(n_cap, m_cap, interpret)
     refs = np.full((B, n_cap), NUCL_N + 2, np.int8)
-    refs[:, :n] = ref
     reads_p = np.full((B, m_cap), NUCL_N + 2, np.int8)
-    reads_p[:, :m] = reads
-    nvec = np.full(B, n, np.int32)
+    nvec = np.empty(B, np.int32)
+    off = 0
+    for ref, batch in region_inputs:
+        bi, mi = batch.shape
+        refs[off:off + bi, : len(ref)] = ref
+        reads_p[off:off + bi, :mi] = batch
+        nvec[off:off + bi] = len(ref)
+        off += bi
     sc_d, sx_d, sy_d = (np.asarray(x) for x in run(
         jnp.asarray(refs), jnp.asarray(reads_p), jnp.asarray(nvec)))
-    score = diag_to_matrix(sc_d, n_cap, m_cap)[:, : n + 1, : m + 1]
-    sx = diag_to_matrix(sx_d, n_cap, m_cap)[:, : n + 1, : m + 1]
-    sy = diag_to_matrix(sy_d, n_cap, m_cap)[:, : n + 1, : m + 1]
-    return (score.astype(np.int16), sx.astype(np.int8), sy.astype(np.int8))
+    score = diag_to_matrix(sc_d, n_cap, m_cap)
+    sx = diag_to_matrix(sx_d, n_cap, m_cap)
+    sy = diag_to_matrix(sy_d, n_cap, m_cap)
+    out = []
+    off = 0
+    for ref, batch in region_inputs:
+        bi, mi = batch.shape
+        n = len(ref)
+        out.append((
+            score[off:off + bi, : n + 1, : mi + 1].astype(np.int16),
+            sx[off:off + bi, : n + 1, : mi + 1].astype(np.int8),
+            sy[off:off + bi, : n + 1, : mi + 1].astype(np.int8)))
+        off += bi
+    return out

@@ -205,7 +205,11 @@ def iter_count_kmers_multihost(codes: np.ndarray, k: int, mesh,
                                                      sharded_count_step)
     from genometester4_tpu.pipelines.listmaker import merge_sorted_shards
 
-    if cap_factor is None:
+    # None/"auto": duplication-adaptive slack, same policy as
+    # sharding.iter_count_kmers_sharded (shrink to observed peak fill
+    # x1.5 with 1.3x hysteresis; overflow retry covers under-estimates)
+    auto = cap_factor is None or cap_factor == "auto"
+    if auto:
         cap_factor = CAP_FACTOR
     dp = mesh.shape["dp"]
     kp = mesh.shape["kp"]
@@ -231,11 +235,18 @@ def iter_count_kmers_multihost(codes: np.ndarray, k: int, mesh,
             blocks[bi, : len(chunk)] = chunk
         blocks = blocks.reshape(dp, kp, chunk_bases)
         garr = _put_global_blocks(blocks, mesh)
-        hi, lo, cnt, n_uniq, ovf = fn(garr)
+        hi, lo, cnt, n_uniq, ovf, mf = fn(garr)
         while int(np.asarray(jax.device_get(ovf))):
             cap_factor *= 2
             fn, _ = sharded_count_step(mesh, k, chunk_bases, cap_factor)
-            hi, lo, cnt, n_uniq, ovf = fn(garr)
+            hi, lo, cnt, n_uniq, ovf, mf = fn(garr)
+        if auto and gi + n_dev < len(starts):
+            want = 1.5 * max(int(np.asarray(jax.device_get(mf))), 1) \
+                / max(1, (chunk_bases - k + 1) // kp)
+            if want < cap_factor / 1.3:
+                cap_factor = max(want, 0.02)
+                fn, _ = sharded_count_step(mesh, k, chunk_bases,
+                                           cap_factor)
         hi = _fetch_sharded(hi)
         lo = _fetch_sharded(lo)
         cnt = _fetch_sharded(cnt)

@@ -50,9 +50,11 @@ from functools import partial
 
 import numpy as np
 
+import os
+
 from genometester4_tpu.utils.lazyjax import jax, jnp, jax_sharding
 from genometester4_tpu.ops.kmers import extract_kmers
-from genometester4_tpu.ops.sortcount import count_unique
+from genometester4_tpu.ops.sortcount import count_unique, sort_compact
 
 
 def Mesh(*args, **kwargs):
@@ -146,6 +148,143 @@ def _route_by_prefix(hi, lo, counts, valid, k: int, n_shards: int, cap: int):
     return bh, bl, bc, owner_count, overflow
 
 
+def merge_gathered_sources(bh, bl, bc, bn, *, S: int, S2: int, cap: int,
+                           cap2: int, merge_cap: int, use_pallas: bool,
+                           hi_bits: int = 32, mode: str | None = None):
+    """Merge S gathered source segments, each already sorted and
+    locally deduplicated, into one sorted deduplicated stream.
+
+    bh/bl/bc: uint32[S, cap] word-pair/count slots; bn: int32[S] valid
+    prefix lengths. Returns (mhi, mlo, mcnt, n_uniq, overflow) with the
+    unique stream compacted into the leading n_uniq slots of
+    merge_cap-length buffers.
+
+    Dispatch is a MEASURED cost model (tools/mesh_overhead.py on the
+    real chip, BASELINE.md "Merge formulation A/B"):
+
+    * S == 1 — identity: the source is already sorted and deduped; no
+      re-sort, no dedupe (round-4's 8.2x dp=kp=1 overhead was exactly
+      this re-sort; the shortcut alone took the SPMD step to 2.5x).
+    * S == 2 — one pairwise bitonic merge round + doubling dedupe
+      (measured 1.08x over the re-sort; the device analogue of the
+      reference's k-way zipper, set-operations.c:40-129).
+    * S > 2 — compaction + sort-based dedupe (the round-4 path): the
+      bitonic schedule measured 0.32x/0.22x at S=4/8 — the pow2-padded
+      merge stream (S2*cap2 > merge_cap) and the 3-array big-distance
+      passes cost more than the single fused sort. Recorded as a
+      counter-result; GT4_TPU_MESH_MERGE=bitonic|resort overrides for
+      re-measurement.
+
+    Factored out of the shard_map body so tools/mesh_overhead.py can
+    time it standalone at S>1 shapes on a single chip (no S-device mesh
+    needed for the cost model)."""
+    from genometester4_tpu.ops.bitonic_merge_pallas import merge_sorted_runs
+
+    if mode is None:
+        mode = os.environ.get("GT4_TPU_MESH_MERGE", "auto")
+    if mode not in ("bitonic", "resort"):
+        mode = "bitonic" if S <= 2 else "resort"
+
+    if S == 1:
+        # one source: the merge is the identity. No re-sort, no
+        # dedupe — local count_unique already produced the answer.
+        total = bn[0].astype(jnp.int32)
+        pad_n = merge_cap - cap
+        mhi = jnp.concatenate([bh[0], jnp.zeros((pad_n,), bh.dtype)])
+        mlo = jnp.concatenate([bl[0], jnp.zeros((pad_n,), bl.dtype)])
+        mc0 = jnp.concatenate([bc[0], jnp.zeros((pad_n,), bc.dtype)])
+        inb = jax.lax.broadcasted_iota(
+            jnp.int32, (merge_cap, 1), 0).reshape(merge_cap) < total
+        mcnt = jnp.where(inb, mc0, jnp.uint32(0))
+        return mhi, mlo, mcnt, total, jnp.zeros((), jnp.bool_)
+
+    if mode == "resort":
+        # compact the S source segments into the tight merge buffer
+        # (forward source order: each cap-length write's garbage tail is
+        # overwritten by the next source; the +cap slack in merge_cap
+        # absorbs the last tail) and sort-dedupe
+        offs = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                jnp.cumsum(bn.astype(jnp.int32))])
+        total = offs[S]
+        ovf = total > merge_cap - cap
+        offs = jnp.minimum(offs, merge_cap - cap)
+        mh = jnp.zeros((merge_cap,), bh.dtype)
+        ml = jnp.zeros((merge_cap,), bl.dtype)
+        mc = jnp.zeros((merge_cap,), bc.dtype)
+        for s in range(S):
+            mh = jax.lax.dynamic_update_slice(mh, bh[s], (offs[s],))
+            ml = jax.lax.dynamic_update_slice(ml, bl[s], (offs[s],))
+            mc = jax.lax.dynamic_update_slice(mc, bc[s], (offs[s],))
+        mvalid = jax.lax.broadcasted_iota(
+            jnp.int32, (merge_cap, 1), 0).reshape(merge_cap) < total
+        mhi, mlo, mcnt, n_uniq = count_unique(mh, ml, mc, mvalid,
+                                              hi_bits=hi_bits)
+        return mhi, mlo, mcnt, n_uniq, ovf
+
+    # sentinel-mask each source's tail: (0xFFFFFFFF, 0xFFFFFFFF)
+    # exceeds every canonical word (canonical = min(w, revcomp) can
+    # never be the all-ones pattern, sequence.c:81-86), so invalid
+    # slots sort to the stream's end
+    SENT = jnp.uint32(0xFFFFFFFF)
+    iota_cap = jax.lax.broadcasted_iota(jnp.int32, (S, cap), 1)
+    vmask = iota_cap < bn[:, None]
+    sh = jnp.where(vmask, bh, SENT)
+    sl = jnp.where(vmask, bl, SENT)
+    sc = jnp.where(vmask, bc, jnp.uint32(0))
+    if cap2 > cap:
+        padc = jnp.full((S, cap2 - cap), SENT, jnp.uint32)
+        sh = jnp.concatenate([sh, padc], axis=1)
+        sl = jnp.concatenate([sl, padc], axis=1)
+        sc = jnp.concatenate(
+            [sc, jnp.zeros((S, cap2 - cap), jnp.uint32)], axis=1)
+    if S2 > S:
+        padr = jnp.full((S2 - S, cap2), SENT, jnp.uint32)
+        sh = jnp.concatenate([sh, padr], axis=0)
+        sl = jnp.concatenate([sl, padr], axis=0)
+        sc = jnp.concatenate(
+            [sc, jnp.zeros((S2 - S, cap2), jnp.uint32)], axis=0)
+    sh, sl, sc = sh.reshape(-1), sl.reshape(-1), sc.reshape(-1)
+    L = cap2
+    while L < S2 * cap2:
+        sh, sl, sc = merge_sorted_runs((sh, sl, sc), L,
+                                       use_pallas=use_pallas)
+        L *= 2
+    total = jnp.sum(bn)
+    # valid entries now occupy the leading ``total`` slots: truncate
+    # the stream before the dedupe so the compaction sort pays for
+    # ~actual elements, not the pow2-padded span
+    tlen = min(merge_cap, S2 * cap2)
+    sh, sl, sc = sh[:tlen], sl[:tlen], sc[:tlen]
+    ovf = total > tlen
+    it = jax.lax.broadcasted_iota(jnp.int32, (tlen, 1), 0).reshape(tlen)
+    first = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_),
+         (sh[1:] != sh[:-1]) | (sl[1:] != sl[:-1])])
+    head = first & (it < total)
+    # per-run count sums by doubling: a word appears in at most S
+    # sources (each source is deduped), and in a SORTED stream endpoint
+    # equality implies the whole span matches, so log2(S2) shifted adds
+    # give every head its run total (u32 wrap matches reference counter
+    # semantics)
+    dd = 1
+    while dd < S2:
+        nh = jnp.concatenate([sh[dd:], jnp.full((dd,), SENT, jnp.uint32)])
+        nl = jnp.concatenate([sl[dd:], jnp.full((dd,), SENT, jnp.uint32)])
+        ncs = jnp.concatenate([sc[dd:], jnp.zeros((dd,), jnp.uint32)])
+        same = (nh == sh) & (nl == sl)
+        sc = sc + jnp.where(same, ncs, jnp.uint32(0))
+        dd *= 2
+    n_uniq, uhi, ulo, uc = sort_compact(head, sh, sl, sc)
+    pad_n = merge_cap - tlen
+    mhi = jnp.concatenate([uhi, jnp.zeros((pad_n,), jnp.uint32)])
+    mlo = jnp.concatenate([ulo, jnp.zeros((pad_n,), jnp.uint32)])
+    ucp = jnp.concatenate([uc, jnp.zeros((pad_n,), jnp.uint32)])
+    inb = jax.lax.broadcasted_iota(
+        jnp.int32, (merge_cap, 1), 0).reshape(merge_cap) < n_uniq
+    mcnt = jnp.where(inb, ucp, jnp.uint32(0))
+    return mhi, mlo, mcnt, n_uniq, ovf
+
+
 def sharded_count_step(mesh: Mesh, k: int, chunk_bases: int,
                        cap_factor: float = CAP_FACTOR):
     """Build the jitted SPMD counting step for a mesh.
@@ -158,6 +297,13 @@ def sharded_count_step(mesh: Mesh, k: int, chunk_bases: int,
     dp = mesh.shape["dp"]
     kp = mesh.shape["kp"]
     n_windows = chunk_bases - k + 1
+    # the merge rounds run the Pallas small-distance kernel on real TPU
+    # devices and pure-XLA compare-exchange passes on CPU (virtual-mesh
+    # tests) — bit-identical either way; GT4_TPU_MERGE_PALLAS=0 forces
+    # the XLA-only schedule on TPU for A/B timing
+    plat = mesh.devices.reshape(-1)[0].platform
+    use_pallas = (plat == "tpu"
+                  and os.environ.get("GT4_TPU_MERGE_PALLAS", "1") != "0")
     # cap_factor may be a float (callers that know their duplication
     # regime pass < 1 and rely on the overflow retry, BASELINE.md
     # "Multi-chip (projected)")
@@ -168,14 +314,12 @@ def sharded_count_step(mesh: Mesh, k: int, chunk_bases: int,
     # waste — at kp=1 this cuts the bucket arrays from 3x to 1x W
     # (round-4 mesh-overhead measurement, tools/mesh_overhead.py)
     cap = int(min(cap_soft, n_windows))
-    # tight merge buffer: the all-unique column load is exactly
+    # tight merge OUTPUT buffer: the all-unique column load is exactly
     # dp * n_windows (each of the dp*kp sources contributes ~W/kp words
     # to every column), so 2x that covers the canonical A-corner skew
-    # (<= 2x uniform, module docstring); sort cost tracks the static
-    # buffer size, so sorting the full dp*kp*cap worst case would pay
-    # 1.5x sort for slack that is almost never used. Overflow (deeper
-    # skew) is detected and retried like bucket overflow. Two rules
-    # keep the retry sound:
+    # (<= 2x uniform, module docstring). Overflow (deeper skew) is
+    # detected and retried like bucket overflow. Two rules keep the
+    # retry sound:
     #   * the soft term divides by the CONSTANT default factor and
     #     multiplies the UNCLAMPED cap_soft — dividing by the runtime
     #     cap_factor (or using the clamped cap) would cancel against
@@ -184,11 +328,16 @@ def sharded_count_step(mesh: Mesh, k: int, chunk_bases: int,
     #   * dp*kp*cap is an ABSOLUTE bound on the column load (every
     #     source contributes <= cap), so min() with it never creates
     #     an overflow the retry can't clear — it only trims slack the
-    #     load cannot reach (dp=kp=1: merge sort over 2x W, not 5x W).
-    # The trailing +cap absorbs the last source's write tail
-    # (forward-order dynamic_update_slice note below).
+    #     load cannot reach.
+    # The trailing +cap is retained slack from the round-4 formula so
+    # the retry thresholds carry over unchanged.
     merge_cap = min(2 * dp * kp * cap_soft // CAP_FACTOR,
                     dp * kp * cap) + cap
+    S = dp * kp
+    # merge-round slot geometry: pow2 source count and run length so
+    # log2(S2) pairwise bitonic merge rounds cover the whole stream
+    S2 = 1 << max(0, math.ceil(math.log2(S)))
+    cap2 = 1 << max(0, math.ceil(math.log2(max(1, cap))))
 
     def per_device(codes_block):
         # codes_block: [1, 1, chunk_bases] block of this device
@@ -201,6 +350,11 @@ def sharded_count_step(mesh: Mesh, k: int, chunk_bases: int,
         uvalid = ucnt > 0
         bh, bl, bc, bn, ovf = _route_by_prefix(uhi, ulo, ucnt, uvalid,
                                                k, kp, cap)
+        # observed peak bucket fill across the mesh: callers use it to
+        # ADAPT cap_factor to the input's duplication (round-5 VERDICT
+        # #2 — the analogue of the reference's per-thread tables
+        # shrinking with collapsed duplicates, word-table.c:233-258)
+        mf = jax.lax.pmax(jax.lax.pmax(jnp.max(bn), "kp"), "dp")
         # exchange buckets so column j holds every device's bucket j
         bh = jax.lax.all_to_all(bh, "kp", 0, 0, tiled=True)
         bl = jax.lax.all_to_all(bl, "kp", 0, 0, tiled=True)
@@ -212,37 +366,28 @@ def sharded_count_step(mesh: Mesh, k: int, chunk_bases: int,
         bl = jax.lax.all_gather(bl, "dp", tiled=True)
         bc = jax.lax.all_gather(bc, "dp", tiled=True)
         bn = jax.lax.all_gather(bn, "dp", tiled=True)
-        # compact the dp*kp source segments into a tight buffer so the
-        # merge sort runs over ~actual elements, not the 3x-slack worst
-        # case. Forward source order lets each dynamic_update_slice's
-        # cap-length write spill garbage past its valid prefix and have
-        # the NEXT source overwrite it; only the last source's tail
-        # lands in the +cap pad, masked by valid = iota < total.
-        offs = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                                jnp.cumsum(bn.astype(jnp.int32))])
-        total = offs[dp * kp]
-        ovf = ovf | (total > merge_cap - cap)
-        offs = jnp.minimum(offs, merge_cap - cap)
-        mh = jnp.zeros((merge_cap,), bh.dtype)
-        ml = jnp.zeros((merge_cap,), bl.dtype)
-        mc = jnp.zeros((merge_cap,), bc.dtype)
-        for s in range(dp * kp):
-            mh = jax.lax.dynamic_update_slice(mh, bh[s], (offs[s],))
-            ml = jax.lax.dynamic_update_slice(ml, bl[s], (offs[s],))
-            mc = jax.lax.dynamic_update_slice(mc, bc[s], (offs[s],))
-        mvalid = jax.lax.broadcasted_iota(
-            jnp.int32, (merge_cap, 1), 0).reshape(merge_cap) < total
-        mhi, mlo, mcnt, n_uniq = count_unique(
-            mh, ml, mc, mvalid, hi_bits=max(0, 2 * k - 32))
+        # merge the dp*kp source segments. Each source is ALREADY
+        # sorted and locally deduplicated (count_unique output sliced
+        # contiguously), so a full re-sort would throw that order away
+        # — the round-4 8.2x overhead was exactly that re-sort. The
+        # reference's core principle (merge sorted streams, never
+        # re-sort: set-operations.c:40-129, the k-way zipper) maps to
+        # the device as log2(S) pairwise bitonic merge rounds
+        # (merge_gathered_sources above).
+        mhi, mlo, mcnt, n_uniq, ovf_m = merge_gathered_sources(
+            bh, bl, bc, bn, S=S, S2=S2, cap=cap, cap2=cap2,
+            merge_cap=merge_cap, use_pallas=use_pallas,
+            hi_bits=max(0, 2 * k - 32))
+        ovf = ovf | ovf_m
         ovf = jax.lax.pmax(jax.lax.pmax(ovf.astype(jnp.int32), "kp"), "dp")
-        return (mhi[None], mlo[None], mcnt[None], n_uniq[None], ovf)
+        return (mhi[None], mlo[None], mcnt[None], n_uniq[None], ovf, mf)
 
     fn = jax.jit(
         jax.shard_map(
             per_device, mesh=mesh,
             in_specs=P("dp", "kp"),
             out_specs=(P("kp", None), P("kp", None), P("kp", None),
-                       P("kp"), P()),
+                       P("kp"), P(), P()),
             # outputs are dp-identical by construction (all_gather over dp)
             # but the varying-axes checker cannot infer that
             check_vma=False,
@@ -252,7 +397,7 @@ def sharded_count_step(mesh: Mesh, k: int, chunk_bases: int,
 
 def iter_count_kmers_sharded(codes: np.ndarray, k: int, mesh: Mesh,
                              chunk_bases: int | None = None,
-                             cap_factor: float = CAP_FACTOR):
+                             cap_factor="auto"):
     """Count k-mers of a full code array on the mesh, streaming results.
 
     Feeds dp*kp chunks per step (overlapped by k-1 like the single-chip
@@ -262,10 +407,24 @@ def iter_count_kmers_sharded(codes: np.ndarray, k: int, mesh: Mesh,
     uses, so the consumer (e.g. a ListWriter) never holds the full
     result (round-1 VERDICT weak #5). Grows the bucket slack and
     recompiles on overflow rather than losing data.
+
+    ``cap_factor="auto"`` (default) starts at the worst-case CAP_FACTOR
+    and SHRINKS the bucket slack to the observed duplication after each
+    step (peak bucket fill x 1.5 margin, with hysteresis so borderline
+    loads don't thrash recompiles) — duplicate-heavy input then moves/
+    sorts ~actual uniques instead of worst-case buffers, the mesh
+    analogue of the reference's per-thread tables collapsing duplicates
+    before any merge traffic (src/word-table.c:233-258). A numeric
+    cap_factor pins the slack (tests, fuzzers, callers that know their
+    regime). The overflow retry makes under-estimates safe either way.
     """
     from genometester4_tpu.ops.encode import join_u64
 
-    n_dev = mesh.shape["dp"] * mesh.shape["kp"]
+    dp, kp = mesh.shape["dp"], mesh.shape["kp"]
+    n_dev = dp * kp
+    auto = cap_factor == "auto"
+    if auto:
+        cap_factor = CAP_FACTOR
     if chunk_bases is None:
         chunk_bases = max(1 << 14, (len(codes) // n_dev + k) )
         chunk_bases = 1 << math.ceil(math.log2(chunk_bases))
@@ -281,13 +440,23 @@ def iter_count_kmers_sharded(codes: np.ndarray, k: int, mesh: Mesh,
             chunk = codes[s:s + chunk_bases]
             blocks[bi, : len(chunk)] = chunk
         blocks = blocks.reshape(mesh.shape["dp"], mesh.shape["kp"], chunk_bases)
-        hi, lo, cnt, n_uniq, ovf = fn(blocks)
+        hi, lo, cnt, n_uniq, ovf, mf = fn(blocks)
         while int(ovf):
             # canonical-word density is input-dependent: grow the bucket
             # slack and recompile rather than losing data
             cap_factor *= 2
             fn, _ = sharded_count_step(mesh, k, chunk_bases, cap_factor)
-            hi, lo, cnt, n_uniq, ovf = fn(blocks)
+            hi, lo, cnt, n_uniq, ovf, mf = fn(blocks)
+        if auto and gi + n_dev < len(starts):
+            # duplication-adaptive slack: size the next step's buckets
+            # to the observed peak fill (x1.5 skew/drift margin), only
+            # shrinking, and only past a 1.3x hysteresis band
+            want = 1.5 * max(int(mf), 1) / max(1,
+                                               (chunk_bases - k + 1) // kp)
+            if want < cap_factor / 1.3:
+                cap_factor = max(want, 0.02)
+                fn, _ = sharded_count_step(mesh, k, chunk_bases,
+                                           cap_factor)
         hi = np.asarray(hi)
         lo = np.asarray(lo)
         cnt = np.asarray(cnt)
@@ -308,7 +477,7 @@ def iter_count_kmers_sharded(codes: np.ndarray, k: int, mesh: Mesh,
 
 def count_kmers_sharded(codes: np.ndarray, k: int, mesh: Mesh,
                         chunk_bases: int | None = None,
-                        cap_factor: float = CAP_FACTOR):
+                        cap_factor="auto"):
     """Materializing wrapper over iter_count_kmers_sharded."""
     out_w, out_c = [], []
     for w, c in iter_count_kmers_sharded(codes, k, mesh, chunk_bases,
@@ -382,8 +551,42 @@ def sharded_pair_ops(words1, counts1, words2, counts2, mesh: Mesh, ops,
     output files at once (src/glistcompare.c:843-905). Returns
     {op: (words, counts)} sorted.
     """
+    from genometester4_tpu.ops.encode import join_u64
+
+    r = _sharded_pair_ops_device(words1, counts1, words2, counts2, mesh,
+                                 ops, rule, cutoff, count_override,
+                                 subtract)
+    if isinstance(r, dict):
+        return r
+    results, n_dev = r
+    out = {}
+    for op, (ohi, olo, oc, n_out) in zip(ops, results):
+        ohi, olo = np.asarray(ohi), np.asarray(olo)
+        oc, n_out = np.asarray(oc), np.asarray(n_out)
+        parts_w, parts_c = [], []
+        for d in range(n_dev):
+            m = int(n_out[d])
+            if m:
+                parts_w.append(join_u64(ohi[d, :m], olo[d, :m]))
+                parts_c.append(oc[d, :m].astype(np.uint32))
+        if not parts_w:
+            out[op] = (np.empty(0, np.uint64), np.empty(0, np.uint32))
+        else:
+            out[op] = (np.concatenate(parts_w), np.concatenate(parts_c))
+    return out
+
+
+def _sharded_pair_ops_device(words1, counts1, words2, counts2, mesh, ops,
+                             rule="default", cutoff=1, count_override=1,
+                             subtract=False):
+    """Device half of sharded_pair_ops: host bucketing + the SPMD step,
+    WITHOUT materializing the result arrays. Returns (device_results,
+    n_dev) — or the final empty dict for the degenerate no-input case.
+    Split out so tools/mesh_overhead.py can time the step with a
+    scalar-only readback (bulk readback over the axon tunnel measures
+    the tunnel, not the engine — CLAUDE.md methodology)."""
     from genometester4_tpu.ops import setops
-    from genometester4_tpu.ops.encode import join_u64, split_u64
+    from genometester4_tpu.ops.encode import split_u64
 
     devs = mesh.devices.reshape(-1)
     n_dev = len(devs)
@@ -453,21 +656,7 @@ def sharded_pair_ops(words1, counts1, words2, counts2, mesh: Mesh, ops,
                        for x in a1 + a2))
     else:
         results = fn(*(jnp.asarray(x) for x in a1 + a2))
-    out = {}
-    for op, (ohi, olo, oc, n_out) in zip(ops, results):
-        ohi, olo = np.asarray(ohi), np.asarray(olo)
-        oc, n_out = np.asarray(oc), np.asarray(n_out)
-        parts_w, parts_c = [], []
-        for d in range(n_dev):
-            m = int(n_out[d])
-            if m:
-                parts_w.append(join_u64(ohi[d, :m], olo[d, :m]))
-                parts_c.append(oc[d, :m].astype(np.uint32))
-        if not parts_w:
-            out[op] = (np.empty(0, np.uint64), np.empty(0, np.uint32))
-        else:
-            out[op] = (np.concatenate(parts_w), np.concatenate(parts_c))
-    return out
+    return results, n_dev
 
 
 def sharded_multi_op(word_lists, count_lists, mesh: Mesh, op: str,

@@ -654,10 +654,16 @@ def _print_alignment(a_pos, b_pos, a_codes, b_codes):
     sys.stderr.write("".join(out))
 
 
-def align_reads(ref_codes: np.ndarray, reads: list, params: Params):
+def align_reads(ref_codes: np.ndarray, reads: list, params: Params,
+                sw_mats=None):
     """SW every read against the reference, filter, and build the
     per-reference-position read-position table
-    (src/gassembler.c:1925-2006). Returns (aligned_reads, a int32[na, n])."""
+    (src/gassembler.c:1925-2006). Returns (aligned_reads, a int32[na, n]).
+
+    ``sw_mats``: precomputed (score, sx, sy) from a cross-region
+    batched device launch (Assembler.prefetch_device_sw) — the host
+    traceback/filter/row-build below is unchanged, so output ordering
+    and bytes are identical to the per-region path."""
     n = len(ref_codes)
     if not reads:
         return [], np.zeros((0, n), np.int32)
@@ -670,6 +676,8 @@ def align_reads(ref_codes: np.ndarray, reads: list, params: Params):
     use_slow = params.debug > 2
     if use_slow:
         score = sx = sy = None
+    elif sw_mats is not None:
+        score, sx, sy = sw_mats
     elif _device_sw_enabled():
         # lane-batched Pallas kernel (integer-exact twin); pays off when
         # the accelerator link is low-latency — opt in with
@@ -913,6 +921,78 @@ class Assembler:
         self.coverage = coverage
         self.snvs = snvs
         self.fps = fps
+        # region id -> [reads, (score, sx, sy) or None], filled by
+        # prefetch_device_sw (cross-region SW batching, VERDICT r5 #5)
+        self._sw_cache: dict = {}
+
+    def prefetch_device_sw(self, regions, idx):
+        """Cross-region device SW batching: gather reads for a window
+        of upcoming regions and fill ALL their SW matrices in one
+        lane-batched Pallas launch (ops.swalign_pallas.
+        sw_matrices_batch_device_multi). A single region rarely fills
+        the 128-lane groups; the window does, and one dispatch replaces
+        one per region (src/gassembler.c:1912-2006 pays the per-region
+        loop).
+
+        Correctness constraints honored:
+        * reads are gathered in REGION ORDER, so the glibc rand()
+          stream consumption is byte-identical to sequential assembly
+          (get_unique_reads is the only rand consumer — the same
+          invariant the forked parallel mode rests on);
+        * regions whose reference exceeds max_reference_length are
+          skipped exactly like _align_phase's early-out (they consume
+          no rand);
+        * disabled under -D / --print_reads (their per-region stderr/
+          stdout interleaving must match the reference byte-for-byte)
+          and when the cost model keeps SW on the host.
+        """
+        p = self.p
+        if p.debug > 0 or p.print_reads:
+            return
+        if id(regions[idx]) in self._sw_cache:
+            return
+        if not _device_sw_enabled():
+            return
+        import os
+        target = int(os.environ.get("GT4_TPU_SW_BATCH_LANES", "512"))
+        max_regions = int(os.environ.get("GT4_TPU_SW_BATCH_REGIONS", "16"))
+        window = []
+        total = 0
+        j = idx
+        while j < len(regions) and len(window) < max_regions:
+            region = regions[j]
+            j += 1
+            rlen = region.end - region.start
+            if rlen > p.max_reference_length:
+                continue
+            ref_codes = _C2N[np.frombuffer(
+                region.ref[:rlen].encode("latin1"),
+                np.uint8)].astype(np.int8)
+            max_rpk = (2000 if region.chr == CHR_MT
+                       else MAX_READS_PER_KMER)
+            infos = get_unique_reads(self.db, self.files, region.kmers,
+                                     p, max_rpk)
+            reads = get_read_sequences(infos, self.files, p)
+            self._sw_cache[id(region)] = [reads, None]
+            if len(reads) >= MIN_READS:
+                window.append((id(region), ref_codes, reads))
+                total += len(reads)
+            if total >= target:
+                break
+        if not window:
+            return
+        from genometester4_tpu.ops.swalign_pallas import \
+            sw_matrices_batch_device_multi
+        inputs = []
+        for _, ref_codes, reads in window:
+            m_cap = max(len(r.nucl) for r in reads)
+            batch = np.full((len(reads), m_cap), NONE, np.int8)
+            for i, r in enumerate(reads):
+                batch[i, :len(r.nucl)] = r.nucl
+            inputs.append((ref_codes, batch))
+        for (rid, _, _), mats in zip(window,
+                                     sw_matrices_batch_device_multi(inputs)):
+            self._sw_cache[rid][1] = mats
 
     def assemble(self, region: Region, cb: CallBlock):
         """src/gassembler.c:1856-1897: align + group, NC-fill on failure."""
@@ -955,12 +1035,19 @@ class Assembler:
             return 0, None
         ref_codes = _C2N[np.frombuffer(
             region.ref[:rlen].encode("latin1"), np.uint8)].astype(np.int8)
-        max_rpk = 2000 if region.chr == CHR_MT else MAX_READS_PER_KMER
-        infos = get_unique_reads(self.db, self.files, region.kmers, p,
-                                 max_rpk)
-        if p.debug > 1:
-            sys.stderr.write("Got %u unique reads\n" % len(infos))
-        reads = get_read_sequences(infos, self.files, p)
+        cached = self._sw_cache.pop(id(region), None)
+        if cached is not None:
+            # prefetch_device_sw already gathered this region's reads
+            # (identical rand() draws) and batch-filled its SW matrices
+            reads, sw_mats = cached
+        else:
+            sw_mats = None
+            max_rpk = 2000 if region.chr == CHR_MT else MAX_READS_PER_KMER
+            infos = get_unique_reads(self.db, self.files, region.kmers, p,
+                                     max_rpk)
+            if p.debug > 1:
+                sys.stderr.write("Got %u unique reads\n" % len(infos))
+            reads = get_read_sequences(infos, self.files, p)
         if p.print_reads:
             for i, r in enumerate(reads):
                 sys.stdout.write(f">Read_{i}\n{r.seq}\n")
@@ -982,7 +1069,7 @@ class Assembler:
             return -1, None
         if p.debug > 1:
             sys.stderr.write("Aligning reads to reference...")
-        a_reads, a = align_reads(ref_codes, reads, p)
+        a_reads, a = align_reads(ref_codes, reads, p, sw_mats=sw_mats)
         if p.debug > 1:
             sys.stderr.write("\n")
         p_len, aligned_ref, ref_pos, ga = create_gapped_alignment(

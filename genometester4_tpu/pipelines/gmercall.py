@@ -23,11 +23,40 @@ zeros, which is what fresh glibc mmap'd pages contain in practice.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
 
 from genometester4_tpu.models import fastgt_native as native
+
+
+def _genotype_batch_impl():
+    """Posterior-batch backend for print_genotypes (round-5 VERDICT #4).
+
+    GT4_TPU_CALLER_IMPL = host | device | auto (default). The native
+    exact path is the parity default and the ONLY choice behind the
+    axon tunnel or with no accelerator (CLAUDE.md: "auto" answers from
+    the ENVIRONMENT — touching jax behind the tunnel is an unbounded
+    hang risk). "auto" on a fast accelerator link routes the posterior
+    fan-out (src/gmer_caller.c:390-468) through the fused device
+    program models/genotype.genotype_batch_device; float32 tolerance
+    documented there, best-call agreement pinned by
+    tests/test_genotype_model.py."""
+    impl = os.environ.get("GT4_TPU_CALLER_IMPL", "auto")
+    if impl == "host":
+        return native.genotype_batch
+    if impl != "device":        # auto
+        from genometester4_tpu.utils.backend import accelerator_link_is_slow
+        if accelerator_link_is_slow():
+            return native.genotype_batch
+        if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+            return native.genotype_batch
+        import jax
+        if jax.default_backend() == "cpu":
+            return native.genotype_batch
+    from genometester4_tpu.models.genotype import genotype_batch_device
+    return genotype_batch_device
 
 GENOTYPES = ["-", "A", "B", "AA", "AB", "BB", "AAA", "AAB", "BBA", "BBB",
              "AAAA", "AAAB", "BBBA", "AABB", "BBBB"]
@@ -208,7 +237,7 @@ def print_genotypes(out, data: bytes, starts: np.ndarray,
     if len(name_lines) == 0:
         return
     flat = np.ascontiguousarray(calls.reshape(-1), np.uint16)
-    a, sums, best = native.genotype_batch(flat, pB, params)
+    a, sums, best = _genotype_batch_impl()(flat, pB, params)
     lines = []
     for i, li in enumerate(name_lines):
         bg = int(best[i])

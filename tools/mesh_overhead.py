@@ -1,31 +1,34 @@
-"""Measure the SPMD mesh program's overhead vs the direct device path
-at dp=1, kp=1 on the real chip (round-3 VERDICT missing #4).
+"""Measure the SPMD mesh programs' overhead vs the direct device paths
+on the real chip (round-3 VERDICT missing #4; round-5 VERDICT #1/#3).
 
-The mesh is the default device count path whenever >1 device is
-visible; this quantifies what the SPMD formulation itself costs — the
-merge-side dedupe over the compacted column buffer plus the routing
-copies and degenerate collectives — so BASELINE.md's "Multi-chip
-(projected)" table can derive expected N-chip throughput from measured
-single-chip numbers instead of hand-waving. History on this container:
-9.15 s round 3 (serialized bucketing gather + 3x-slack merge), 2.42 s
-after the contiguous-slice routing fix, 0.896 s after the hard bucket/
-merge bounds (8.2x the 0.109 s direct pipeline) — see BASELINE.md
-"Mesh overhead" for the anatomy.
+Covers all three production mesh paths:
+
+* counting (sharded_count_step at dp=kp=1 vs the bench.py kernel) —
+  history on this container: 9.15 s round 3 (serialized bucketing
+  gather + 3x-slack merge), 2.42 s after the contiguous-slice routing
+  fix, 0.896 s after the hard bucket/merge bounds, and round 5 replaces
+  the merge-side re-sort with pairwise bitonic merge rounds + an S==1
+  identity shortcut (merge_gathered_sources);
+* the merge stage ITSELF at S = 2/4/8 sources on one chip (no S-device
+  mesh needed — the per-column merge program is mesh-free), A/B'd
+  against the round-4 re-sort formulation so BASELINE.md's projection
+  table uses measured per-column merge costs;
+* sharded_pair_ops at n_dev=1 vs the direct jitted pair-op program
+  (glistcompare's mesh path, src/glistcompare.c:843-905);
+* the mesh DB-count step at dp=1 vs _make_count_fn (gmer_counter's
+  mesh path, src/gmer_counter.c:750-815).
 
 Run under `timeout` from the repo root (the axon tunnel can hang inside
-XLA): `timeout 420 python tools/mesh_overhead.py`.
+XLA): `timeout 900 python tools/mesh_overhead.py`.
 
-Prints one JSON line:
-  direct_dt      fused extract->sort->marks pipeline (bench.py kernel)
-  spmd_dt        sharded_count_step on a (1,1) mesh, same input
-  spmd_cap1_dt   same with cap_factor=1 (isolates the 3x-slack cost)
-  local_dt       extract + local count_unique only (the part every mesh
-                 device runs before any collective)
+All timings force execution with a SCALAR readback (block_until_ready
+is a no-op under the axon tunnel — BASELINE.md round-4 notes).
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -38,6 +41,15 @@ K = 25
 CHUNK = 1 << 25
 
 
+def rand_sorted_unique(rng, n, bits=50):
+    """n sorted unique words drawn from a 2^bits space (collision
+    margin via overdraw + np.unique; rng.choice(replace=False) would
+    materialize the whole population)."""
+    w = np.unique(rng.integers(0, 1 << bits, 2 * n + 64, dtype=np.uint64))
+    assert len(w) >= n
+    return w[:n]
+
+
 def timed(fn, *args, reps=3, sync=lambda r: None, label=""):
     t0 = time.time()
     sync(fn(*args))  # compile
@@ -48,12 +60,12 @@ def timed(fn, *args, reps=3, sync=lambda r: None, label=""):
         t0 = time.time()
         sync(fn(*args))
         best = min(best, time.time() - t0)
+    print(f"[mesh_overhead] {label}: {best:.4f}s", file=sys.stderr,
+          flush=True)
     return best
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
+def count_section(out, jax, jnp):
     from genometester4_tpu.ops.kmers import extract_kmers, extract_kmers_best
     from genometester4_tpu.ops.sortcount import count_unique
     from genometester4_tpu.parallel.sharding import (make_mesh,
@@ -85,9 +97,9 @@ def main():
         return n
 
     dc = jax.device_put(codes)
-    out = {}
     out["n_windows"] = n_windows
-    out["direct_dt"] = timed(direct, dc, sync=lambda r: int(r[0]), label="direct")
+    out["direct_dt"] = timed(direct, dc, sync=lambda r: int(r[0]),
+                             label="direct")
     out["local_dt"] = timed(local, dc, sync=lambda r: int(r), label="local")
 
     mesh = make_mesh(1)
@@ -101,6 +113,173 @@ def main():
     out["spmd_overhead_x"] = round(out["spmd_dt"] / out["direct_dt"], 3)
     out["kmers_per_s_direct"] = round(n_windows / out["direct_dt"], 1)
     out["kmers_per_s_spmd"] = round(n_windows / out["spmd_dt"], 1)
+
+
+def merge_section(out, jax, jnp):
+    """Per-column merge cost at S>1 source counts, standalone on one
+    chip, vs the round-4 re-sort formulation at the same load."""
+    from genometester4_tpu.parallel.sharding import (CAP_FACTOR,
+                                                     merge_gathered_sources)
+    from genometester4_tpu.ops.sortcount import count_unique
+
+    W = CHUNK - K + 1
+    out["merge"] = {}
+    for S in (2, 4, 8):
+        # dp=1, kp=S shapes: cap as sharded_count_step computes it
+        cap_soft = int(CAP_FACTOR * max(1, W // S))
+        cap = int(min(cap_soft, W))
+        merge_cap = min(2 * S * cap_soft // CAP_FACTOR, S * cap) + cap
+        S2 = 1 << max(0, math.ceil(math.log2(S)))
+        cap2 = 1 << max(0, math.ceil(math.log2(max(1, cap))))
+        m = W // S   # realistic per-source valid load
+        rng = np.random.default_rng(100 + S)
+        bh = np.zeros((S, cap), np.uint32)
+        bl = np.zeros((S, cap), np.uint32)
+        bc = np.zeros((S, cap), np.uint32)
+        for s in range(S):
+            w = rand_sorted_unique(rng, m)
+            bh[s, :m] = (w >> np.uint64(32)).astype(np.uint32)
+            bl[s, :m] = (w & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            bc[s, :m] = 1
+        bn = np.full((S,), m, np.int32)
+        dbh, dbl, dbc, dbn = (jax.device_put(x) for x in (bh, bl, bc, bn))
+
+        use_pallas = (jax.default_backend() == "tpu"
+                      and os.environ.get("GT4_TPU_MERGE_PALLAS", "1")
+                      != "0")
+
+        def make(mode):
+            @jax.jit
+            def run(a, b, c, n):
+                r = merge_gathered_sources(
+                    a, b, c, n, S=S, S2=S2, cap=cap, cap2=cap2,
+                    merge_cap=merge_cap, use_pallas=use_pallas,
+                    hi_bits=max(0, 2 * K - 32), mode=mode)
+                return r[3]
+            return run
+
+        row = {}
+        row["cap"] = cap
+        row["merge_cap"] = merge_cap
+        row["S2xcap2"] = S2 * cap2
+        row["bitonic_dt"] = timed(make("bitonic"), dbh, dbl, dbc, dbn,
+                                  sync=lambda r: int(r),
+                                  label=f"merge_bitonic S={S}")
+        row["resort_dt"] = timed(make("resort"), dbh, dbl, dbc, dbn,
+                                 sync=lambda r: int(r),
+                                 label=f"merge_resort S={S}")
+        row["bitonic_vs_resort_x"] = round(row["resort_dt"]
+                                           / row["bitonic_dt"], 2)
+        out["merge"][str(S)] = {k: (round(v, 4) if isinstance(v, float)
+                                    else v) for k, v in row.items()}
+
+
+def pair_section(out, jax, jnp):
+    """The sharded_pair_ops formulation at n_dev=1 (host rank-select +
+    bucket pack + upload + SPMD step, scalar-only readback) vs the
+    direct jitted pair program on resident device arrays. Bulk result
+    readback is EXCLUDED on both sides: over the axon tunnel it
+    measures the tunnel (~0.4 MB/s), and on a real link both paths pay
+    the identical transfer (same result bytes) — CLAUDE.md 'read back
+    scalars' methodology. The first measured run of this section's
+    naive end-to-end variant was 85.8 s (253x) for exactly that reason:
+    253x of tunnel, not engine."""
+    from genometester4_tpu.parallel.sharding import (make_mesh,
+                                                     _sharded_pair_ops_device)
+    from genometester4_tpu.ops import setops
+    from genometester4_tpu.ops.encode import split_u64
+
+    N = 1 << 24
+    rng = np.random.default_rng(11)
+    w1 = rand_sorted_unique(rng, N)
+    w2 = rand_sorted_unique(rng, N)
+    c1 = rng.integers(1, 100, N).astype(np.uint32)
+    c2 = rng.integers(1, 100, N).astype(np.uint32)
+    mesh = make_mesh(1)
+
+    def step(w1, c1, w2, c2):
+        results, _ = _sharded_pair_ops_device(w1, c1, w2, c2, mesh,
+                                              ["union"])
+        return results[0][3]          # n_out: the scalar barrier
+
+    out["pair_step_dt"] = timed(step, w1, c1, w2, c2,
+                                sync=lambda r: int(np.asarray(r)[0]),
+                                label="pair step")
+
+    # direct twin: one aligned pair table + the op, scalars back
+    h1, l1 = split_u64(w1)
+    h2, l2 = split_u64(w2)
+
+    @jax.jit
+    def direct(h1, l1, c1, h2, l2, c2):
+        aligned = setops.pair_align(h1, l1, c1, jnp.ones(N, jnp.bool_),
+                                    h2, l2, c2, jnp.ones(N, jnp.bool_))
+        n_out, ohi, olo, oc = setops.apply_pair_op(*aligned, op="union")
+        return n_out
+
+    args = [jax.device_put(x) for x in (h1, l1, c1, h2, l2, c2)]
+    out["pair_direct_dt"] = timed(direct, *args, sync=lambda r: int(r),
+                                  label="pair direct")
+    out["pair_overhead_x"] = round(out["pair_step_dt"]
+                                   / out["pair_direct_dt"], 3)
+
+
+def dbcount_section(out, jax, jnp):
+    """The gmer_counter mesh DB-count step at dp=1 vs _make_count_fn."""
+    from genometester4_tpu.pipelines.gmercount import (_make_count_fn,
+                                                       _make_count_fn_mesh)
+    from genometester4_tpu.parallel.sharding import Mesh
+
+    NDB = 1 << 21
+    rng = np.random.default_rng(13)
+    codes = rng.integers(0, 4, size=CHUNK, dtype=np.int64).astype(np.uint8)
+    dbw = rand_sorted_unique(rng, NDB)
+    dbhi = (dbw >> np.uint64(32)).astype(np.uint32)
+    dblo = (dbw & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+    acc = np.zeros(NDB, np.uint32)
+    args = [jax.device_put(x) for x in (codes, dbhi, dblo)]
+
+    direct = _make_count_fn(K, CHUNK)
+
+    def run_direct(c, h, l):
+        a0 = jax.device_put(np.zeros(NDB, np.uint32))
+        a1 = jax.device_put(np.zeros(NDB, np.uint32))
+        return direct(a0, a1, c, h, l)
+
+    out["dbcount_direct_dt"] = timed(run_direct, *args,
+                                     sync=lambda r: int(r[2]),
+                                     label="dbcount direct")
+
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1), ("dp",))
+    meshfn = _make_count_fn_mesh(K, CHUNK, mesh)
+
+    def run_mesh(c, h, l):
+        a0 = jax.device_put(np.zeros(NDB, np.uint32))
+        a1 = jax.device_put(np.zeros(NDB, np.uint32))
+        return meshfn(a0, a1, c.reshape(1, -1), h, l)
+
+    out["dbcount_mesh_dt"] = timed(run_mesh, *args,
+                                   sync=lambda r: int(r[2]),
+                                   label="dbcount mesh")
+    out["dbcount_overhead_x"] = round(out["dbcount_mesh_dt"]
+                                      / out["dbcount_direct_dt"], 3)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sections = sys.argv[1:] or ["count", "merge", "pair", "dbcount"]
+    out = {"backend": jax.default_backend()}
+    if "count" in sections:
+        count_section(out, jax, jnp)
+    if "merge" in sections:
+        merge_section(out, jax, jnp)
+    if "pair" in sections:
+        pair_section(out, jax, jnp)
+    if "dbcount" in sections:
+        dbcount_section(out, jax, jnp)
     print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
                       for k, v in out.items()}))
 
