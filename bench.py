@@ -512,7 +512,7 @@ def gasm_fields(pairs=2):
         return {}
     ensure_gasm_fixture()
     args = ["--dbi", "db.idx", "--region_file", "regions.txt",
-            "--coverage", "12", "--sex", "female", "--num_threads", "1"]
+            "--coverage", "40", "--sex", "female", "--num_threads", "1"]
 
     def run_one(tag, exe):
         out = os.path.join(GASM_DIR, "calls_%s.txt" % tag)

@@ -243,6 +243,59 @@ class OutputQueue:
 
     def _print_poly_best(self, cb_f: CallBlock, only_poly: bool):
         """src/gassembler.c:394-463."""
+        if len(self.finished) == 1 and self.finished[0] is cb_f:
+            # single-block fast path (the non-overlapping sequential
+            # case): the cross-block best-call competition degenerates
+            # to this block's own calls, and positions WITHOUT calls
+            # print nothing — so walk the pos-sorted call list once
+            # instead of looping every position through bisects (was
+            # ~30% of wall on sparse 200-region fixtures). Byte-
+            # identical: positions are processed in the same order,
+            # the entry-captured last_chr/last_pos prefix skip matches
+            # the reference's (the original only consults them until
+            # the first processed position), and the trailing
+            # last_* update equals the final loop iteration's.
+            if cb_f.start >= cb_f.end:
+                return
+            old_chr, old_pos = self.last_chr, self.last_pos
+            if cb_f.chr == old_chr and cb_f.end - 1 <= old_pos:
+                return           # every position would `continue`
+            calls = cb_f.calls
+            i, n = 0, len(calls)
+            while i < n:
+                pos = calls[i].pos
+                j = i
+                while j < n and calls[j].pos == pos:
+                    j += 1
+                if not (cb_f.chr == old_chr and pos <= old_pos):
+                    group = calls[i:j]
+                    if only_poly:
+                        if any(c.poly for c in group):
+                            for call in group:
+                                if call.q >= self.p.min_p:
+                                    if call.poly:
+                                        print_call(self.out, cb_f, call,
+                                                   self.p)
+                                        self.out.write("\n")
+                                else:
+                                    print_call(self.out, cb_f, call,
+                                               self.p)
+                                    self.out.write("\n")
+                                    break
+                        else:
+                            for call in group:
+                                if call.p_det < self.p.min_pmut:
+                                    print_call(self.out, cb_f, call,
+                                               self.p)
+                                    self.out.write("\n")
+                    else:
+                        for call in group:
+                            print_call(self.out, cb_f, call, self.p)
+                            self.out.write("\n")
+                i = j
+            self.last_chr = cb_f.chr
+            self.last_pos = cb_f.end - 1
+            return
         for pos in range(cb_f.start, cb_f.end):
             if cb_f.chr == self.last_chr and pos <= self.last_pos:
                 continue

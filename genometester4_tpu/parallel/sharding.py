@@ -334,6 +334,10 @@ def sharded_count_step(mesh: Mesh, k: int, chunk_bases: int,
     merge_cap = min(2 * dp * kp * cap_soft // CAP_FACTOR,
                     dp * kp * cap) + cap
     S = dp * kp
+    if S == 1:
+        # identity merge: the output IS the single bucket — padding it
+        # to the multi-source merge_cap is pure copy/transfer waste
+        merge_cap = cap
     # merge-round slot geometry: pow2 source count and run length so
     # log2(S2) pairwise bitonic merge rounds cover the whole stream
     S2 = 1 << max(0, math.ceil(math.log2(S)))
@@ -576,31 +580,13 @@ def sharded_pair_ops(words1, counts1, words2, counts2, mesh: Mesh, ops,
     return out
 
 
-def _sharded_pair_ops_device(words1, counts1, words2, counts2, mesh, ops,
-                             rule="default", cutoff=1, count_override=1,
-                             subtract=False):
-    """Device half of sharded_pair_ops: host bucketing + the SPMD step,
-    WITHOUT materializing the result arrays. Returns (device_results,
-    n_dev) — or the final empty dict for the degenerate no-input case.
-    Split out so tools/mesh_overhead.py can time the step with a
-    scalar-only readback (bulk readback over the axon tunnel measures
-    the tunnel, not the engine — CLAUDE.md methodology)."""
-    from genometester4_tpu.ops import setops
+def _pair_ops_prepare(words1, counts1, words2, counts2, n_dev):
+    """Host half of sharded_pair_ops: merge-path rank select + bucket
+    pack into [n_dev, cap] slot arrays. Pure host work (numpy), no jax
+    — split out so tools/mesh_overhead.py can time it separately from
+    the SPMD step."""
     from genometester4_tpu.ops.encode import split_u64
 
-    devs = mesh.devices.reshape(-1)
-    n_dev = len(devs)
-    flat = Mesh(devs, ("sp",))
-    # mesh spans processes (multi-host): inputs are placed shard-by-
-    # shard (each process uploads only its own devices' buckets) and
-    # the per-device results come back through one all_gather — the
-    # only cross-host collective, moving already-reduced buckets
-    multiproc = len({d.process_index for d in devs}) > 1
-
-    ops = list(ops)
-    if len(words1) + len(words2) == 0:
-        return {op: (np.empty(0, np.uint64), np.empty(0, np.uint32))
-                for op in ops}
     bounds = rank_bounds([words1, words2], n_dev)
     s1 = np.searchsorted(words1, bounds)
     s2 = np.searchsorted(words2, bounds)
@@ -623,8 +609,50 @@ def _sharded_pair_ops_device(words1, counts1, words2, counts2, mesh, ops,
         valid = np.arange(cap)[None, :] < m[:, None]
         return hi, lo, cc, valid
 
-    a1 = pack(words1, counts1, cuts1, m1)
-    a2 = pack(words2, counts2, cuts2, m2)
+    return (pack(words1, counts1, cuts1, m1),
+            pack(words2, counts2, cuts2, m2))
+
+
+def _sharded_pair_ops_device(words1, counts1, words2, counts2, mesh, ops,
+                             rule="default", cutoff=1, count_override=1,
+                             subtract=False):
+    """Device half of sharded_pair_ops: host bucketing + the SPMD step,
+    WITHOUT materializing the result arrays. Returns (device_results,
+    n_dev) — or the final empty dict for the degenerate no-input case.
+    Split out so tools/mesh_overhead.py can time the step with a
+    scalar-only readback (bulk readback over the axon tunnel measures
+    the tunnel, not the engine — CLAUDE.md methodology)."""
+    devs = mesh.devices.reshape(-1)
+    n_dev = len(devs)
+    flat = Mesh(devs, ("sp",))
+    # mesh spans processes (multi-host): inputs are placed shard-by-
+    # shard (each process uploads only its own devices' buckets) and
+    # the per-device results come back through one all_gather — the
+    # only cross-host collective, moving already-reduced buckets
+    multiproc = len({d.process_index for d in devs}) > 1
+
+    ops = list(ops)
+    if len(words1) + len(words2) == 0:
+        return {op: (np.empty(0, np.uint64), np.empty(0, np.uint32))
+                for op in ops}
+    a1, a2 = _pair_ops_prepare(words1, counts1, words2, counts2, n_dev)
+    fn = _pair_ops_make_fn(flat, multiproc, ops, rule, cutoff,
+                           count_override, subtract)
+    if multiproc:
+        from genometester4_tpu.parallel.multihost import put_axis0_sharded
+        results = fn(*(put_axis0_sharded(np.asarray(x), flat)
+                       for x in a1 + a2))
+    else:
+        results = fn(*(jnp.asarray(x) for x in a1 + a2))
+    return results, n_dev
+
+
+def _pair_ops_make_fn(flat, multiproc, ops, rule="default", cutoff=1,
+                      count_override=1, subtract=False):
+    """The jitted SPMD pair-op program over a flat ("sp",) mesh."""
+    from genometester4_tpu.ops import setops
+
+    ops = list(ops)
 
     def per_device(h1, l1, c1, v1, h2, l2, c2, v2):
         aligned = setops.pair_align(h1[0], l1[0], c1[0], v1[0],
@@ -642,7 +670,7 @@ def _sharded_pair_ops_device(words1, counts1, words2, counts2, mesh, ops,
         return tuple(outs)
 
     out_one = (P(),) * 4 if multiproc else (P("sp"),) * 4
-    fn = jax.jit(jax.shard_map(
+    return jax.jit(jax.shard_map(
         per_device, mesh=flat,
         in_specs=P("sp"),
         out_specs=tuple(out_one for _ in ops),
@@ -650,13 +678,6 @@ def _sharded_pair_ops_device(words1, counts1, words2, counts2, mesh, ops,
         # checker cannot always see that through the op mix (same
         # check_vma situation as gmercount._make_count_fn_mesh)
         check_vma=not multiproc))
-    if multiproc:
-        from genometester4_tpu.parallel.multihost import put_axis0_sharded
-        results = fn(*(put_axis0_sharded(np.asarray(x), flat)
-                       for x in a1 + a2))
-    else:
-        results = fn(*(jnp.asarray(x) for x in a1 + a2))
-    return results, n_dev
 
 
 def sharded_multi_op(word_lists, count_lists, mesh: Mesh, op: str,

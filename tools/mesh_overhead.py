@@ -184,10 +184,16 @@ def pair_section(out, jax, jnp):
     scalars' methodology. The first measured run of this section's
     naive end-to-end variant was 85.8 s (253x) for exactly that reason:
     253x of tunnel, not engine."""
-    from genometester4_tpu.parallel.sharding import (make_mesh,
-                                                     _sharded_pair_ops_device)
+    from genometester4_tpu.parallel.sharding import (Mesh, make_mesh,
+                                                     _pair_ops_make_fn,
+                                                     _pair_ops_prepare)
     from genometester4_tpu.ops import setops
     from genometester4_tpu.ops.encode import split_u64
+
+    from genometester4_tpu.utils.backend import disable_numpy_thp
+    disable_numpy_thp()   # production pack paths run with THP off
+    # (list_format import side effect); without it the 400 MB of
+    # first-touch bucket writes measure the MADV_HUGEPAGE penalty
 
     N = 1 << 24
     rng = np.random.default_rng(11)
@@ -197,14 +203,29 @@ def pair_section(out, jax, jnp):
     c2 = rng.integers(1, 100, N).astype(np.uint32)
     mesh = make_mesh(1)
 
-    def step(w1, c1, w2, c2):
-        results, _ = _sharded_pair_ops_device(w1, c1, w2, c2, mesh,
-                                              ["union"])
-        return results[0][3]          # n_out: the scalar barrier
+    # host half: rank select + bucket pack (timed on the host alone,
+    # best of 3 — the first pack pays one-time allocator warmup)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        a1, a2 = _pair_ops_prepare(w1, c1, w2, c2, 1)
+        best = min(best, time.time() - t0)
+    out["pair_pack_dt"] = best
 
-    out["pair_step_dt"] = timed(step, w1, c1, w2, c2,
+    # device half on RESIDENT inputs (uploads untimed: over the tunnel
+    # they measure the tunnel; on a real link both paths' inputs arrive
+    # the same way)
+    flat = Mesh(mesh.devices.reshape(-1), ("sp",))
+    fn = _pair_ops_make_fn(flat, False, ["union"])
+    dev_args = [jax.device_put(x) for x in a1 + a2]
+
+    def step(*args):
+        return fn(*args)[0][3]        # n_out: the scalar barrier
+
+    out["pair_step_dt"] = timed(step, *dev_args,
                                 sync=lambda r: int(np.asarray(r)[0]),
                                 label="pair step")
+    out["pair_sharded_dt"] = out["pair_pack_dt"] + out["pair_step_dt"]
 
     # direct twin: one aligned pair table + the op, scalars back
     h1, l1 = split_u64(w1)
@@ -220,7 +241,7 @@ def pair_section(out, jax, jnp):
     args = [jax.device_put(x) for x in (h1, l1, c1, h2, l2, c2)]
     out["pair_direct_dt"] = timed(direct, *args, sync=lambda r: int(r),
                                   label="pair direct")
-    out["pair_overhead_x"] = round(out["pair_step_dt"]
+    out["pair_overhead_x"] = round(out["pair_sharded_dt"]
                                    / out["pair_direct_dt"], 3)
 
 
@@ -266,11 +287,84 @@ def dbcount_section(out, jax, jnp):
                                       / out["dbcount_direct_dt"], 3)
 
 
+def sw_section(out, jax, jnp):
+    """Cross-region SW batching win (round-5 VERDICT #5): 16 regions x
+    40 reads (a typical sparse-exome window) filled as 16 separate
+    lane-kernel launches vs ONE multi-region launch. Scalar-barrier
+    timing; the traceback/filter host side is identical either way."""
+    from genometester4_tpu.ops.swalign_pallas import (LANE,
+                                                      make_sw_pallas_lanes)
+
+    n_cap, m_cap = 152, 104          # 150 bp region, 100 bp reads (+pad)
+    R, B = 16, 40
+    rng = np.random.default_rng(21)
+    refs = rng.integers(0, 4, size=(R, n_cap)).astype(np.int32)
+    reads = rng.integers(0, 4, size=(R, B, m_cap)).astype(np.int32)
+    run = make_sw_pallas_lanes(n_cap, m_cap)
+
+    def pack(refs_2d, reads_2d):
+        # per-lane refs layout identical to sw_matrices_batch_device
+        nb = reads_2d.shape[0]
+        return (jnp.asarray(refs_2d.astype(np.int8)),
+                jnp.asarray(reads_2d.astype(np.int8)),
+                jnp.asarray(np.full(nb, n_cap, np.int32)))
+
+    # Both variants are chained CHAIN-deep inside ONE jit: a single
+    # launch sits under the ~25 ms dispatch floor over the tunnel
+    # (first attempt measured 27 vs 29 ms — pure floor, 0.93x noise)
+    CHAIN = 8
+    per_region_args = []
+    for r in range(R):
+        rr = np.repeat(refs[r][None], B, axis=0)
+        per_region_args.append(pack(rr, reads[r]))
+    flat_args = [x for a in per_region_args for x in a]
+
+    @jax.jit
+    def per_region_chained(*args):
+        args = list(args)
+        acc = jnp.int32(0)
+        for _ in range(CHAIN):
+            for r in range(R):
+                # optimization_barrier defeats CSE of the identical
+                # chained launches without perturbing operands
+                a0, a1, a2 = jax.lax.optimization_barrier(
+                    (args[3 * r], args[3 * r + 1], args[3 * r + 2]))
+                sc, sx, sy = run(a0, a1, a2)
+                acc = acc + jnp.sum(sc[-1, :, 0])
+            acc = jax.lax.optimization_barrier(acc)
+        return acc
+
+    out["sw_per_region_dt"] = timed(
+        per_region_chained, *flat_args, sync=lambda r: int(r),
+        label=f"sw per-region x{R} chain{CHAIN}") / CHAIN
+
+    # (b) one combined launch per chain step
+    all_refs = np.repeat(refs[:, None], B, axis=1).reshape(R * B, n_cap)
+    all_reads = reads.reshape(R * B, m_cap)
+    combined = pack(all_refs, all_reads)
+
+    @jax.jit
+    def comb_chained(refs_d, reads_d, nvec):
+        acc = jnp.int32(0)
+        for _ in range(CHAIN):
+            refs_d, reads_d, nvec = jax.lax.optimization_barrier(
+                (refs_d, reads_d, nvec))
+            sc, sx, sy = run(refs_d, reads_d, nvec)
+            acc = acc + jnp.sum(sc[-1, :, 0])
+        return acc
+
+    out["sw_batched_dt"] = timed(comb_chained, *combined,
+                                 sync=lambda r: int(r),
+                                 label=f"sw batched chain{CHAIN}") / CHAIN
+    out["sw_batch_speedup_x"] = round(out["sw_per_region_dt"]
+                                      / out["sw_batched_dt"], 2)
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
-    sections = sys.argv[1:] or ["count", "merge", "pair", "dbcount"]
+    sections = sys.argv[1:] or ["count", "merge", "pair", "dbcount", "sw"]
     out = {"backend": jax.default_backend()}
     if "count" in sections:
         count_section(out, jax, jnp)
@@ -280,6 +374,8 @@ def main():
         pair_section(out, jax, jnp)
     if "dbcount" in sections:
         dbcount_section(out, jax, jnp)
+    if "sw" in sections:
+        sw_section(out, jax, jnp)
     print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
                       for k, v in out.items()}))
 
