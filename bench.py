@@ -163,13 +163,23 @@ def ensure_fastgt_fixture():
         c = src[pos[i] + 12]
         a = B[(np.where(B == c)[0][0] + 1 + int(rng.integers(3))) % 4]
         alt[i] = a
+    # FastGT-style marker ids "CHR:POS:RS:A/B": the caller classifies
+    # by FIRST char (digit=autosome, X, Y — src/gmer_caller.c:668-694),
+    # and empty X/Y classes would send the sex-inference medians to
+    # 0xFFFFFFFF/2 and poisson() into ~2e9-iteration loops (both tools
+    # byte-identically burn ~9 s there — a quirk path, not calling)
+    chroms = rng.choice(
+        np.array([str(c) for c in range(1, 23)] + ["X"] * 2 + ["Y"]),
+        size=n_mark)
     with open(os.path.join(FGT_DIR, "db.txt"), "wb") as f:
         for i in range(n_mark):
             ka = src[pos[i]:pos[i] + 25].tobytes().decode()
             kb_arr = src[pos[i]:pos[i] + 25].copy()
             kb_arr[12] = alt[i]
             kb = kb_arr.tobytes().decode()
-            f.write(b"M%d\t2\t%s\t%s\n" % (i, ka.encode(), kb.encode()))
+            name = "%s:%d:rs%d:A/B" % (chroms[i], int(pos[i]), i)
+            f.write(b"%s\t2\t%s\t%s\n" % (name.encode(), ka.encode(),
+                                          kb.encode()))
     is_het = rng.random(n_mark) < 0.5
     with open(os.path.join(FGT_DIR, "reads.fq"), "wb") as f:
         for i in range(60_000):
