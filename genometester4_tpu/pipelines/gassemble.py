@@ -1080,18 +1080,21 @@ class Assembler:
         for j in range(GAP + 1):
             nucl_counts[:, j] = (ga[:na] == j).sum(axis=0)
         coverage = nucl_counts.sum(axis=1)
-        # tag reads by divergent positions (src/gassembler.c:1267-1321)
+        # tag reads by divergent positions (src/gassembler.c:1267-1321).
+        # The per-position divergence test is vectorized (the scalar
+        # double loop was ~10% of sparse-region wall); the per-read
+        # tagging below only runs at the <=21 divergent positions.
+        cutoffs = np.where(coverage >= p.single_cutoff, 2, 1)
+        ge = nucl_counts >= cutoffs[:, None]
+        ar = np.asarray(aligned_ref[:p_len], np.int64)
+        ok_rows = np.flatnonzero((ar >= 0) & (ar <= GAP))
+        ge[ok_rows, ar[ok_rows]] = False
+        ge[:, N] = False
+        div_positions = np.flatnonzero(ge.any(axis=1))
         n_divergent = 0
-        for i in range(p_len):
-            cutoff = 2 if coverage[i] >= p.single_cutoff else 1
-            diverges = False
-            for j in range(GAP + 1):
-                if j == aligned_ref[i] or j == N:
-                    continue
-                if nucl_counts[i, j] >= cutoff:
-                    diverges = True
-            if not diverges:
-                continue
+        for i in div_positions:
+            i = int(i)
+            cutoff = int(cutoffs[i])
             if n_divergent >= 21:
                 sys.stderr.write("assemble: Too many divergent positions "
                                  "(max 21), ignoring the rest\n")
