@@ -170,6 +170,62 @@ def merge_section(out, jax, jnp):
                                  label=f"merge_resort S={S}")
         row["bitonic_vs_resort_x"] = round(row["resort_dt"]
                                            / row["bitonic_dt"], 2)
+
+        # duplication-adaptive slack (VERDICT r5 #2): on a dup-heavy
+        # load (valid fill ~W/S/9, the bench dup input's dedupe ratio)
+        # the auto cap_factor shrinks cap toward 1.5x the observed
+        # fill; the resort merge then sorts a proportionally smaller
+        # merge_cap. Measure the adaptive-cap resort vs the worst-case
+        # buffers at the same (small) valid load.
+        m_dup = max(1, m // 9)
+        fill_factor = 1.5 * m_dup / max(1, W // S)
+        cap_ad = max(256, int(min(fill_factor * max(1, W // S), W)))
+        soft_ad = int(fill_factor * max(1, W // S))
+        merge_cap_ad = min(2 * S * soft_ad // CAP_FACTOR,
+                           S * cap_ad) + cap_ad
+        bh_d = np.zeros((S, cap_ad), np.uint32)
+        bl_d = np.zeros((S, cap_ad), np.uint32)
+        bc_d = np.zeros((S, cap_ad), np.uint32)
+        bh_w = np.zeros((S, cap), np.uint32)
+        bl_w = np.zeros((S, cap), np.uint32)
+        bc_w = np.zeros((S, cap), np.uint32)
+        for s in range(S):
+            w = rand_sorted_unique(rng, m_dup)
+            for dst_h, dst_l, dst_c in ((bh_d, bl_d, bc_d),
+                                        (bh_w, bl_w, bc_w)):
+                dst_h[s, :m_dup] = (w >> np.uint64(32)).astype(np.uint32)
+                dst_l[s, :m_dup] = (w & np.uint64(0xFFFFFFFF)).astype(
+                    np.uint32)
+                dst_c[s, :m_dup] = 9
+        bn_d = np.full((S,), m_dup, np.int32)
+        cap2_ad = 1 << max(0, math.ceil(math.log2(max(1, cap_ad))))
+
+        @jax.jit
+        def merge_adaptive(a, b, c, n):
+            r = merge_gathered_sources(
+                a, b, c, n, S=S, S2=S2, cap=cap_ad, cap2=cap2_ad,
+                merge_cap=merge_cap_ad, use_pallas=use_pallas,
+                hi_bits=max(0, 2 * K - 32), mode="resort")
+            return r[3]
+
+        @jax.jit
+        def merge_worstcase(a, b, c, n):
+            r = merge_gathered_sources(
+                a, b, c, n, S=S, S2=S2, cap=cap, cap2=cap2,
+                merge_cap=merge_cap, use_pallas=use_pallas,
+                hi_bits=max(0, 2 * K - 32), mode="resort")
+            return r[3]
+
+        da = [jax.device_put(x) for x in (bh_d, bl_d, bc_d, bn_d)]
+        dw = [jax.device_put(x) for x in (bh_w, bl_w, bc_w, bn_d)]
+        row["dup_adaptive_dt"] = timed(merge_adaptive, *da,
+                                       sync=lambda r: int(r),
+                                       label=f"merge_dup_adaptive S={S}")
+        row["dup_worstcase_dt"] = timed(merge_worstcase, *dw,
+                                        sync=lambda r: int(r),
+                                        label=f"merge_dup_worstcase S={S}")
+        row["adaptive_speedup_x"] = round(row["dup_worstcase_dt"]
+                                          / row["dup_adaptive_dt"], 2)
         out["merge"][str(S)] = {k: (round(v, 4) if isinstance(v, float)
                                     else v) for k, v in row.items()}
 
