@@ -67,6 +67,14 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int, ctypes.c_uint, ctypes.c_uint, ctypes.c_int,
             u64p, u32p, lp, u64p, u32p, lp, u64p, u32p, lp,
             u64p, u32p, lp]
+        lib.fgx_mm_filter.restype = ctypes.c_long
+        lib.fgx_mm_filter.argtypes = [
+            u64p, ctypes.c_long, ctypes.c_int,      # cand, n, k
+            u64p, ctypes.c_long,                    # masks
+            u64p, ctypes.c_long,                    # mw (sorted)
+            u64p, ctypes.c_long,                    # qw (sorted; dummy ok)
+            ctypes.c_uint, ctypes.c_int,            # cutoff, subtract
+            u8p]                                    # alive (in-out)
         i64p_ = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
         lib.fgx_call_batch.restype = None
         lib.fgx_call_batch.argtypes = [

@@ -165,15 +165,19 @@ def merge_gathered_sources(bh, bl, bc, bn, *, S: int, S2: int, cap: int,
     * S == 1 — identity: the source is already sorted and deduped; no
       re-sort, no dedupe (round-4's 8.2x dp=kp=1 overhead was exactly
       this re-sort; the shortcut alone took the SPMD step to 2.5x).
-    * S == 2 — one pairwise bitonic merge round + doubling dedupe
-      (measured 1.08x over the re-sort; the device analogue of the
-      reference's k-way zipper, set-operations.c:40-129).
-    * S > 2 — compaction + sort-based dedupe (the round-4 path): the
-      bitonic schedule measured 0.32x/0.22x at S=4/8 — the pow2-padded
-      merge stream (S2*cap2 > merge_cap) and the 3-array big-distance
-      passes cost more than the single fused sort. Recorded as a
-      counter-result; GT4_TPU_MESH_MERGE=bitonic|resort overrides for
-      re-measurement.
+    * S > 1 — compaction + sort-based dedupe (the round-4 path). The
+      pairwise bitonic merge alternative measured 1.16x at S=2 but
+      0.32x/0.22x at S=4/8 (the pow2-padded merge stream and 3-array
+      big-distance passes cost more than one fused sort), AND its
+      op composition MISCOMPILES inside shard_map on the CPU backend
+      (round-5 dryrun finding: data-dependent word loss at S=2 cap
+      65512 — correct outside shard_map, correct when intermediates
+      are materialized as outputs, wrong when fused; an XLA-level
+      hazard, not a logic bug — see BASELINE.md "Merge formulation
+      A/B"). The marginal S=2 win does not justify carrying that
+      risk, so the production dispatch is resort for all S>1;
+      GT4_TPU_MESH_MERGE=bitonic (or mode=) keeps the formulation
+      measurable for future re-evaluation.
 
     Factored out of the shard_map body so tools/mesh_overhead.py can
     time it standalone at S>1 shapes on a single chip (no S-device mesh
@@ -183,7 +187,7 @@ def merge_gathered_sources(bh, bl, bc, bn, *, S: int, S2: int, cap: int,
     if mode is None:
         mode = os.environ.get("GT4_TPU_MESH_MERGE", "auto")
     if mode not in ("bitonic", "resort"):
-        mode = "bitonic" if S <= 2 else "resort"
+        mode = "resort"
 
     if S == 1:
         # one source: the merge is the identity. No re-sort, no

@@ -746,12 +746,41 @@ def compare_pair_mm(list1: str, list2: str, ops: list[str],
             return np.zeros(len(queries), bool)
         return (idx < len(words_sorted)) & (words_sorted[idx_c] == queries)
 
+    use_native = os.environ.get("GT4_MM_IMPL", "native") != "numpy"
     results = {}
     for op, (cw, cf, mw, mc, qw, qc, sub) in candidates.items():
         if debug and op == "diff1":
             # only find_diff announces itself (src/glistcompare.c:1058-1061)
             sys.stderr.write("Finding diff with mismatches (%d entries)\n"
                              % len(cw))
+        if use_native:
+            # per-candidate early exit (the running present-count is
+            # monotone in non-subtract mode, and subtract mode bails on
+            # the first over-present neighbor) — numpy must always
+            # materialize the whole neighborhood (fgx_mm_filter;
+            # GT4_MM_IMPL=numpy keeps the vectorized twin for the
+            # differential tests)
+            from genometester4_tpu.models.fastgt_native import get_lib
+            lib = get_lib()
+            alive8 = np.ones(len(cw), np.uint8)
+            cwc = np.ascontiguousarray(cw, np.uint64)
+            mwc = np.ascontiguousarray(mw, np.uint64)
+            qwc = (np.ascontiguousarray(qw, np.uint64) if sub
+                   else np.zeros(1, np.uint64))
+            for m in range(1, nmm + 1):
+                masks = np.ascontiguousarray(exact_mismatch_masks(k, m))
+                lib.fgx_mm_filter(cwc, len(cwc), k, masks, len(masks),
+                                  mwc, len(mwc), qwc,
+                                  len(qwc) if sub else 0,
+                                  cutoff, int(sub), alive8)
+            alive = alive8.astype(bool)
+            out_w, out_c = cw[alive], cf[alive]
+            path = _op_filename(outputname, k, op, nmm)
+            if not count_only:
+                from genometester4_tpu.formats.list_format import write_list
+                write_list(path, k, out_w, out_c)
+            results[op] = (len(out_w), int(out_c.astype(np.uint64).sum()))
+            continue
         alive = np.ones(len(cw), bool)
         for m in range(1, nmm + 1):
             masks = exact_mismatch_masks(k, m)

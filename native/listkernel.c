@@ -3051,3 +3051,79 @@ long fgx_format_node_counts (const unsigned char *names,
   }
   return o;
 }
+
+/* ------------------------------------------------------------------ */
+/* glistcompare -mm: mismatch-neighborhood candidate filter            */
+/* (src/glistcompare.c:1095-1169 find_diff/search_query semantics)     */
+/* ------------------------------------------------------------------ */
+
+/* full-word reverse complement (same butterfly as
+ * ops/encode.reverse_complement_u64; src/sequence.c:65-79) */
+static inline unsigned long long rc_u64 (unsigned long long w, int k)
+{
+  w = ~w;
+  w = ((w & 0x3333333333333333ULL) << 2) | ((w >> 2) & 0x3333333333333333ULL);
+  w = ((w & 0x0F0F0F0F0F0F0F0FULL) << 4) | ((w >> 4) & 0x0F0F0F0F0F0F0F0FULL);
+  w = __builtin_bswap64 (w);
+  return w >> (64 - 2 * k);
+}
+
+static inline int u64_present (const unsigned long long *a, long n,
+                               unsigned long long v)
+{
+  long lo = 0, hi = n;
+  while (lo < hi) {
+    long mid = (lo + hi) >> 1;
+    if (a[mid] < v) lo = mid + 1; else hi = mid;
+  }
+  return (lo < n) && (a[lo] == v);
+}
+
+/* For every still-alive candidate, canonicalize its XOR-mask
+ * neighborhood and count PRESENT neighbor words in mw (the reference's
+ * dict lookup returns the found flag, not the count — see the Python
+ * twin in pipelines/listcompare.compare_pair_mm).  Non-subtract mode
+ * drops as soon as the running present-count reaches the cutoff (the
+ * sum is monotone and < 2^32, so the early exit is exact); subtract
+ * mode drops immediately when a neighbor is present in mw more than in
+ * qw, else accumulates the signed difference and applies the Python
+ * twin's u32 wrap before the cutoff test.  Returns the kill count. */
+long fgx_mm_filter (const unsigned long long *cand, long n, int k,
+                    const unsigned long long *masks, long nmask,
+                    const unsigned long long *mw, long nmw,
+                    const unsigned long long *qw, long nqw,
+                    unsigned int cutoff, int subtract,
+                    unsigned char *alive)
+{
+  long i, j, killed = 0;
+  for (i = 0; i < n; i++) {
+    if (!alive[i]) continue;
+    unsigned long long w = cand[i];
+    long long sum = 0;
+    int drop = 0;
+    if (subtract) {
+      for (j = 0; j < nmask; j++) {
+        unsigned long long nb = w ^ masks[j];
+        unsigned long long rc = rc_u64 (nb, k);
+        if (rc < nb) nb = rc;
+        int cur = u64_present (mw, nmw, nb);
+        int qf = u64_present (qw, nqw, nb);
+        if (cur > qf) { drop = 1; break; }
+        sum += cur - qf;
+      }
+    } else {
+      for (j = 0; j < nmask; j++) {
+        unsigned long long nb = w ^ masks[j];
+        unsigned long long rc = rc_u64 (nb, k);
+        if (rc < nb) nb = rc;
+        sum += u64_present (mw, nmw, nb);
+        if ((unsigned long long) sum >= cutoff) { drop = 1; break; }
+      }
+    }
+    if (!drop && (unsigned int) ((unsigned long long) sum & 0xFFFFFFFFULL)
+        >= cutoff)
+      drop = 1;
+    if (drop) { alive[i] = 0; killed++; }
+  }
+  return killed;
+}

@@ -150,6 +150,41 @@ def test_mm_neighborhood_counts_presence_not_frequency(tmp_path):
         tmp_path / "ref_8_1_diff1.list").read_bytes()
 
 
+@pytest.mark.parametrize("subtract", [False, True])
+@pytest.mark.parametrize("nmm,cutoff", [(1, 1), (1, 3), (2, 2)])
+def test_mm_filter_native_matches_numpy(tmp_path, rng, monkeypatch,
+                                        subtract, nmm, cutoff):
+    """fgx_mm_filter (the round-5 early-exit native -mm kernel) must be
+    byte-identical to the vectorized numpy twin (GT4_MM_IMPL=numpy)
+    across ops x subtract x nmm x cutoff on overlapping random lists."""
+    import numpy as np
+    from genometester4_tpu.formats.list_format import write_list
+    from genometester4_tpu.pipelines.listcompare import compare_pair_mm
+    k = 9
+    pool = np.unique(rng.integers(0, 1 << (2 * k), size=3000)
+                     .astype(np.uint64))
+    from genometester4_tpu.ops.encode import canonical_u64
+    pool = np.unique(canonical_u64(pool, k))
+    w1 = pool[rng.random(len(pool)) < 0.5]
+    w2 = pool[rng.random(len(pool)) < 0.5]
+    if not len(w1) or not len(w2):
+        pytest.skip("degenerate draw")
+    c1 = rng.integers(1, 9, size=len(w1)).astype(np.uint32)
+    c2 = rng.integers(1, 9, size=len(w2)).astype(np.uint32)
+    write_list(str(tmp_path / "a.list"), k, w1, c1)
+    write_list(str(tmp_path / "b.list"), k, w2, c2)
+    outs = {}
+    for impl in ("native", "numpy"):
+        monkeypatch.setenv("GT4_MM_IMPL", impl)
+        compare_pair_mm(str(tmp_path / "a.list"), str(tmp_path / "b.list"),
+                        ["diff1", "diff2"], str(tmp_path / impl),
+                        cutoff=cutoff, nmm=nmm, subtract=subtract)
+        outs[impl] = tuple(
+            (tmp_path / f"{impl}_{k}_{nmm}_{s}.list").read_bytes()
+            for s in ("diff1", "diff2"))
+    assert outs["native"] == outs["numpy"]
+
+
 @pytest.mark.parametrize("impl", ["host", "device"])
 def test_pair_ops_impl_twins_identical(tmp_path, rng, impl, monkeypatch):
     """Host numpy twins == device kernels == reference, all ops+rules."""
