@@ -203,6 +203,15 @@ def main():
     row_nowrite("glistquery full dump -> /dev/null",
                 [f"{REF}/glistquery", L1],
                 [f"{BIN}/glistquery", L1])
+    # -mm neighborhood difference on the 400k-record quarters (the
+    # full 45M-record lists would take the reference minutes); the
+    # native early-exit filter (fgx_mm_filter, round 5) is the surface
+    row("glistcompare -d -mm 1 (400k quarters)",
+        [f"{REF}/glistcompare", quarters[0], quarters[1], "-d", "-mm",
+         "1", "-o", f"{FIX}/refmm"],
+        [f"{BIN}/glistcompare", quarters[0], quarters[1], "-d", "-mm",
+         "1", "-o", f"{FIX}/ourmm"],
+        [(f"{FIX}/refmm_25_1_diff1.list", f"{FIX}/ourmm_25_1_diff1.list")])
     # the --index row above is writeback-bound at 1 GB+ outputs: print
     # the container's raw page-cache write ceiling for the same byte
     # volume (1 MB chunks + sync, the pattern both writers use) so the
