@@ -6,9 +6,10 @@ Covers all three production mesh paths:
 * counting (sharded_count_step at dp=kp=1 vs the bench.py kernel) —
   history on this container: 9.15 s round 3 (serialized bucketing
   gather + 3x-slack merge), 2.42 s after the contiguous-slice routing
-  fix, 0.896 s after the hard bucket/merge bounds, and round 5 replaces
-  the merge-side re-sort with pairwise bitonic merge rounds + an S==1
-  identity shortcut (merge_gathered_sources);
+  fix, 0.896 s after the hard bucket/merge bounds, and round 5 adds
+  the S==1 identity shortcut (merge_gathered_sources; the pairwise
+  bitonic S>1 formulation was measured, lost at S>=4, and was retired
+  after a shard_map fusion hazard — BASELINE.md);
 * the merge stage ITSELF at S = 2/4/8 sources on one chip (no S-device
   mesh needed — the per-column merge program is mesh-free), A/B'd
   against the round-4 re-sort formulation so BASELINE.md's projection
