@@ -133,6 +133,24 @@ def test_spill_to_disk_byte_identical(tmp_path, rng):
         tmp_path / "ref_16.list").read_bytes()
 
 
+def test_spill_bytes_env_knob(tmp_path, rng, monkeypatch):
+    """GT4_SPILL_BYTES (round-5 knob: the memory budget the CLI path
+    can set without an API call) must force the same durable
+    spill-shard path and identical bytes — exercised through the CLI
+    entry like a production run."""
+    text = random_fasta(rng, n_records=2, min_len=25000, max_len=30000)
+    fa = tmp_path / "in.fa"
+    fa.write_text(text)
+    r = run_reference(["glistmaker", str(fa), "-w", "16", "-o",
+                       str(tmp_path / "ref")])
+    assert r.returncode == 0
+    monkeypatch.setenv("GT4_SPILL_BYTES", str(1 << 14))
+    from genometester4_tpu.cli.glistmaker import main
+    assert main([str(fa), "-w", "16", "-o", str(tmp_path / "env")]) == 0
+    assert (tmp_path / "env_16.list").read_bytes() == (
+        tmp_path / "ref_16.list").read_bytes()
+
+
 def test_streaming_slabs_window_invariant(tmp_path, rng):
     """Counting via tiny slabs == counting the whole file: slab cuts land
     mid-record, mid-line, and at record boundaries, and the k-1 overlap
