@@ -191,7 +191,8 @@ def _fetch_sharded(arr) -> np.ndarray:
 
 def iter_count_kmers_multihost(codes: np.ndarray, k: int, mesh,
                                chunk_bases: int | None = None,
-                               cap_factor: int | None = None):
+                               cap_factor: int | None = None,
+                               adapt_state: dict | None = None):
     """Multi-process twin of sharding.iter_count_kmers_sharded.
 
     ``codes`` is the full packed code array (every process parses the
@@ -210,7 +211,7 @@ def iter_count_kmers_multihost(codes: np.ndarray, k: int, mesh,
     # x1.5 with 1.3x hysteresis; overflow retry covers under-estimates)
     auto = cap_factor is None or cap_factor == "auto"
     if auto:
-        cap_factor = CAP_FACTOR
+        cap_factor = (adapt_state or {}).get("cap_factor", CAP_FACTOR)
     dp = mesh.shape["dp"]
     kp = mesh.shape["kp"]
     n_dev = dp * kp
@@ -240,13 +241,15 @@ def iter_count_kmers_multihost(codes: np.ndarray, k: int, mesh,
             cap_factor *= 2
             fn, _ = sharded_count_step(mesh, k, chunk_bases, cap_factor)
             hi, lo, cnt, n_uniq, ovf, mf = fn(garr)
-        if auto and gi + n_dev < len(starts):
+        if auto:
             want = 1.5 * max(int(np.asarray(jax.device_get(mf))), 1) \
                 / max(1, (chunk_bases - k + 1) // kp)
             if want < cap_factor / 1.3:
                 cap_factor = max(want, 0.02)
                 fn, _ = sharded_count_step(mesh, k, chunk_bases,
                                            cap_factor)
+            if adapt_state is not None:
+                adapt_state["cap_factor"] = cap_factor
         hi = _fetch_sharded(hi)
         lo = _fetch_sharded(lo)
         cnt = _fetch_sharded(cnt)

@@ -45,6 +45,7 @@ silent data loss).
 
 from __future__ import annotations
 
+import functools
 import math
 from functools import partial
 
@@ -291,13 +292,34 @@ def merge_gathered_sources(bh, bl, bc, bn, *, S: int, S2: int, cap: int,
 
 def sharded_count_step(mesh: Mesh, k: int, chunk_bases: int,
                        cap_factor: float = CAP_FACTOR):
-    """Build the jitted SPMD counting step for a mesh.
+    """Build (or fetch) the jitted SPMD counting step for a mesh.
 
     Returns fn(codes) where codes is uint8[dp*kp, chunk_bases] (one chunk
     per device); output is per-kp-shard sorted unique words + counts:
     (hi[kp, cap_out], lo[kp, cap_out], counts[kp, cap_out],
      n_unique[kp], overflow[]) — replicated over dp.
+
+    Memoized on (mesh, k, chunk_bases, cap_factor) plus the build-time
+    env knobs: production make_list calls this once per SLAB, and an
+    uncached build made every slab re-jit (and re-compile) the same
+    program (round-5 finding).
     """
+    try:
+        return _cached_count_step(
+            mesh, k, chunk_bases, float(cap_factor),
+            os.environ.get("GT4_TPU_MESH_MERGE", "auto"),
+            os.environ.get("GT4_TPU_MERGE_PALLAS", "1"))
+    except TypeError:        # unhashable mesh: build uncached
+        return _build_count_step(mesh, k, chunk_bases, float(cap_factor))
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_count_step(mesh, k, chunk_bases, cap_factor, _mode, _pall):
+    return _build_count_step(mesh, k, chunk_bases, cap_factor)
+
+
+def _build_count_step(mesh: Mesh, k: int, chunk_bases: int,
+                      cap_factor: float = CAP_FACTOR):
     dp = mesh.shape["dp"]
     kp = mesh.shape["kp"]
     n_windows = chunk_bases - k + 1
@@ -405,7 +427,7 @@ def sharded_count_step(mesh: Mesh, k: int, chunk_bases: int,
 
 def iter_count_kmers_sharded(codes: np.ndarray, k: int, mesh: Mesh,
                              chunk_bases: int | None = None,
-                             cap_factor="auto"):
+                             cap_factor="auto", adapt_state: dict | None = None):
     """Count k-mers of a full code array on the mesh, streaming results.
 
     Feeds dp*kp chunks per step (overlapped by k-1 like the single-chip
@@ -425,6 +447,12 @@ def iter_count_kmers_sharded(codes: np.ndarray, k: int, mesh: Mesh,
     before any merge traffic (src/word-table.c:233-258). A numeric
     cap_factor pins the slack (tests, fuzzers, callers that know their
     regime). The overflow retry makes under-estimates safe either way.
+
+    ``adapt_state``: a caller-held dict carrying the adapted
+    cap_factor ACROSS calls — production make_list counts one slab per
+    call, and without the carried state every slab restarted from the
+    worst-case slack (round-5 finding; the memoized step builder makes
+    re-entering a carried factor free).
     """
     from genometester4_tpu.ops.encode import join_u64
 
@@ -432,7 +460,7 @@ def iter_count_kmers_sharded(codes: np.ndarray, k: int, mesh: Mesh,
     n_dev = dp * kp
     auto = cap_factor == "auto"
     if auto:
-        cap_factor = CAP_FACTOR
+        cap_factor = (adapt_state or {}).get("cap_factor", CAP_FACTOR)
     if chunk_bases is None:
         chunk_bases = max(1 << 14, (len(codes) // n_dev + k) )
         chunk_bases = 1 << math.ceil(math.log2(chunk_bases))
@@ -455,16 +483,21 @@ def iter_count_kmers_sharded(codes: np.ndarray, k: int, mesh: Mesh,
             cap_factor *= 2
             fn, _ = sharded_count_step(mesh, k, chunk_bases, cap_factor)
             hi, lo, cnt, n_uniq, ovf, mf = fn(blocks)
-        if auto and gi + n_dev < len(starts):
+        if auto:
             # duplication-adaptive slack: size the next step's buckets
             # to the observed peak fill (x1.5 skew/drift margin), only
-            # shrinking, and only past a 1.3x hysteresis band
+            # shrinking, and only past a 1.3x hysteresis band. Runs on
+            # the LAST batch too: adapt_state carries the factor to the
+            # caller's next slab (the step builder is memoized, so an
+            # unchanged factor costs nothing).
             want = 1.5 * max(int(mf), 1) / max(1,
                                                (chunk_bases - k + 1) // kp)
             if want < cap_factor / 1.3:
                 cap_factor = max(want, 0.02)
                 fn, _ = sharded_count_step(mesh, k, chunk_bases,
                                            cap_factor)
+            if adapt_state is not None:
+                adapt_state["cap_factor"] = cap_factor
         hi = np.asarray(hi)
         lo = np.asarray(lo)
         cnt = np.asarray(cnt)
@@ -485,11 +518,11 @@ def iter_count_kmers_sharded(codes: np.ndarray, k: int, mesh: Mesh,
 
 def count_kmers_sharded(codes: np.ndarray, k: int, mesh: Mesh,
                         chunk_bases: int | None = None,
-                        cap_factor="auto"):
+                        cap_factor="auto", adapt_state: dict | None = None):
     """Materializing wrapper over iter_count_kmers_sharded."""
     out_w, out_c = [], []
     for w, c in iter_count_kmers_sharded(codes, k, mesh, chunk_bases,
-                                         cap_factor):
+                                         cap_factor, adapt_state):
         out_w.append(w)
         out_c.append(c)
     if not out_w:

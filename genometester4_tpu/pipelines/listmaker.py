@@ -687,14 +687,22 @@ def make_list(input_files, word_length: int, output_path: str,
             count_kmers_sharded, make_mesh)
         mesh = make_mesh()
 
+    # duplication-adaptive slack carried ACROSS slabs (the step builder
+    # is memoized, so slab N+1 reuses slab N's compiled program AND its
+    # adapted cap_factor — without this every slab restarted at the
+    # worst-case buffers and recompiled)
+    mesh_adapt_state: dict = {}
+
     def slab_shards(codes):
         if multihost:
             from genometester4_tpu.parallel.multihost import \
                 iter_count_kmers_multihost
-            yield from iter_count_kmers_multihost(codes, word_length, mesh)
+            yield from iter_count_kmers_multihost(
+                codes, word_length, mesh, adapt_state=mesh_adapt_state)
             return
         if mesh is not None:
-            w, c = count_kmers_sharded(codes, word_length, mesh)
+            w, c = count_kmers_sharded(codes, word_length, mesh,
+                                       adapt_state=mesh_adapt_state)
             if len(w):
                 yield w, c
             return

@@ -72,6 +72,34 @@ def test_adaptive_cap_factor_dup_heavy_then_unique(rng):
     np.testing.assert_array_equal(c_sh, c_1)
 
 
+def test_adapt_state_carries_across_calls(rng):
+    """Round-5: make_list counts one slab per call, so the adapted
+    cap_factor must CARRY across calls via adapt_state (else every
+    slab restarts at worst-case buffers), and the memoized step
+    builder must return the identical jitted program for identical
+    arguments (else every slab recompiled)."""
+    from genometester4_tpu.parallel.sharding import (CAP_FACTOR,
+                                                     sharded_count_step)
+    motif = "".join("ACGT"[i] for i in rng.integers(0, 4, 83))
+    text = ">dup\n" + motif * 900 + "\n"
+    codes = parse_sequences(text.encode()).codes
+    mesh = make_mesh(8, dp=2)
+    state = {}
+    w1, c1 = count_kmers_sharded(codes, 16, mesh, chunk_bases=1 << 12,
+                                 adapt_state=state)
+    assert 0 < state["cap_factor"] < CAP_FACTOR, state
+    carried = state["cap_factor"]
+    # second slab starts from the adapted factor, results identical
+    w2, c2 = count_kmers_sharded(codes, 16, mesh, chunk_bases=1 << 12,
+                                 adapt_state=state)
+    np.testing.assert_array_equal(w1, w2)
+    np.testing.assert_array_equal(c1, c2)
+    # and equal-argument step builds are the SAME object (memoized)
+    f1, _ = sharded_count_step(mesh, 16, 1 << 12, carried)
+    f2, _ = sharded_count_step(mesh, 16, 1 << 12, carried)
+    assert f1 is f2
+
+
 def test_sharded_output_globally_sorted(rng):
     text = random_fasta(rng, 3, 3000, 6000)
     codes = parse_sequences(text.encode()).codes
